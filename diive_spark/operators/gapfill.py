@@ -1,0 +1,216 @@
+"""Gap-filling: linear interpolation (record-limited) + rolling-median
+expanding-tier cascade — the engine's model-free analogues of the
+reference's fills.
+
+Reference semantics:
+- ``linear_interpolation`` (/root/reference/diive/gapfilling/interpolate.py:35-205):
+  fill NaN runs of length <= ``limit`` records by linear interpolation;
+  longer runs preserved; *inside only* (leading/trailing gaps never filled,
+  interpolate.py:155-156 limit_area='inside').
+- MDS cascade skeleton (/root/reference/diive/gapfilling/similarity.py:145-341):
+  expanding window tiers tried in order, first success wins; per-window
+  min-count gate (similarity.py:43-61); quality flag 1/2/3 + granular flag
+  ``method*1000 + window`` (similarity.py:113-142). The engine replaces the
+  meteorological-similarity predicate with a centered rolling median over
+  observed values (SURVEY.md §7.1 M4) — same cascade shape and flag model.
+- Flag model (/root/reference/diive/core/ml/common.py:225): 0 = observed,
+  1 = filled (primary method), 2 = fallback; observed values never
+  overwritten (tests/test_gapfilling.py:186-213 invariant).
+
+Spark mapping: interpolation is pure window functions (last/first
+ignorenulls) — whole-stage codegen, no Python. The median cascade is a
+vectorized numpy kernel over slab+halo grouped maps (halo.py) so no global
+sort is ever needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from diive_spark.operators.halo import apply_with_halo
+
+FLAG_OBSERVED = 0
+FLAG_INTERP = 1
+FLAG_MEDIAN = 2
+METHOD_INTERP = 1
+METHOD_MEDIAN = 2
+
+
+def linear_interpolation(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    limit: int = 3,
+    filled_col: str = "filled",
+    flag_col: str = "fill_flag",
+    granular_col: str = "fill_granular",
+) -> DataFrame:
+    """Fill null runs of <= ``limit`` records by linear interpolation.
+
+    Works on a regular grid (one row per slot; see grid.gridded). On a
+    regular grid, interpolating on time equals pandas' positional
+    method='linear'. Adds:
+      - ``filled_col``: value with eligible gaps filled
+      - ``flag_col``: 0 observed / 1 interpolated / null still-missing
+      - ``granular_col``: METHOD_INTERP*1000 + gap run length for filled rows
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+
+    v = F.col(value_col)
+    ts_num = F.unix_timestamp(F.col(ts_col)).cast("double")
+    vts = F.when(v.isNotNull(), ts_num)
+
+    out = (
+        df.withColumn("_prev_v", F.last(v, ignorenulls=True).over(w_prev))
+        .withColumn("_prev_t", F.last(vts, ignorenulls=True).over(w_prev))
+        .withColumn("_next_v", F.first(v, ignorenulls=True).over(w_next))
+        .withColumn("_next_t", F.first(vts, ignorenulls=True).over(w_next))
+        # run id: nulls in one gap share the count of preceding non-nulls
+        .withColumn("_run", F.count(v).over(w_prev))
+    )
+    gap_w = Window.partitionBy(*key_cols, "_run")
+    out = out.withColumn("_gap_len", F.sum(F.when(v.isNull(), 1).otherwise(0)).over(gap_w))
+
+    eligible = (
+        v.isNull()
+        & (F.col("_gap_len") <= F.lit(limit))
+        & F.col("_prev_v").isNotNull()
+        & F.col("_next_v").isNotNull()
+    )
+    frac = (ts_num - F.col("_prev_t")) / (F.col("_next_t") - F.col("_prev_t"))
+    interp = F.col("_prev_v") + (F.col("_next_v") - F.col("_prev_v")) * frac
+
+    out = (
+        out.withColumn(filled_col, F.when(v.isNotNull(), v).when(eligible, interp))
+        .withColumn(
+            flag_col,
+            F.when(v.isNotNull(), F.lit(FLAG_OBSERVED))
+            .when(eligible, F.lit(FLAG_INTERP))
+            .cast("int"),
+        )
+        .withColumn(
+            granular_col,
+            F.when(eligible, F.lit(METHOD_INTERP * 1000) + F.col("_gap_len")).cast("int"),
+        )
+    )
+    return out.drop("_prev_v", "_prev_t", "_next_v", "_next_t", "_run", "_gap_len")
+
+
+def _median_cascade_kernel(
+    value_col: str,
+    filled_col: str,
+    flag_col: str,
+    granular_col: str,
+    window_tiers: list[int],
+    min_samples: int,
+):
+    """Numpy kernel: expanding centered-window rolling-median fill.
+
+    For each tier w (odd record count) in order: for every still-missing
+    slot, take the median of *observed* values in the centered window of w
+    records; fill if >= min_samples observed values exist (first tier that
+    succeeds wins — the MDS first-success rule, similarity.py:309-336).
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        filled = pdf[filled_col].to_numpy(dtype=np.float64).copy()
+        flag = pdf[flag_col].to_numpy(dtype=np.float64).copy()
+        granular = pdf[granular_col].to_numpy(dtype=np.float64).copy()
+        obs = pd.Series(vals)  # medians always come from OBSERVED values only
+        for w in window_tiers:
+            missing = np.isnan(filled)
+            if not missing.any():
+                break
+            roll = obs.rolling(window=w, center=True, min_periods=min_samples)
+            med = roll.median().to_numpy()
+            cnt = roll.count().to_numpy()
+            ok = missing & ~np.isnan(med) & (cnt >= min_samples)
+            filled[ok] = med[ok]
+            flag[ok] = FLAG_MEDIAN
+            granular[ok] = METHOD_MEDIAN * 1000 + w
+        out = pdf.copy()
+        out[filled_col] = filled
+        # flags are nullable ints; NaN -> pd.NA so Arrow casts cleanly
+        def to_int32(a: np.ndarray) -> pd.arrays.IntegerArray:
+            mask = np.isnan(a)
+            return pd.arrays.IntegerArray(
+                np.where(mask, 0, a).astype("int32"), mask=mask
+            )
+
+        out[flag_col] = to_int32(flag)
+        out[granular_col] = to_int32(granular)
+        return out
+
+    return kernel
+
+
+def rolling_median_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tier_seconds: int,
+    window_tiers: list[int] = (5, 13, 49),
+    min_samples: int = 2,
+    filled_col: str = "filled",
+    flag_col: str = "fill_flag",
+    granular_col: str = "fill_granular",
+    slab_seconds: int | None = None,
+) -> DataFrame:
+    """Fallback fill for gaps interpolation left behind.
+
+    Expects the columns produced by :func:`linear_interpolation`. Runs as a
+    slab+halo grouped map: halo = max(window_tiers)//2 slots, so every
+    centered window is complete inside its slab and the result equals a
+    single-partition run exactly (tests/test_gapfill.py).
+    """
+    window_tiers = sorted(int(w) | 1 for w in window_tiers)  # force odd
+    halo_slots = window_tiers[-1] // 2 + 1
+    halo_seconds = halo_slots * tier_seconds
+    if slab_seconds is None:
+        slab_seconds = max(halo_seconds * 8, 7 * 86400)
+
+    kernel = _median_cascade_kernel(
+        value_col, filled_col, flag_col, granular_col, list(window_tiers), min_samples
+    )
+    keep = [c for c in df.columns]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in keep
+    )
+    return apply_with_halo(
+        df,
+        key_cols=key_cols,
+        ts_col=ts_col,
+        kernel=kernel,
+        output_schema=schema,
+        slab_seconds=slab_seconds,
+        halo_seconds=halo_seconds,
+    )
+
+
+def gapfill_cascade(
+    gridded_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tier_seconds: int,
+    interp_limit: int = 3,
+    window_tiers: list[int] = (5, 13, 49),
+    min_samples: int = 2,
+) -> DataFrame:
+    """Full model-free fill: interpolation (quality 1) then rolling-median
+    tiers (quality 2); observed never overwritten; unfillable stay null."""
+    interp = linear_interpolation(
+        gridded_df, key_cols, ts_col, value_col, limit=interp_limit
+    )
+    return rolling_median_fill(
+        interp, key_cols, ts_col, value_col, tier_seconds,
+        window_tiers=window_tiers, min_samples=min_samples,
+    )

@@ -1,0 +1,129 @@
+"""Regular-grid machinery: grid generation, missing-window detection, gap table.
+
+Reference semantics:
+- ``continuous_timestamp_freq`` (/root/reference/diive/core/times/times.py:1460-1517):
+  reindex the series onto a continuous date_range so gaps materialize as NaN rows.
+  Spark mapping: ``sequence(min_ts, max_ts, interval)`` + explode + LEFT JOIN —
+  missing windows become rows with null aggregates (SURVEY.md §2.3).
+- ``GapFinder`` (/root/reference/diive/analysis/gapfinder.py:114-147): consecutive
+  NaN runs found via the notna().cumsum() run-id trick → per-gap
+  GAP_START / GAP_END / GAP_LENGTH, sortable by length.
+
+Scale note: the grid has one row per (key, window) — at the 1m tier over a
+year that is ~5e5 rows per series key regardless of raw input size, so these
+ops run on data ~6 orders of magnitude smaller than the 100 TB raw table.
+The grid is generated distributed (explode of per-key sequence), never on
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from diive_spark.operators.resample import TIER_INTERVALS, TIER_SECONDS
+
+
+def time_grid(
+    df: DataFrame,
+    tier: str,
+    key_cols: list[str],
+    ts_col: str = "window_start",
+    global_span: bool = True,
+) -> DataFrame:
+    """One row per (key, grid slot) spanning the observed time range.
+
+    ``global_span=True`` spans min..max over ALL keys (every series gets the
+    same grid — diive reindexes each series onto the full file range);
+    ``False`` spans each key's own min..max.
+    """
+    interval = TIER_INTERVALS[tier]
+    if global_span:
+        span = df.select(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"))
+        keys = df.select(*key_cols).distinct().crossJoin(F.broadcast(span))
+    else:
+        keys = df.groupBy(*key_cols).agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"))
+    return keys.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {interval}"))
+        ).alias(ts_col),
+    ).withColumn(
+        "window_end", F.col(ts_col) + F.expr(f"INTERVAL {interval}")
+    )
+
+
+def gridded(
+    rollup_df: DataFrame,
+    tier: str,
+    key_cols: list[str],
+    global_span: bool = True,
+) -> DataFrame:
+    """LEFT JOIN the rollup onto its continuous grid: missing windows become
+    rows with null stats (the diive reindex-to-continuous semantics).
+
+    The join key (keys..., window_start) is the rollup's own grouping key, so
+    with AQE the shuffle partitioning is reused; the grid side is small.
+    """
+    grid = time_grid(rollup_df, tier, key_cols, global_span=global_span)
+    data = rollup_df.drop("window_end")
+    return grid.join(data, on=[*key_cols, "window_start"], how="left")
+
+
+def missing_windows(
+    rollup_df: DataFrame,
+    tier: str,
+    key_cols: list[str],
+    presence_col: str,
+) -> DataFrame:
+    """Grid slots with no emitted rollup row (anti-join form)."""
+    g = gridded(rollup_df, tier, key_cols)
+    return g.filter(F.col(presence_col).isNull()).select(*key_cols, "window_start", "window_end")
+
+
+def gap_table(
+    gridded_df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str = "window_start",
+    tier: str | None = None,
+) -> DataFrame:
+    """Consecutive-null runs → (keys..., gap_start, gap_end, gap_length).
+
+    The run-id trick is the reference's notna().cumsum()
+    (gapfinder.py:120-130): count of non-nulls up to the current row is
+    constant across one null run.
+
+    gap_start/gap_end are the first/last missing slot's ``ts_col`` (both
+    inclusive, matching GapFinder's GAP_START/GAP_END record timestamps);
+    gap_length is in records. ``tier`` adds gap_duration_seconds.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    runs = gridded_df.withColumn("_run", F.count(value_col).over(w)).filter(
+        F.col(value_col).isNull()
+    )
+    out = runs.groupBy(*key_cols, "_run").agg(
+        F.min(ts_col).alias("gap_start"),
+        F.max(ts_col).alias("gap_end"),
+        F.count(F.lit(1)).alias("gap_length"),
+    ).drop("_run")
+    if tier:
+        out = out.withColumn(
+            "gap_duration_seconds", F.col("gap_length") * F.lit(TIER_SECONDS[tier])
+        )
+    return out
+
+
+def gap_stats(gap_df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Headline gap stats per key (GapFinder.summary / GapStats,
+    gapfinder.py:160-178): count, total missing records, min/median/max/mean
+    gap length, longest-gap start."""
+    return gap_df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_length").alias("n_missing"),
+        F.min("gap_length").alias("min_len"),
+        F.percentile(F.col("gap_length"), F.lit(0.5)).alias("median_len"),
+        F.max("gap_length").alias("max_len"),
+        F.avg("gap_length").alias("mean_len"),
+        F.max_by("gap_start", "gap_length").alias("longest_gap_start"),
+    )

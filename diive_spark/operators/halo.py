@@ -1,0 +1,78 @@
+"""Slab-with-halo grouped-map execution — the engine's scale pattern for
+centered-window kernels.
+
+Problem: centered rolling kernels (Hampel median/MAD, rolling-median fill)
+need ±w/2 neighbours. A plain ``groupBy(series_key).applyInPandas`` puts an
+entire series in one task — fine for one year of 1m rollups (~5e5 rows), a
+straggler at 10-year horizons. Solution (SURVEY.md §4.3.4): split each series
+into fixed time slabs, *duplicate* rows within ``halo`` slots of each slab
+boundary into the neighbouring slab, run the kernel per (key, slab), then
+drop halo rows. Windows bounded by ``halo`` never cross two slabs, so the
+result is exactly equal to the global kernel (tested in tests/test_halo.py).
+
+All kernels receive/return pandas DataFrames via Arrow (vectorized; no
+per-row Python).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_with_halo(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    kernel: Callable[[pd.DataFrame], pd.DataFrame],
+    output_schema: str,
+    slab_seconds: int,
+    halo_seconds: int,
+) -> DataFrame:
+    """Run ``kernel`` per (key, slab) with halo duplication.
+
+    The kernel sees rows sorted by ``ts_col`` (halo rows included, marked by
+    the ``_halo`` column) and must return one output row per input row,
+    keeping the ``_halo`` column; halo outputs are dropped before returning
+    to Spark, so ``output_schema`` lists only the real output columns.
+    ``halo_seconds`` must be >= max centered-window half-width in seconds
+    (half_window_rows * tier_seconds).
+    """
+    if halo_seconds >= slab_seconds:
+        raise ValueError("halo must be smaller than slab")
+    epoch = F.unix_timestamp(F.col(ts_col))
+    slab_id = F.floor(epoch / F.lit(slab_seconds))
+    pos_in_slab = epoch % F.lit(slab_seconds)
+
+    core = df.withColumn("_slab", slab_id).withColumn("_halo", F.lit(0).cast("tinyint"))
+    # rows near the END of a slab are also needed by the NEXT slab's head
+    tail = (
+        df.withColumn("_pos", pos_in_slab)
+        .filter(F.col("_pos") >= F.lit(slab_seconds - halo_seconds))
+        .withColumn("_slab", slab_id + 1)
+        .withColumn("_halo", F.lit(1).cast("tinyint"))
+        .drop("_pos")
+    )
+    # rows near the START of a slab are needed by the PREVIOUS slab's tail
+    head = (
+        df.withColumn("_pos", pos_in_slab)
+        .filter(F.col("_pos") < F.lit(halo_seconds))
+        .withColumn("_slab", slab_id - 1)
+        .withColumn("_halo", F.lit(1).cast("tinyint"))
+        .drop("_pos")
+    )
+    expanded = core.unionByName(tail).unionByName(head)
+
+    out_cols = [c.strip().split()[0] for c in output_schema.split(",")]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        out = kernel(pdf)
+        return out.loc[out["_halo"] == 0, out_cols]
+
+    return expanded.groupBy(*key_cols, "_slab").applyInPandas(
+        lambda _, pdf: run(pdf), schema=output_schema
+    )

@@ -1,0 +1,138 @@
+"""Grid/gap machinery + gap-fill cascade vs pandas oracles and seeded gaps."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from diive_spark import synth
+from diive_spark.operators import gapfill, grid, resample
+
+
+@pytest.fixture(scope="module")
+def hourly(spark):
+    df = synth.inject_gaps(
+        synth.with_event_time(synth.token_table(spark, 10_000, with_tokens=False))
+    )
+    r = resample.rollup(df, "event_time", ["n_tok"], "1h", key_cols=[]).withColumn(
+        "series", F.lit("all")
+    )
+    return grid.gridded(r, "1h", ["series"]).cache()
+
+
+def test_seeded_gaps_detected(hourly):
+    gaps = grid.gap_table(hourly, ["series"], "n_tok_cnt", tier="1h").toPandas()
+    gaps = gaps.sort_values("gap_start").reset_index(drop=True)
+    # FIXTURES F1 gap injection: hour 7 of 2024-01-04 (1 slot) and all of
+    # 2024-01-13 (24 slots). The 3-minute gap is invisible at the 1h tier.
+    assert len(gaps) == 2
+    assert gaps.loc[0, "gap_start"] == pd.Timestamp("2024-01-04 07:00:00")
+    assert gaps.loc[0, "gap_length"] == 1
+    assert gaps.loc[1, "gap_start"] == pd.Timestamp("2024-01-13 00:00:00")
+    assert gaps.loc[1, "gap_end"] == pd.Timestamp("2024-01-13 23:00:00")
+    assert gaps.loc[1, "gap_length"] == 24
+    assert gaps.loc[1, "gap_duration_seconds"] == 24 * 3600
+
+
+def test_grid_is_continuous(hourly):
+    pdf = hourly.orderBy("window_start").toPandas()
+    deltas = pdf["window_start"].diff().dropna().unique()
+    assert list(deltas) == [pd.Timedelta(hours=1)]
+    assert len(pdf) == (pdf["window_start"].max() - pdf["window_start"].min()) / pd.Timedelta(hours=1) + 1
+
+
+def test_gap_stats(hourly):
+    stats = grid.gap_stats(
+        grid.gap_table(hourly, ["series"], "n_tok_cnt"), ["series"]
+    ).toPandas()
+    assert stats.loc[0, "n_gaps"] == 2
+    assert stats.loc[0, "n_missing"] == 25
+    assert stats.loc[0, "max_len"] == 24
+    assert stats.loc[0, "longest_gap_start"] == pd.Timestamp("2024-01-13 00:00:00")
+
+
+def _toy_grid(spark, values):
+    ts = pd.date_range("2024-01-01", periods=len(values), freq="1h")
+    pdf = pd.DataFrame({"series": "s1", "window_start": ts, "value": values})
+    return spark.createDataFrame(pdf)
+
+
+def test_linear_interpolation_limit(spark):
+    # gaps: single (idx 2), triple (5-7), run of 5 (10-14), leading (0)
+    vals = [None, 1.0, None, 3.0, 4.0, None, None, None, 8.0, 9.0,
+            None, None, None, None, None, 15.0, 16.0]
+    out = (
+        gapfill.linear_interpolation(
+            _toy_grid(spark, vals), ["series"], "window_start", "value", limit=3
+        )
+        .orderBy("window_start").toPandas()
+    )
+    got = out["filled"].to_numpy()
+    # oracle: pandas interpolate inside-only, then only gaps <= 3 kept
+    s = pd.Series(vals, dtype=float)
+    interp = s.interpolate("linear", limit_area="inside")
+    expect = s.copy()
+    expect.iloc[2] = interp.iloc[2]
+    expect.iloc[5:8] = interp.iloc[5:8]
+    np.testing.assert_allclose(got, expect.to_numpy(), rtol=1e-12)
+    # leading gap untouched, 5-run untouched
+    assert np.isnan(got[0]) and np.isnan(got[10:15]).all()
+    flags = out["fill_flag"].to_numpy()
+    assert flags[1] == gapfill.FLAG_OBSERVED
+    assert flags[2] == gapfill.FLAG_INTERP
+    assert out["fill_granular"][5] == gapfill.METHOD_INTERP * 1000 + 3
+
+
+def test_median_fill_cascade_and_flags(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, None, None, None, None, None,
+            None, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 18.0, 19.0, 20.0]
+    df = _toy_grid(spark, vals)
+    out = (
+        gapfill.gapfill_cascade(
+            df, ["series"], "window_start", "value",
+            tier_seconds=3600, interp_limit=3, window_tiers=[5, 13], min_samples=2,
+        )
+        .orderBy("window_start").toPandas()
+    )
+    filled = out["filled"].to_numpy()
+    # observed never overwritten
+    obs = ~pd.isna(pd.Series(vals))
+    np.testing.assert_array_equal(filled[obs], np.array(vals, dtype=float)[obs])
+    # the 6-run exceeds interp limit -> median tiers fill it fully
+    assert not np.isnan(filled).any()
+    assert set(out.loc[~obs, "fill_flag"]) == {gapfill.FLAG_MEDIAN}
+    grans = set(out.loc[~obs, "fill_granular"].astype(int))
+    assert grans <= {2005, 2013} and len(grans) >= 1
+
+
+def test_slab_halo_equals_global(spark):
+    # 200-slot series with scattered gaps; tiny slabs force many slab splits;
+    # result must equal the single-slab run exactly.
+    rng = np.random.default_rng(7)
+    vals = rng.normal(10, 2, 200)
+    miss = rng.choice(200, 40, replace=False)
+    vals = vals.astype(object)
+    for m in miss:
+        vals[m] = None
+    df = _toy_grid(spark, list(vals))
+
+    def run(slab_seconds):
+        return (
+            gapfill.gapfill_cascade(
+                df, ["series"], "window_start", "value",
+                tier_seconds=3600, interp_limit=2, window_tiers=[5, 13],
+            )
+            if slab_seconds is None
+            else gapfill.rolling_median_fill(
+                gapfill.linear_interpolation(df, ["series"], "window_start", "value", limit=2),
+                ["series"], "window_start", "value", tier_seconds=3600,
+                window_tiers=[5, 13], slab_seconds=slab_seconds,
+            )
+        ).orderBy("window_start").toPandas()
+
+    small_slabs = run(20 * 3600)   # 20-slot slabs, halo 7 slots
+    one_big = run(10_000 * 3600)   # effectively one slab
+    np.testing.assert_allclose(
+        small_slabs["filled"].to_numpy(), one_big["filled"].to_numpy(), rtol=0, atol=0
+    )
+    pd.testing.assert_series_equal(small_slabs["fill_flag"], one_big["fill_flag"])
