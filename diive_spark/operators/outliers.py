@@ -1,0 +1,349 @@
+"""Outlier flagging + iterate-until-converged driver + QCF combination.
+
+Flag convention (reference FlagBase.setflag,
+/root/reference/diive/core/base/flagbase.py:112-120): 0 = pass, 2 = hard
+reject (outlier tests emit 0/2; soft 1 exists in the QCF flag model).
+Null values carry a null flag (reference drops NaN before testing).
+
+Tests implemented (reference file:line):
+- absolute limits           preprocessing/outlier_detection/absolutelimits.py:188-252
+- z-score global/day-night  preprocessing/outlier_detection/zscore.py:164-245,
+                            core/funcs/funcs.py:54 (np.std => population SD)
+- z-score rolling           preprocessing/outlier_detection/zscore.py:315-340
+                            (centered, min_periods=3, pandas ddof=1 SD)
+- z-score increments        preprocessing/outlier_detection/incremental.py:103-158
+                            (|double-diff|, |diff-prev|, |diff-next|; outlier
+                            iff all three z-flags fire, flag sum == 6)
+- Hampel (median/MAD)       preprocessing/outlier_detection/hampel.py:199-258
+                            (k=1.4826, MAD+1e-6, optional double-differencing)
+- local SD                  preprocessing/outlier_detection/localsd.py:244-248
+- trim-low                  preprocessing/outlier_detection/trim.py:190-259
+- manual removal            preprocessing/outlier_detection/manualremoval.py:107
+- repeat-until-converged    core/base/flagbase.py:155-197 (each iteration tests
+                            the series filtered by all previous iterations;
+                            overall flag = 2 where ANY iteration flagged 2)
+- QCF decision cascade      preprocessing/qaqc/qcf.py:637-697
+
+Spark mapping: everything except Hampel/localSD is built-in expressions and
+window functions (JVM codegen); Hampel/localSD use the same pandas rolling
+kernels as the reference inside slab+halo grouped maps — vectorized, exact
+reference parity, partition-local.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from diive_spark.operators.halo import apply_with_halo
+
+HAMPEL_K = 1.4826
+
+
+def _centered_frame(w: Window, winsize: int):
+    """pandas rolling(center=True) frame: [i-(w-1)//2, i+w//2]."""
+    return w.rowsBetween(-((winsize - 1) // 2), winsize // 2)
+
+
+def flag_absolute_limits(
+    df: DataFrame, value_col: str, minval: float, maxval: float,
+    flag_col: str = "FLAG_ABSLIM_TEST",
+) -> DataFrame:
+    v = F.col(value_col)
+    return df.withColumn(
+        flag_col,
+        F.when(v.isNull(), F.lit(None))
+        .when((v < minval) | (v > maxval), F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+def flag_manual_removal(
+    df: DataFrame, ts_col: str, value_col: str,
+    ranges: list[tuple[str, str]] | None = None,
+    timestamps: list[str] | None = None,
+    flag_col: str = "FLAG_MANUAL_TEST",
+) -> DataFrame:
+    cond = F.lit(False)
+    for start, end in ranges or []:
+        cond = cond | F.col(ts_col).between(F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp"))
+    if timestamps:
+        cond = cond | F.col(ts_col).isin([pd.Timestamp(t) for t in timestamps])
+    v = F.col(value_col)
+    return df.withColumn(
+        flag_col,
+        F.when(v.isNull(), F.lit(None)).when(cond, F.lit(2)).otherwise(F.lit(0)).cast("int"),
+    )
+
+
+def flag_zscore(
+    df: DataFrame, key_cols: list[str], value_col: str,
+    thres_zscore: float = 4.0,
+    group_cols: list[str] | None = None,
+    flag_col: str = "FLAG_ZSCORE_TEST",
+) -> DataFrame:
+    """Global (or per-daynight-group) z-score; population SD (np.std ddof=0,
+    funcs.py:54)."""
+    parts = [*key_cols, *(group_cols or [])]
+    w = Window.partitionBy(*parts) if parts else Window.partitionBy()
+    v = F.col(value_col)
+    z = F.abs((v - F.avg(v).over(w)) / F.stddev_pop(v).over(w))
+    return df.withColumn(
+        flag_col,
+        F.when(v.isNull(), F.lit(None)).when(z > thres_zscore, F.lit(2)).otherwise(F.lit(0)).cast("int"),
+    )
+
+
+def flag_zscore_rolling(
+    df: DataFrame, key_cols: list[str], ts_col: str, value_col: str,
+    thres_zscore: float = 4.0, winsize: int = 50,
+    flag_col: str = "FLAG_ZSCOREROLLING_TEST",
+) -> DataFrame:
+    """Centered rolling z-score over *non-null records* (reference drops NaN
+    first, zscore.py:319; min_periods=3; sample SD)."""
+    v = F.col(value_col)
+    nn = df.filter(v.isNotNull())
+    w = _centered_frame(Window.partitionBy(*key_cols).orderBy(ts_col), winsize)
+    rmean, rsd, cnt = F.avg(v).over(w), F.stddev_samp(v).over(w), F.count(v).over(w)
+    z = F.abs((v - rmean) / rsd)
+    flagged = nn.select(
+        *key_cols, ts_col,
+        F.when((cnt >= 3) & (z > thres_zscore), F.lit(2)).otherwise(F.lit(0)).cast("int").alias(flag_col),
+    )
+    return df.join(flagged, on=[*key_cols, ts_col], how="left")
+
+
+def flag_zscore_increments(
+    df: DataFrame, key_cols: list[str], ts_col: str, value_col: str,
+    thres_zscore: float = 4.0,
+    flag_col: str = "FLAG_INCREMENTS_TEST",
+) -> DataFrame:
+    """z-score on |double-diff|, |diff-prev|, |diff-next| over non-null
+    records; outlier iff all three fire (incremental.py:111-152;
+    double_diff_absolute, core/dfun/stats.py:526)."""
+    v = F.col(value_col)
+    nn = df.filter(v.isNotNull())
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev, nxt = F.lag(v).over(w), F.lead(v).over(w)
+    diffs = {
+        "_dd": F.abs((v - prev) - (nxt - v)),
+        "_dp": F.abs(v - prev),
+        "_dn": F.abs(nxt - v),
+    }
+    tmp = nn.select(*key_cols, ts_col, *[e.alias(n) for n, e in diffs.items()])
+    gw = Window.partitionBy(*key_cols) if key_cols else Window.partitionBy()
+    total = None
+    for n in diffs:
+        c = F.col(n)
+        z = F.abs((c - F.avg(c).over(gw)) / F.stddev_pop(c).over(gw))
+        f = F.when(z > thres_zscore, F.lit(2)).otherwise(F.lit(0))
+        total = f if total is None else total + f
+    flagged = tmp.select(
+        *key_cols, ts_col,
+        F.when(total == 6, F.lit(2)).otherwise(F.lit(0)).cast("int").alias(flag_col),
+    )
+    return df.join(flagged, on=[*key_cols, ts_col], how="left")
+
+
+def flag_trim_low(
+    df: DataFrame, key_cols: list[str], value_col: str,
+    trim_limit: float,
+    flag_col: str = "FLAG_TRIMLOW_TEST",
+) -> DataFrame:
+    """Reject values below ``trim_limit`` PLUS an equal count of the highest
+    values (trim.py:236-248)."""
+    parts = Window.partitionBy(*key_cols) if key_cols else Window.partitionBy()
+    v = F.col(value_col)
+    n_below = F.sum(F.when(v < trim_limit, 1).otherwise(0)).over(parts)
+    rank_desc = F.row_number().over(parts.orderBy(F.desc_nulls_last(value_col)))
+    nn = df.filter(v.isNotNull()).withColumn("_nb", n_below).withColumn("_rk", rank_desc)
+    flagged = nn.select(
+        *key_cols, *[c for c in df.columns if c not in key_cols],
+        F.when((v < trim_limit) | (F.col("_rk") <= F.col("_nb")), F.lit(2))
+        .otherwise(F.lit(0)).cast("int").alias(flag_col),
+    )
+    nulls = df.filter(v.isNull()).withColumn(flag_col, F.lit(None).cast("int"))
+    return flagged.unionByName(nulls)
+
+
+def _hampel_kernel(value_col, flag_col, window_length, n_sigma, use_differencing):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        s = pdf[value_col]
+        mask_nn = s.notna()
+        s_nn = s[mask_nn]
+        if use_differencing:  # d = (x_t - x_{t-1}) - (x_{t+1} - x_t), hampel.py:206-210
+            s_to_test = (s_nn.diff() - s_nn.diff().shift(-1)).fillna(0)
+        else:
+            s_to_test = s_nn
+        rolling_median = s_to_test.rolling(window_length, center=True, min_periods=1).median()
+        deviations = (s_to_test - rolling_median).abs()
+        rolling_mad = deviations.rolling(window_length, center=True, min_periods=1).median() + 1e-6
+        limit = HAMPEL_K * rolling_mad * n_sigma
+        is_outlier = (s_to_test > rolling_median + limit) | (s_to_test < rolling_median - limit)
+        flag = pd.Series(pd.NA, index=s.index, dtype="Int32")
+        flag[mask_nn] = is_outlier.map({True: 2, False: 0}).astype("Int32")
+        out[flag_col] = flag
+        return out
+
+    return kernel
+
+
+def flag_hampel(
+    df: DataFrame, key_cols: list[str], ts_col: str, value_col: str,
+    tier_seconds: int,
+    window_length: int = 48, n_sigma: float = 5.5,
+    use_differencing: bool = False,
+    flag_col: str = "FLAG_HAMPEL_TEST",
+    slab_seconds: int | None = None,
+) -> DataFrame:
+    """Hampel filter: centered rolling median ± n_sigma*k*MAD (hampel.py:199-258).
+
+    Same pandas rolling kernel as the reference, run vectorized per
+    (key, slab+halo). Note: the reference windows over non-null *records*;
+    halo sizing assumes the grid is mostly observed — halo is padded 4x to
+    cover sparse stretches (exactness tested vs a global run).
+    """
+    half = (window_length // 2 + 1) * 4
+    halo_seconds = half * tier_seconds
+    if slab_seconds is None:
+        slab_seconds = max(halo_seconds * 8, 7 * 86400)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {flag_col} int"
+    return apply_with_halo(
+        df, key_cols, ts_col,
+        _hampel_kernel(value_col, flag_col, window_length, n_sigma, use_differencing),
+        output_schema=schema,
+        slab_seconds=slab_seconds, halo_seconds=halo_seconds,
+    )
+
+
+def _localsd_kernel(value_col, flag_col, winsize, n_sd, constant_sd):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        s = pdf[value_col]
+        mask_nn = s.notna()
+        s_nn = s[mask_nn]
+        rmedian = s_nn.rolling(winsize, center=True, min_periods=1).median()
+        sd = s_nn.std() if constant_sd else s_nn.rolling(winsize, center=True, min_periods=1).std()
+        upper, lower = rmedian + n_sd * sd, rmedian - n_sd * sd
+        is_outlier = (s_nn > upper) | (s_nn < lower)
+        flag = pd.Series(pd.NA, index=s.index, dtype="Int32")
+        flag[mask_nn] = is_outlier.map({True: 2, False: 0}).astype("Int32")
+        out[flag_col] = flag
+        return out
+
+    return kernel
+
+
+def flag_local_sd(
+    df: DataFrame, key_cols: list[str], ts_col: str, value_col: str,
+    tier_seconds: int, winsize: int = 480, n_sd: float = 7.0,
+    constant_sd: bool = False,
+    flag_col: str = "FLAG_LOCALSD_TEST",
+    slab_seconds: int | None = None,
+) -> DataFrame:
+    """Rolling median ± n_sd * (rolling or whole-series) SD (localsd.py:244-248).
+    constant_sd=True computes SD per (key, slab) rather than truly global —
+    document-level approximation noted; use flag_zscore for global bands."""
+    half = (winsize // 2 + 1) * 4
+    halo_seconds = half * tier_seconds
+    if slab_seconds is None:
+        slab_seconds = max(halo_seconds * 8, 7 * 86400)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {flag_col} int"
+    return apply_with_halo(
+        df, key_cols, ts_col,
+        _localsd_kernel(value_col, flag_col, winsize, n_sd, constant_sd),
+        output_schema=schema, slab_seconds=slab_seconds, halo_seconds=halo_seconds,
+    )
+
+
+def repeat_flag(
+    df: DataFrame,
+    flag_fn: Callable[[DataFrame, str], DataFrame],
+    value_col: str,
+    flag_col: str,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Iterate-until-converged driver (flagbase.py:155-197).
+
+    ``flag_fn(df, value_col)`` must add ``flag_col``. Iteration i tests the
+    series with all previously rejected records nulled; overall flag = 2
+    where any iteration flagged 2. Converges when an iteration flags 0 new
+    outliers (reference typically <= ~5 iterations); each iteration is one
+    Spark job + a cheap count() action.
+    """
+    work_col = "_work_val"
+    cur = df.withColumn(work_col, F.col(value_col))
+    overall = None
+    for _ in range(max_iter):
+        flagged = flag_fn(cur, work_col).cache()
+        n_out = flagged.filter(F.col(flag_col) == 2).count()
+        overall = flagged if overall is None else flagged
+        if n_out == 0:
+            break
+        cur = (
+            flagged.withColumn(
+                "_prev_overall",
+                F.greatest(
+                    F.coalesce(F.col(flag_col), F.lit(0)),
+                    F.coalesce(F.col("_prev_overall") if "_prev_overall" in flagged.columns else F.lit(0), F.lit(0)),
+                ),
+            )
+            .withColumn(work_col, F.when(F.col("_prev_overall") == 2, F.lit(None)).otherwise(F.col(work_col)))
+            .drop(flag_col)
+        )
+    final = overall
+    if "_prev_overall" in final.columns:
+        final = final.withColumn(
+            flag_col,
+            F.when(F.col(value_col).isNull(), F.lit(None))
+            .otherwise(F.greatest(F.coalesce(F.col(flag_col), F.lit(0)), F.col("_prev_overall")))
+            .cast("int"),
+        ).drop("_prev_overall")
+    return final.drop(work_col)
+
+
+# ---------------------------------------------------------------------------
+# QCF — overall quality-control flag (qcf.py:637-697)
+# ---------------------------------------------------------------------------
+
+def flag_sums(df: DataFrame, flag_cols: list[str] | None = None) -> DataFrame:
+    """SUM_HARDFLAGS (sum of flags == 2), SUM_SOFTFLAGS (sum of flags == 1),
+    SUM_FLAGS — qcf.py:680-697. Horizontal, pure column arithmetic."""
+    if flag_cols is None:
+        flag_cols = [c for c in df.columns if c.startswith("FLAG_") and c.endswith("_TEST")]
+    hard = soft = F.lit(0)
+    for c in flag_cols:
+        hard = hard + F.when(F.col(c) == 2, 2).otherwise(0)
+        soft = soft + F.when(F.col(c) == 1, 1).otherwise(0)
+    return (
+        df.withColumn("SUM_HARDFLAGS", hard)
+        .withColumn("SUM_SOFTFLAGS", soft)
+        .withColumn("SUM_FLAGS", F.col("SUM_HARDFLAGS") + F.col("SUM_SOFTFLAGS"))
+    )
+
+
+def flag_qcf(
+    df: DataFrame,
+    flag_cols: list[str] | None = None,
+    qcf_col: str = "FLAG_QCF",
+) -> DataFrame:
+    """Hierarchical QCF 0/1/2 (qcf.py:637-679, no day/night thresholds):
+    0 if all flags pass; 2 if >3 soft or >=1 hard; 1 if 1-3 soft and no hard."""
+    out = flag_sums(df, flag_cols)
+    qcf = (
+        F.when(F.col("SUM_FLAGS") == 0, 0)
+        .when(F.col("SUM_SOFTFLAGS") > 3, 2)
+        .when(F.col("SUM_HARDFLAGS") >= 2, 2)
+        .when((F.col("SUM_SOFTFLAGS").between(1, 3)) & (F.col("SUM_HARDFLAGS") == 0), 1)
+    )
+    return out.withColumn(qcf_col, qcf.cast("int"))

@@ -1,0 +1,167 @@
+"""Outlier flags vs pandas oracles implementing the reference formulas,
+plus the QCF decision table (qcf.py:637-697)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from diive_spark.operators import outliers
+
+
+def _series_df(spark, vals, freq="30min"):
+    ts = pd.date_range("2022-07-01 00:15", periods=len(vals), freq=freq)
+    pdf = pd.DataFrame({"series": "s1", "ts": ts, "value": vals})
+    return spark.createDataFrame(pdf), pdf
+
+
+@pytest.fixture(scope="module")
+def noisy(spark):
+    rng = np.random.default_rng(42)
+    base = 10 + 3 * np.sin(np.linspace(0, 20, 800)) + rng.normal(0, 0.4, 800)
+    spikes = rng.choice(800, 24, replace=False)
+    base[spikes] += rng.uniform(-15, 14, 24) * np.nanstd(base)
+    base[[50, 51, 52]] = np.nan  # some missing records
+    return _series_df(spark, base)
+
+
+def test_absolute_limits(spark):
+    df, pdf = _series_df(spark, [1.0, 5.0, None, 12.0, -3.0])
+    got = (
+        outliers.flag_absolute_limits(df, "value", 0.0, 10.0)
+        .orderBy("ts").toPandas()["FLAG_ABSLIM_TEST"]
+    )
+    assert list(got.fillna(-1)) == [0, 0, -1, 2, 2]
+
+
+def test_zscore_global_matches_numpy(noisy):
+    df, pdf = noisy
+    got = (
+        outliers.flag_zscore(df, ["series"], "value", thres_zscore=4.0)
+        .orderBy("ts").toPandas()["FLAG_ZSCORE_TEST"]
+    )
+    s = pdf["value"]
+    z = np.abs((s - s.mean()) / s.std(ddof=0))  # np.std => population
+    expect = pd.Series(np.where(z > 4.0, 2, 0)).where(s.notna())
+    assert (got.fillna(-1) == expect.fillna(-1)).all()
+    assert (got == 2).sum() > 0
+
+
+def test_zscore_rolling_matches_pandas(noisy):
+    df, pdf = noisy
+    got = (
+        outliers.flag_zscore_rolling(df, ["series"], "ts", "value", 4.0, winsize=50)
+        .orderBy("ts").toPandas()["FLAG_ZSCOREROLLING_TEST"]
+    )
+    s = pdf["value"].dropna()
+    rmean = s.rolling(50, center=True, min_periods=3).mean()
+    rsd = s.rolling(50, center=True, min_periods=3).std()
+    z = np.abs((s - rmean) / rsd)
+    expect = pd.Series(np.where(z > 4.0, 2, 0), index=s.index).reindex(pdf.index)
+    assert (got.fillna(-1) == expect.fillna(-1)).all()
+    assert (got == 2).sum() > 0
+
+
+def test_zscore_increments_matches_pandas(noisy):
+    df, pdf = noisy
+    got = (
+        outliers.flag_zscore_increments(df, ["series"], "ts", "value", 4.0)
+        .orderBy("ts").toPandas()["FLAG_INCREMENTS_TEST"]
+    )
+    s = pdf["value"].dropna()
+    dd = np.abs(s.diff() - s.diff().shift(-1))
+    dp, dn = np.abs(s.diff()), np.abs(s.shift(-1) - s)
+    total = pd.Series(0, index=s.index)
+    for d in (dd, dp, dn):
+        z = np.abs((d - d.mean()) / d.std(ddof=0))
+        total = total + np.where(z > 4.0, 2, 0)
+    expect = pd.Series(np.where(total == 6, 2, 0), index=s.index).reindex(pdf.index)
+    assert (got.fillna(-1) == expect.fillna(-1)).all()
+    assert (got == 2).sum() > 0
+
+
+def test_hampel_matches_reference_formula(noisy):
+    df, pdf = noisy
+    got = (
+        outliers.flag_hampel(df, ["series"], "ts", "value",
+                             tier_seconds=1800, window_length=48, n_sigma=5.5)
+        .orderBy("ts").toPandas()["FLAG_HAMPEL_TEST"]
+    )
+    s = pdf["value"].dropna()
+    rmed = s.rolling(48, center=True, min_periods=1).median()
+    rmad = (s - rmed).abs().rolling(48, center=True, min_periods=1).median() + 1e-6
+    lim = outliers.HAMPEL_K * rmad * 5.5
+    expect_nn = pd.Series(np.where((s > rmed + lim) | (s < rmed - lim), 2, 0), index=s.index)
+    expect = expect_nn.reindex(pdf.index)
+    assert (got.fillna(-1) == expect.fillna(-1)).all()
+    assert (got == 2).sum() > 0
+
+
+def test_hampel_double_differencing(noisy):
+    df, pdf = noisy
+    got = (
+        outliers.flag_hampel(df, ["series"], "ts", "value",
+                             tier_seconds=1800, window_length=48, n_sigma=5.5,
+                             use_differencing=True)
+        .orderBy("ts").toPandas()["FLAG_HAMPEL_TEST"]
+    )
+    s = pdf["value"].dropna()
+    d = (s.diff() - s.diff().shift(-1)).fillna(0)
+    rmed = d.rolling(48, center=True, min_periods=1).median()
+    rmad = (d - rmed).abs().rolling(48, center=True, min_periods=1).median() + 1e-6
+    lim = outliers.HAMPEL_K * rmad * 5.5
+    expect = pd.Series(np.where((d > rmed + lim) | (d < rmed - lim), 2, 0), index=s.index).reindex(pdf.index)
+    assert (got.fillna(-1) == expect.fillna(-1)).all()
+
+
+def test_trim_low(spark):
+    vals = [5.0, -8.0, 3.0, 9.0, -7.0, 4.0, 8.0, 1.0, None]
+    df, _ = _series_df(spark, vals)
+    got = outliers.flag_trim_low(df, ["series"], "value", trim_limit=-5.0).orderBy("ts").toPandas()
+    f = got["FLAG_TRIMLOW_TEST"]
+    # 2 values below -5 -> those two PLUS the top-2 (9, 8) are rejected
+    rejected_vals = set(got.loc[f == 2, "value"])
+    assert rejected_vals == {-8.0, -7.0, 9.0, 8.0}
+    assert pd.isna(f[got["value"].isna()]).all()
+
+
+def test_repeat_until_converged(spark):
+    # One huge spike masks a smaller one: single-pass z-score misses the
+    # second; the repeat loop removes the first, then catches the second.
+    rng = np.random.default_rng(1)
+    vals = rng.normal(0, 1, 500)
+    vals[100] = 400.0
+    vals[200] = 40.0
+    df, pdf = _series_df(spark, vals)
+
+    single = outliers.flag_zscore(df, ["series"], "value", 4.0)
+    assert single.filter("FLAG_ZSCORE_TEST = 2").count() == 1
+
+    def fn(d, value_col):
+        return outliers.flag_zscore(d, ["series"], value_col, 4.0, flag_col="FLAG_ZSCORE_TEST")
+
+    repeated = outliers.repeat_flag(df, fn, "value", "FLAG_ZSCORE_TEST")
+    out = repeated.orderBy("ts").toPandas()
+    flagged_idx = set(np.where(out["FLAG_ZSCORE_TEST"] == 2)[0])
+    assert {100, 200} <= flagged_idx
+
+
+def test_qcf_decision_table(spark):
+    # Hand-built flag columns -> expected QCF (qcf.py:637-679).
+    rows = [
+        # (f1, f2, f3, f4, f5, expected)
+        (0, 0, 0, 0, 0, 0),   # all pass
+        (1, 0, 0, 0, 0, 1),   # one soft
+        (1, 1, 1, 0, 0, 1),   # three soft
+        (1, 1, 1, 1, 0, 2),   # four soft -> reject
+        (2, 0, 0, 0, 0, 2),   # one hard -> reject
+        (1, 2, 0, 0, 0, 2),   # soft + hard -> reject
+    ]
+    pdf = pd.DataFrame(
+        [r[:5] for r in rows],
+        columns=[f"FLAG_{i}_X_TEST" for i in range(5)],
+    )
+    got = outliers.flag_qcf(spark.createDataFrame(pdf)).toPandas()
+    assert list(got["FLAG_QCF"]) == [r[5] for r in rows]
+    assert list(got["SUM_HARDFLAGS"]) == [0, 0, 0, 0, 2, 2]
+    assert list(got["SUM_SOFTFLAGS"]) == [0, 1, 3, 4, 0, 1]
