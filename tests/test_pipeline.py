@@ -1,0 +1,63 @@
+"""Resumable pipeline: kill-and-replay equals clean run; only unfinished
+partitions recompute (lineage anti-join)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from diive_spark import synth
+from diive_spark.plans import pipeline
+from diive_spark.plans.lineage import LineageStore
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return synth.inject_gaps(
+        synth.with_event_time(synth.token_table(spark, 6_000, with_tokens=False))
+    ).select("n_tok", "source", "event_time").cache()
+
+
+def _tier_pdf(spark, out_dir, tier):
+    pdf = spark.read.parquet(pipeline.tier_path(out_dir, tier)).toPandas()
+    sort_cols = [c for c in ["source", "series_key", "window_start", "block_id"] if c in pdf.columns]
+    return pdf.sort_values(sort_cols).reset_index(drop=True)
+
+
+def test_clean_run_and_resume_equivalence(spark, raw, tmp_path_factory):
+    clean_dir = str(tmp_path_factory.mktemp("clean"))
+    resume_dir = str(tmp_path_factory.mktemp("resume"))
+
+    m_clean = pipeline.run_pipeline(spark, raw, clean_dir, batch_size=7)
+    assert m_clean["n_partitions_pending"] == m_clean["n_partitions_total"] == 29  # day 12 fully gap-injected
+
+    # killed run: only the first batch (7 dates) commits
+    with pytest.raises(pipeline.KilledForTest):
+        pipeline.run_pipeline(spark, raw, resume_dir, batch_size=7, fail_after_batches=1)
+    store = LineageStore(spark, f"{resume_dir}/_lineage")
+    assert len(store.done_partitions("1m")) == 7
+
+    # replay: only the remaining 23 partitions are pending
+    m_resume = pipeline.run_pipeline(spark, raw, resume_dir, batch_size=7)
+    assert m_resume["n_partitions_pending"] == 22
+
+    for tier in ["1m", "1h", "1d", "packed"]:
+        a = _tier_pdf(spark, clean_dir, tier)
+        b = _tier_pdf(spark, resume_dir, tier)
+        assert len(a) == len(b) > 0, tier
+        for c in a.columns:
+            if a[c].dtype == object:
+                assert (a[c] == b[c]).all(), (tier, c)
+            else:
+                np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=f"{tier}.{c}")
+
+    # second run touched only the partitions the kill left behind
+    lineage = store.read().toPandas()
+    runs = lineage.groupby("run_id")["partition_id"].count()
+    assert sorted(runs.to_list()) == [7, 22]
+
+
+def test_rerun_is_noop(spark, raw, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("noop"))
+    pipeline.run_pipeline(spark, raw, out, batch_size=30)
+    m2 = pipeline.run_pipeline(spark, raw, out, batch_size=30)
+    assert m2["n_partitions_pending"] == 0
