@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship query on /root/testdata/sf0.001
+queries()     -> named operator queries (spark, sf_dir) -> DataFrame
+oracle_sql()  -> matching DuckDB ANSI-SQL per query (correctness gate)
+
+Implementation lives in diive_spark.queries; this module is the stable
+driver surface.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from diive_spark import queries as q  # noqa: E402
+from diive_spark.operators import gapfill, grid, resample  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full 3-tier rollup cascade over events + gap-filled hourly
+    continuous aggregate with quality flags (the engine's core pipeline)."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t1m = resample.rollup(ev, "ts", ["value"], "1m", key_cols=["event_type"])
+    t1h = resample.reaggregate(t1m, "1h", ["value"], key_cols=["event_type"])
+    g = grid.gridded(t1h, "1h", ["event_type"])
+    filled = gapfill.gapfill_cascade(
+        g.select("event_type", "window_start", "value_cnt", "value_mean"),
+        ["event_type"], "window_start", "value_mean",
+        tier_seconds=3600, interp_limit=3, window_tiers=[5, 13, 49],
+    )
+    return filled.select(
+        "event_type", "window_start",
+        F.col("value_cnt").alias("cnt"),
+        F.round("value_mean", 6).alias("mean_v"),
+        F.round("filled", 6).alias("filled_v"),
+        "fill_flag", "fill_granular",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(q.ORACLES)

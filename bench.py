@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys (informational): tokens_per_sec (tier-0 ingest throughput on the
+deterministic token table), rollup_points_per_sec, compression_ratio.
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+scripts/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from diive_spark import queries as qcat  # noqa: E402
+from diive_spark import synth  # noqa: E402
+from diive_spark.compression import gorilla  # noqa: E402
+from diive_spark.operators import gapfill, grid, resample  # noqa: E402
+from diive_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+TOKEN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_TOKENS", "1000000"))
+
+HEADLINE = [
+    "rollup_1m", "rollup_1h_gate90", "cascade_1d", "gap_table_1h",
+    "interp_linear_1h", "zscore_outliers", "diel_cycle", "sstats", "time_since",
+]
+
+
+def main() -> None:
+    spark = get_spark("diive_spark_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=str(max(int(CPUS) * 2, 8)))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- tier-0 ingest throughput on the engine's native token table -------
+    raw = synth.with_event_time(
+        synth.token_table(spark, TOKEN_ROWS, with_tokens=False)
+    ).select("n_tok", "source", "event_time").cache()
+    total_tokens = raw.selectExpr("sum(n_tok) s").collect()[0]["s"]  # forces cache
+
+    t0 = time.time()
+    t1m = resample.rollup(raw, "event_time", ["n_tok"], "1m", key_cols=["source"]).cache()
+    n1m = t1m.count()
+    t1h = resample.reaggregate(t1m, "1h", ["n_tok"], key_cols=["source"]).cache()
+    n1h = t1h.count()
+    t1d = resample.reaggregate(t1h, "1d", ["n_tok"], key_cols=["source"])
+    n1d = t1d.count()
+    el = time.time() - t0
+    timings["token_tier_cascade"] = round(el, 3)
+    extras["tokens_per_sec"] = round(total_tokens / el)
+    extras["rollup_points_per_sec"] = round((n1m + n1h + n1d) * len(resample.PARTIAL_COLS) / el)
+
+    # --- gap-fill throughput on the 1m grid --------------------------------
+    t0 = time.time()
+    g = grid.gridded(t1m, "1m", ["source"])
+    filled = gapfill.gapfill_cascade(
+        g.select("source", "window_start", "value_cnt" if "value_cnt" in g.columns else "n_tok_cnt", "n_tok_mean"),
+        ["source"], "window_start", "n_tok_mean",
+        tier_seconds=60, interp_limit=3, window_tiers=[5, 13, 49],
+    )
+    n_filled = filled.filter("fill_flag >= 1").count()
+    timings["gapfill_1m_grid"] = round(time.time() - t0, 3)
+    extras["filled_windows"] = n_filled
+
+    # --- Gorilla pack of the 1m tier ----------------------------------------
+    t0 = time.time()
+    packed = gorilla.pack_blocks(t1m, ["source"], "window_end", "n_tok_mean").cache()
+    stats = packed.selectExpr(
+        "sum(raw_bytes) raw", "sum(packed_bytes) packed", "sum(n_points) pts"
+    ).collect()[0]
+    el = time.time() - t0
+    timings["gorilla_pack_1m"] = round(el, 3)
+    extras["compression_ratio"] = round(stats["raw"] / stats["packed"], 3)
+    extras["packed_points_per_sec"] = round(stats["pts"] / el)
+    packed.unpersist()
+    t1m.unpersist()
+    t1h.unpersist()
+    raw.unpersist()
+
+    # --- headline operator queries on the driver tables --------------------
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qcat.QUERIES[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = SF_DIR
+    print(json.dumps({
+        "metric": "rollup-engine headline suite (3-tier cascade + gapfill + gorilla + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,7 +60,14 @@ def linear_interpolation(
     """
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
     w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
-    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    # NOTE: an UNBOUNDED FOLLOWING frame is O(n^2) in Spark's window exec
+    # (re-scans to partition end per row); the equivalent reverse-ordered
+    # running frame streams in O(n).
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.desc(ts_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
 
     v = F.col(value_col)
     ts_num = F.unix_timestamp(F.col(ts_col)).cast("double")
@@ -69,8 +76,8 @@ def linear_interpolation(
     out = (
         df.withColumn("_prev_v", F.last(v, ignorenulls=True).over(w_prev))
         .withColumn("_prev_t", F.last(vts, ignorenulls=True).over(w_prev))
-        .withColumn("_next_v", F.first(v, ignorenulls=True).over(w_next))
-        .withColumn("_next_t", F.first(vts, ignorenulls=True).over(w_next))
+        .withColumn("_next_v", F.last(v, ignorenulls=True).over(w_next))
+        .withColumn("_next_t", F.last(vts, ignorenulls=True).over(w_next))
         # run id: nulls in one gap share the count of preceding non-nulls
         .withColumn("_run", F.count(v).over(w_prev))
     )

@@ -47,24 +47,31 @@ def apply_with_halo(
     slab_id = F.floor(epoch / F.lit(slab_seconds))
     pos_in_slab = epoch % F.lit(slab_seconds)
 
-    core = df.withColumn("_slab", slab_id).withColumn("_halo", F.lit(0).cast("tinyint"))
-    # rows near the END of a slab are also needed by the NEXT slab's head
-    tail = (
-        df.withColumn("_pos", pos_in_slab)
-        .filter(F.col("_pos") >= F.lit(slab_seconds - halo_seconds))
-        .withColumn("_slab", slab_id + 1)
-        .withColumn("_halo", F.lit(1).cast("tinyint"))
-        .drop("_pos")
+    # Single-scan halo duplication: each row explodes into its own slab plus
+    # (when near a boundary) a halo copy in the neighbouring slab. One pass
+    # over the input — no unions, so an expensive upstream plan is never
+    # recomputed, and the scan volume is 1x + halo fraction.
+    targets = F.array_compact(
+        F.array(
+            F.struct(slab_id.alias("s"), F.lit(0).cast("tinyint").alias("h")),
+            # rows near the END of a slab are needed by the NEXT slab's head
+            F.when(
+                pos_in_slab >= F.lit(slab_seconds - halo_seconds),
+                F.struct((slab_id + 1).alias("s"), F.lit(1).cast("tinyint").alias("h")),
+            ),
+            # rows near the START of a slab are needed by the PREVIOUS slab
+            F.when(
+                pos_in_slab < F.lit(halo_seconds),
+                F.struct((slab_id - 1).alias("s"), F.lit(1).cast("tinyint").alias("h")),
+            ),
+        )
     )
-    # rows near the START of a slab are needed by the PREVIOUS slab's tail
-    head = (
-        df.withColumn("_pos", pos_in_slab)
-        .filter(F.col("_pos") < F.lit(halo_seconds))
-        .withColumn("_slab", slab_id - 1)
-        .withColumn("_halo", F.lit(1).cast("tinyint"))
-        .drop("_pos")
+    expanded = (
+        df.withColumn("_t", F.explode(targets))
+        .withColumn("_slab", F.col("_t.s"))
+        .withColumn("_halo", F.col("_t.h"))
+        .drop("_t")
     )
-    expanded = core.unionByName(tail).unionByName(head)
 
     out_cols = [c.strip().split()[0] for c in output_schema.split(",")]
 
