@@ -82,7 +82,9 @@ def rollup(
             F.sum(c).alias(f"{v}_sum"),
             F.min(c).alias(f"{v}_min"),
             F.max(c).alias(f"{v}_max"),
-            F.sum(c * c).alias(f"{v}_sumsq"),
+            # sumsq feeds variance; compute in double (int*int overflows
+            # under ANSI mode for large values, and precision is moot here)
+            F.sum(c.cast("double") * c.cast("double")).alias(f"{v}_sumsq"),
         ]
     grouped = df.groupBy(w.alias("w"), *key_cols).agg(*aggs)
     out = grouped.select(
