@@ -1,0 +1,238 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Engine-new operators (SURVEY.md scope note). Scale stance:
+- exact dedup: one hash-groupBy — the only full shuffle, on a 16-byte key.
+- near-dup families avoid the O(n^2) cross join: candidates come from
+  *bucket joins* (shared shingle / LSH band / simhash band / hyperplane
+  bucket), then only candidates are verified. At 10^12 docs the bucket join
+  is the standard MinHash-LSH plan (bands x rows tuned to the threshold).
+- all hashes derive from md5 prefixes so the DuckDB oracle can recompute
+  identical values (no engine-specific hash functions in checked outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 31) - 1
+
+
+def h32(col: Column) -> Column:
+    """32-bit hash from md5 prefix — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: every row gets its group's canonical
+    (minimum) id and group size; duplicates are rows where id != canonical."""
+    key = F.md5(F.col(text_col)).alias("_k")
+    w = Window.partitionBy("_k")
+    return (
+        df.select(F.col(id_col), key)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("is_dup", (F.col(id_col) != F.col("canonical_id")).cast("int"))
+        .drop("_k")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: split + sequence/transform
+    (JVM array exprs), exploded long-form (id, shingle)."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    n: int = 3, threshold: float = 0.02,
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over word n-gram shingle sets.
+    Candidates = pairs sharing >= 1 shingle (bucket join on the shingle)."""
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col(f"a.shingle") == F.col(f"b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("n_sh", "n1")
+    s2 = sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("n_sh", "n2")
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(s1), "id1").join(F.broadcast(s2), "id2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    n: int = 3, k: int = 16, seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: k universal-hash permutations
+    h_i(x) = (a_i*x + b_i) mod p over 32-bit shingle hashes; signature =
+    per-permutation minimum. One explode + one groupBy — linear in total
+    shingle count, never materializes pairs."""
+    import random
+
+    rng = random.Random(seed)
+    perms = [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(k)]
+    sh = word_shingles(df, id_col, text_col, n)
+    x = h32(F.col("shingle"))
+    mins = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    n: int = 3, k: int = 16, bands: int = 4,
+    threshold: float = 0.02, seed: int = 42,
+) -> DataFrame:
+    """MinHash LSH: band the signature (bands x k/bands rows), bucket-join on
+    (band, band-hash) for candidates, verify with exact Jaccard.
+
+    Returns (id1, id2, jaccard) for verified pairs >= threshold. Detection
+    is probabilistic (bounded by the banding s-curve); the verify step means
+    no false positives."""
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k, seed)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    long = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.bh")
+    a, b2 = long.alias("a"), long.alias("b")
+    cands = (
+        a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.withColumnRenamed(id_col, "id1").withColumnRenamed("shingle", "s1")
+    sb = sh.withColumnRenamed(id_col, "id2").withColumnRenamed("shingle", "s2")
+    inter = (
+        cands.join(sa, "id1").join(sb, "id2")
+        .filter(F.col("s1") == F.col("s2"))
+        .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("n_sh", "n1")
+    s2 = sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("n_sh", "n2")
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(s1), "id1").join(F.broadcast(s2), "id2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    n: int = 3, bits: int = 32,
+) -> DataFrame:
+    """SimHash signature: for each bit position, sum +-1 over the document's
+    shingle hashes; bit = 1 where the sum is positive. Built from md5-based
+    h32 so the SQL oracle matches. One explode x bits (small constant)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    x = h32(F.col("shingle"))
+    sh = sh.select(id_col, x.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = sh.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        contrib = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = contrib if sig is None else sig + contrib
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    n: int = 3, bits: int = 32, max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, candidate generation via
+    the byte-band trick (pairs within hamming<=k share at least one of
+    ceil(bits/8) >= k/8+1 bands when banded into > max_hamming slices —
+    here 8 x 4-bit bands covers max_hamming <= 7 for 32 bits)."""
+    n_bands = 8
+    width = bits // n_bands
+    sig = simhash(df, id_col, text_col, n, bits).cache()
+    long = sig.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("bv"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.bv")
+    a, b2 = long.alias("a"), long.alias("b")
+    cands = (
+        a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"),
+            F.col("a.simhash").alias("h1"), F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cands.withColumn("hamming", ham).filter(ham <= max_hamming).select(
+        "id1", "id2", "hamming"
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Exact pairwise (self-join) — suitable
+    below ~1e5 vectors; at scale use similarity.cosine_lsh_pairs (hyperplane
+    buckets) which this verifies against in tests."""
+    from diive_spark.operators.similarity import cosine_expr
+
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    sim = cosine_expr(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("sim", F.round(sim, 6))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"), "sim")
+    )

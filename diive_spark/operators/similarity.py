@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and two scale paths — IVF (coarse quantizer + probed cells) and
+random-hyperplane LSH buckets.
+
+Engine-new operators. Dot products are JVM array expressions
+(zip_with + aggregate) over double arrays — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours per query: broadcast the (small) query set,
+    score the full corpus, row_number <= k with (sim desc, id asc) tie-break.
+    At 100 TB the corpus scan is embarrassingly parallel; the only shuffle is
+    the per-query top-k (tiny)."""
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("nbr_id"))
+    scored = scored.withColumn("sim", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "nbr_id", "sim", "rnk")
+    )
+
+
+def _centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> DataFrame:
+    """Deterministic coarse quantizer: pick n centroid vectors by hash order
+    (a seeded sample; a k-means refinement would drop in here unchanged)."""
+    w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cent"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_centroids)
+        .select((F.col("_r") - 1).alias("centroid_id"), "cent")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    n_centroids: int = 16, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus vectors to their nearest
+    centroid (broadcast join), probe each query's nprobe nearest cells,
+    exact-score only those cells. Recall < 1 by design; scan volume is
+    ~nprobe/n_centroids of brute force."""
+    cents = _centroids(corpus, id_col, vec_col, n_centroids)
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    assign_w = Window.partitionBy("nbr_id").orderBy(F.desc("csim"))
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine_expr(F.col("cv"), F.col("cent")))
+        .withColumn("_r", F.row_number().over(assign_w))
+        .filter(F.col("_r") == 1)
+        .select("nbr_id", "cv", "centroid_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("csim"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine_expr(F.col("qv"), F.col("cent")))
+        .withColumn("_r", F.row_number().over(probe_w))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = assigned.join(probes, "centroid_id").filter(
+        F.col("query_id") != F.col("nbr_id")
+    )
+    scored = scored.withColumn("sim", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "nbr_id", "sim", "rnk")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 8, seed: int = 42, dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: bit i = sign of the dot
+    product with seeded random plane i. Cosine-similar vectors collide with
+    probability 1 - theta/pi per bit."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    v = F.col(vec_col).cast("array<double>")
+    bucket = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot_expr(v, plane) > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket)
+
+
+def cosine_lsh_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.35, n_planes: int = 4, n_tables: int = 8, dim: int = 64,
+) -> DataFrame:
+    """Approximate near-dup pairs: candidates share an LSH bucket in any of
+    n_tables hyperplane tables; verified with exact cosine. No O(n^2) join.
+
+    Tuning: per-bit collision prob for angle theta is 1 - theta/pi, so bucket
+    recall per table is (1 - theta/pi)^n_planes. The defaults (4 planes x 8
+    tables) give ~0.7 recall at cos 0.35 and ~1.0 at true near-dup levels
+    (cos >= 0.9); raise n_planes for tighter thresholds to shrink buckets."""
+    cand = None
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    for t in range(n_tables):
+        b = hyperplane_buckets(base, id_col, "v", n_planes, seed=42 + 97 * t, dim=dim)
+        a2, b2 = b.alias("a"), b.alias("b")
+        pairs = (
+            a2.join(b2, F.col("a.bucket") == F.col("b.bucket"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    v1 = base.withColumnRenamed(id_col, "id1").withColumnRenamed("v", "v1")
+    v2 = base.withColumnRenamed(id_col, "id2").withColumnRenamed("v", "v2")
+    sim = F.round(cosine_expr(F.col("v1"), F.col("v2")), 6)
+    return (
+        cand.join(v1, "id1").join(v2, "id2")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2", "sim")
+    )

@@ -1,0 +1,105 @@
+"""Text analysis for training-data pipelines: quality scoring, language ID,
+token counting, document fingerprinting.
+
+These are engine-new operators (no diive counterpart — diive's only string
+op is column-name sanitization, SURVEY.md §2.8) required for the 100 TB
+training-data use case. All pure column expressions (JVM codegen); the
+heuristics are deliberately expressible in ANSI SQL so the DuckDB oracle
+can recompute them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny marker-word lists; counting occurrences of " <w> " in the padded text
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "que", "los"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "les", "des", "est"],
+    "zh": ["de", "shi", "zai", "le"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _count_occurrences(padded: Column, word: str) -> Column:
+    """Occurrences of ' word ' via length-difference (no regex, so the SQL
+    oracle is dialect-proof)."""
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def n_words_expr(text: Column) -> Column:
+    """Whitespace token count = spaces + 1 (single-space normalized texts)."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+    ).cast("bigint")
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality stats: char/word counts, avg word length,
+    stopword ratio, and a composite quality score in [0, 1]."""
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    n_chars = F.length(t).cast("bigint")
+    n_words = n_words_expr(t)
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _count_occurrences(padded, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    # quality: length in a healthy band + stopword presence (web-pipeline
+    # style heuristic, cf. C4/Gopher rules — public recipes); computed from
+    # UNROUNDED ratios, rounded only for display
+    len_score = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stop_hits / n_words * 5.0, F.lit(1.0))
+    return (
+        df.withColumn("n_chars_c", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("avg_word_len", F.round((n_chars - (n_words - 1)) / n_words, 6))
+        .withColumn("stopword_ratio", F.round(stop_hits / n_words, 6))
+        .withColumn("quality_score", F.round((len_score + stop_score) / 2.0, 6))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/marker-word language heuristic: argmax of per-language marker
+    counts, deterministic tie-break by language code."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {}
+    for lang, words in LANG_MARKERS.items():
+        s = None
+        for w in words:
+            c = _count_occurrences(padded, w)
+            s = c if s is None else s + c
+        scores[lang] = s
+    # argmax with lexicographic tie-break: pack (score, reversed-lang) struct
+    structs = [
+        F.struct(scores[lang].alias("s"), F.lit(lang).alias("l"))
+        for lang in sorted(LANG_MARKERS, reverse=True)
+    ]
+    best = F.greatest(*structs)
+    return df.withColumn("pred_lang", best["l"]).withColumn("lang_score", best["s"])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit content fingerprint: md5 of the lowercase text, first 15 hex
+    chars as bigint (both engines parse hex identically; 15 chars stays
+    under 2^63)."""
+    fp = F.conv(F.substring(F.md5(F.lower(F.col(text_col))), 1, 15), 16, 10).cast("bigint")
+    return df.withColumn("fp", fp)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate: ceil(chars/3.4)
+    bounded below by word count (the usual chars-per-token heuristic for
+    byte-level BPE; deterministic, no tokenizer dependency)."""
+    t = F.col(text_col)
+    n_words = n_words_expr(t)
+    bpe_est = F.greatest(F.ceil(F.length(t) / F.lit(3.4)).cast("bigint"), n_words)
+    return df.withColumn("n_ws_tokens", n_words).withColumn("n_bpe_est", bpe_est)

@@ -534,3 +534,255 @@ ORACLES = {
     "daily_correlation": SQL_DAILY_CORRELATION,
     "time_since": SQL_TIME_SINCE,
 }
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from diive_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id").select(
+        "doc_id", "canonical_id", "group_size", "is_dup"
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size,
+       CAST(doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS INTEGER) AS is_dup
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from diive_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.02)
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) g
+  WHERE i + 2 <= len(words)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+WHERE inter * 1.0 / (s1.n_sh + s2.n_sh - inter) >= 0.02
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    from diive_spark.operators import textstats
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.add_text_stats(docs).select(
+        "doc_id", "n_words", "avg_word_len", "stopword_ratio", "quality_score"
+    )
+
+
+_STOP_SQL = " + ".join(
+    f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+    for w in ["the", "a", "of", "and", "to", "in", "is", "it"]
+)
+SQL_TEXT_QUALITY = f"""
+WITH b AS (
+  SELECT doc_id, ' ' || text || ' ' AS p,
+         CAST(length(text) AS BIGINT) AS n_chars_c,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words
+  FROM documents
+),
+s AS (SELECT doc_id, n_chars_c, n_words, {_STOP_SQL} AS stop_hits FROM b)
+SELECT doc_id, n_words,
+       round((n_chars_c - (n_words - 1)) * 1.0 / n_words, 6) AS avg_word_len,
+       round(stop_hits * 1.0 / n_words, 6) AS stopword_ratio,
+       round((least(n_words / 50.0, 1.0) + least(stop_hits * 1.0 / n_words * 5.0, 1.0)) / 2.0, 6)
+         AS quality_score
+FROM s
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from diive_spark.operators import textstats
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.language_id(docs).select("doc_id", "pred_lang", "lang_score")
+
+
+def _lang_score_sql(lang):
+    from diive_spark.operators.textstats import LANG_MARKERS
+    return " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in LANG_MARKERS[lang]
+    )
+
+
+SQL_LANG_ID = f"""
+WITH b AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+s AS (
+  SELECT doc_id,
+         {_lang_score_sql('en')} AS s_en, {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('de')} AS s_de, {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('zh')} AS s_zh
+  FROM b
+),
+long AS (
+  SELECT doc_id, lang, score FROM s
+  UNPIVOT (score FOR lang IN (s_en AS 'en', s_es AS 'es', s_de AS 'de',
+                              s_fr AS 'fr', s_zh AS 'zh'))
+)
+SELECT doc_id, lang AS pred_lang, score AS lang_score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang DESC) AS rk FROM long)
+WHERE rk = 1
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from diive_spark.operators import textstats
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.fingerprint(docs).select("doc_id", "fp")
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT AS fp
+FROM documents
+"""
+
+
+def q_token_count(spark, sf_dir):
+    from diive_spark.operators import textstats
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.token_count(docs).select("doc_id", "n_ws_tokens", "n_bpe_est")
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
+       greatest(CAST(ceil(length(text) / 3.4) AS BIGINT),
+                CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS n_bpe_est
+FROM documents
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from diive_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id")
+
+
+SQL_SIMHASH = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) g
+  WHERE i + 2 <= len(words)
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM sh),
+bits AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 31)) AS i) b
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+FROM bits GROUP BY 1
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from diive_spark.operators import similarity
+    embs = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_bruteforce(
+        embs, embs.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         round(list_dot_product(q.e, c.e) /
+               (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+  FROM v q JOIN v c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, nbr_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from diive_spark.operators import dedup
+    embs = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(embs, threshold=0.35)
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35 - 5e-7
+  AND round(list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash LSH near-dup pairs — probabilistic candidate generation, so no
+    SQL oracle (driver records a rows-only check); exactness of the verify
+    step is covered by tests/test_dedup_similarity.py."""
+    from diive_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.02)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k — approximate by design, no SQL oracle; recall
+    vs brute force covered by tests/test_dedup_similarity.py."""
+    from diive_spark.operators import similarity
+    embs = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(
+        embs, embs.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=4
+    )
+
+
+QUERIES.update({
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "token_count": q_token_count,
+    "simhash": q_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "minhash_lsh": q_minhash_lsh,
+    "ann_ivf": q_ann_ivf,
+})
+
+ORACLES.update({
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "token_count": SQL_TOKEN_COUNT,
+    "simhash": SQL_SIMHASH,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+})

