@@ -1,0 +1,139 @@
+"""CSV ingest: filetype-config registry + multi-file merge.
+
+Reference: 16 YAML file dialects (/root/reference/diive/configs/filetypes/*.yml,
+validated in diive/core/io/filereader.py:92-137) drive ``DataFileReader``
+(filereader.py:394-620): multi-row headers, a units row, NA value lists,
+gzip/zip compression, generated names for headerless columns.
+``MultiDataFileReader`` (filereader.py:233) reads + merges many files with
+keep-last duplicate resolution.
+
+Spark mapping: each dialect is a ``spark.read.csv`` options dict plus
+header-geometry metadata (how many header rows, which is names/units). Data
+rows are read distributed with skipRows; header rows are parsed from the
+file head only (driver-side, tiny).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diive_spark.sources.sanitizer import dedup_keep_last
+
+
+@dataclass
+class FileType:
+    """One CSV dialect (mirrors the reference YAML FILE/DATA/TIMESTAMP keys)."""
+    name: str
+    separator: str = ","
+    skip_rows: int = 0            # rows before the header block
+    header_rows: int = 1          # stacked header rows (names [+ units])
+    units_row: int | None = None  # index within header block holding units
+    na_values: tuple = ("NA", "NaN", "nan", "-9999", "-9999.0")
+    compression: str | None = None
+    timestamp_col: str = "TIMESTAMP_END"
+    timestamp_format: str | None = None
+    nominal_freq_seconds: int | None = None
+
+
+# Registry mirroring the reference dialect catalogue (SURVEY.md §2.1); the
+# geometry/NA/compression fields are what each YAML declares.
+FILETYPES = {
+    ft.name: ft
+    for ft in [
+        FileType("DIIVE-CSV-30MIN", header_rows=2, units_row=1, nominal_freq_seconds=1800),
+        FileType("EDDYPRO-FLUXNET-CSV-30MIN", nominal_freq_seconds=1800),
+        FileType("EDDYPRO-FLUXNET-CSV-60MIN", nominal_freq_seconds=3600),
+        FileType("EDDYPRO-FULL-OUTPUT-CSV-30MIN", skip_rows=1, header_rows=2,
+                 units_row=1, nominal_freq_seconds=1800),
+        FileType("FLUXNET-FULLSET-HH-CSV-30MIN", nominal_freq_seconds=1800),
+        FileType("FLUXNET-FULLSET-HR-CSV-60MIN", nominal_freq_seconds=3600),
+        FileType("ICOS-H2R-CSVZIP-10S", compression="zip", nominal_freq_seconds=10),
+        FileType("TOA5-DAT-1MIN", skip_rows=1, header_rows=3, units_row=1,
+                 nominal_freq_seconds=60, timestamp_col="TIMESTAMP_END"),
+        FileType("GENERIC-CSV-HEADER-1ROW-TS-END-1MIN", nominal_freq_seconds=60),
+        FileType("GENERIC-CSV-HEADER-1ROW-TS-MIDDLE-30MIN",
+                 timestamp_col="TIMESTAMP_MIDDLE", nominal_freq_seconds=1800),
+    ]
+}
+
+
+def _parse_header(spark: SparkSession, path: str, ft: FileType) -> tuple[list[str], dict]:
+    """Read the header block (names + optional units row) from the file head.
+    Driver-side but bounded: only skip_rows + header_rows lines."""
+    head = spark.read.text(path).limit(ft.skip_rows + ft.header_rows).collect()
+    lines = [r["value"] for r in head][ft.skip_rows:]
+    names = [c.strip().strip('"') for c in lines[0].split(ft.separator)]
+    units = {}
+    if ft.units_row is not None and ft.units_row < len(lines):
+        unit_vals = [c.strip().strip('"') for c in lines[ft.units_row].split(ft.separator)]
+        units = dict(zip(names, unit_vals))
+    # generated names for headerless columns (filereader.py contract)
+    names = [n if n else f"col_{i}" for i, n in enumerate(names)]
+    return names, units
+
+
+def read_filetype(
+    spark: SparkSession, path: str, filetype: str,
+) -> tuple[DataFrame, dict]:
+    """ReadFileType equivalent (filereader.py:336): returns (data_df,
+    metadata) where metadata carries per-column units (the reference's
+    second DataFrame, filereader.py:366-368)."""
+    ft = FILETYPES[filetype]
+    names, units = _parse_header(spark, path, ft)
+    # Spark CSV has no skip-N-lines option; read everything untyped, then
+    # drop header/units/malformed rows via try_to_timestamp (this doubles as
+    # the sanitizer's drop-NaT step, times.py:263-345 step 3).
+    df = spark.read.option("sep", ft.separator).option("header", False).csv(path)
+    # reconcile header/data column counts (frames.py:166 contract)
+    data_cols = df.columns
+    if len(names) < len(data_cols):
+        names += [f"col_{i}" for i in range(len(names), len(data_cols))]
+    df = df.toDF(*names[: len(data_cols)])
+    if ft.timestamp_col in df.columns:
+        fmt = ft.timestamp_format
+        ts = (
+            F.try_to_timestamp(F.col(ft.timestamp_col), F.lit(fmt))
+            if fmt else F.try_to_timestamp(F.col(ft.timestamp_col))
+        )
+        df = df.withColumn(ft.timestamp_col, ts).filter(ts.isNotNull())
+    # NA sentinels -> null, then coerce value columns numeric — the reference
+    # 'all-float64' data model (convert_data_to_numeric, frames.py:361)
+    for c in df.columns:
+        if c == ft.timestamp_col:
+            continue
+        cleaned = F.when(F.col(c).isin(*ft.na_values), None).otherwise(F.col(c))
+        df = df.withColumn(c, cleaned.try_cast("double"))
+    return df, {"units": units, "filetype": ft.name}
+
+
+def read_many(
+    spark: SparkSession, paths: list[str], filetype: str, ts_col: str | None = None,
+) -> DataFrame:
+    """MultiDataFileReader equivalent (filereader.py:233): union + keep-last
+    duplicate-timestamp resolution (later files win, times.py:1409)."""
+    ft = FILETYPES[filetype]
+    ts_col = ts_col or ft.timestamp_col
+    merged = None
+    for i, p in enumerate(paths):
+        df, _ = read_filetype(spark, p, filetype)
+        df = df.withColumn("_src_order", F.lit(i))
+        merged = df if merged is None else merged.unionByName(df, allowMissingColumns=True)
+    return dedup_keep_last(merged, ts_col, "_src_order").drop("_src_order")
+
+
+def split_write(
+    df: DataFrame, out_path: str, ts_col: str,
+    n_ranges: int = 32, max_records_per_file: int = 500_000,
+) -> None:
+    """FileSplitter equivalent (diive/core/io/filesplitter.py:19): split a
+    high-frequency stream into regular time-ranged files —
+    repartitionByRange + maxRecordsPerFile (the Spark-native splitter)."""
+    (
+        df.repartitionByRange(n_ranges, ts_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(out_path)
+    )
