@@ -1,0 +1,134 @@
+"""Frame utilities: projections, shape-preserving filters, trims, low-res
+aggregate broadcast-back, neighboring-years pool.
+
+Reference (/root/reference/diive/core/dfun/frames.py and times.py):
+- keep_vars (frames.py:27): exact + wildcard column projection.
+- keep_records_where (frames.py:61): range predicate on one column;
+  non-matching rows get ALL value columns nulled by default
+  (shape-preserving), or dropped; invertible; inclusive= both/left/right/
+  neither; null predicate values never kept.
+- keep_daterange (times.py:1884): inclusive time-range filter.
+- keep_years / remove_after_date (times.py:1863/1837).
+- trim_frame (frames.py:207): drop leading/trailing all-null region w.r.t.
+  one column.
+- aggregated_as_hires (frames.py:255-314): compute a low-res aggregate and
+  broadcast it back onto the high-res rows via equi-join on the truncated
+  date key.
+- neighboring_years pool (times/neighbors.py:8).
+- add_continuous_record_number (frames.py:543).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_vars(df: DataFrame, patterns: list[str], always_keep: list[str] | None = None) -> DataFrame:
+    """Projection by exact names + fnmatch wildcards (frames.py:27)."""
+    keep = list(always_keep or [])
+    for c in df.columns:
+        if c in keep:
+            continue
+        if any(fnmatch.fnmatch(c, p) for p in patterns):
+            keep.append(c)
+    return df.select(*keep)
+
+
+def keep_records_where(
+    df: DataFrame,
+    col: str,
+    lower: float,
+    upper: float,
+    inclusive: str = "both",
+    invert: bool = False,
+    drop: bool = False,
+    protect_cols: list[str] | None = None,
+) -> DataFrame:
+    """Shape-preserving range filter (frames.py:61): rows failing the
+    predicate keep their timestamp/key columns but have all other columns
+    nulled; ``drop=True`` removes them instead. Null predicate values never
+    match (tests/test_frames.py:17-75 contract)."""
+    c = F.col(col)
+    conds = {
+        "both": (c >= lower) & (c <= upper),
+        "left": (c >= lower) & (c < upper),
+        "right": (c > lower) & (c <= upper),
+        "neither": (c > lower) & (c < upper),
+    }
+    pred = conds[inclusive]
+    if invert:
+        pred = ~pred
+    pred = c.isNotNull() & pred
+    if drop:
+        return df.filter(pred)
+    protect = set(protect_cols or [])
+    cols = [
+        F.col(x) if x in protect else F.when(pred, F.col(x)).otherwise(F.lit(None)).alias(x)
+        for x in df.columns
+    ]
+    return df.select(*cols)
+
+
+def keep_daterange(df: DataFrame, ts_col: str, start: str, end: str) -> DataFrame:
+    """Inclusive-both time-range filter (times.py:1884)."""
+    return df.filter(F.col(ts_col).between(F.lit(start).cast("timestamp"),
+                                           F.lit(end).cast("timestamp")))
+
+
+def keep_years(df: DataFrame, ts_col: str, years: list[int]) -> DataFrame:
+    return df.filter(F.year(ts_col).isin(years))
+
+
+def remove_after_date(df: DataFrame, ts_col: str, month: int, day: int) -> DataFrame:
+    """Drop records after MM-DD within each year (times.py:1837)."""
+    cutoff = F.make_date(F.year(ts_col), F.lit(month), F.lit(day))
+    return df.filter(F.to_date(ts_col) <= cutoff)
+
+
+def trim_frame(df: DataFrame, ts_col: str, var_col: str) -> DataFrame:
+    """Drop the leading/trailing all-null region w.r.t. one variable
+    (frames.py:207): keep rows between the first and last non-null."""
+    span = df.filter(F.col(var_col).isNotNull()).agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    )
+    return df.join(F.broadcast(span)).filter(
+        F.col(ts_col).between(F.col("lo"), F.col("hi"))
+    ).drop("lo", "hi")
+
+
+def aggregated_as_hires(
+    df: DataFrame, ts_col: str, value_col: str,
+    to_freq: str = "day", agg: str = "mean",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Compute a low-res aggregate (day/month/year) and broadcast it back
+    onto every high-res row (frames.py:255-314 merge-on-date-key)."""
+    out_col = out_col or f"{value_col}_{agg}_{to_freq}"
+    aggfn = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+             "median": lambda c: F.percentile(c, F.lit(0.5))}[agg]
+    key = F.date_trunc(to_freq, F.col(ts_col)).alias("_k")
+    low = df.groupBy(key).agg(aggfn(F.col(value_col)).alias(out_col))
+    return (
+        df.withColumn("_k", F.date_trunc(to_freq, F.col(ts_col)))
+        .join(F.broadcast(low), "_k", "left")
+        .drop("_k")
+    )
+
+
+def neighboring_years_pool(df: DataFrame, ts_col: str, target_year: int, n_neighbors: int = 1) -> DataFrame:
+    """Model pool = target year ± nearest neighbours (times/neighbors.py:8)."""
+    years = [target_year + d for d in range(-n_neighbors, n_neighbors + 1)]
+    return keep_years(df, ts_col, years)
+
+
+def add_continuous_record_number(df: DataFrame, ts_col: str, out_col: str = "RECORD_NUMBER") -> DataFrame:
+    """1-based record number in time order (frames.py:543)."""
+    return df.withColumn(out_col, F.row_number().over(Window.orderBy(ts_col)))
+
+
+def detect_new_columns(df: DataFrame, other: DataFrame) -> list[str]:
+    """Schema diff (frames.py:240)."""
+    return [c for c in df.columns if c not in set(other.columns)]

@@ -786,3 +786,96 @@ ORACLES.update({
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
 })
+
+
+# ---------------------------------------------------------------------------
+# analytics extras: 2-D grid agg, cumulatives, hires broadcast-back, filters
+# ---------------------------------------------------------------------------
+
+def q_grid_agg_2d(spark, sf_dir):
+    from diive_spark.operators import gridagg
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.hour("ts").cast("double"))
+    out = gridagg.grid_aggregate(
+        ev, "value", "hour", "value", "equal_width",
+        n_bins_x=10, n_bins_y=6, x_range=(-100.0, 100.0), y_range=(0.0, 24.0),
+        aggfunc="mean", min_n_vals_per_bin=3,
+    )
+    return out.select("xbin", "ybin", "n_vals", _r6("agg_value").alias("mean_z"))
+
+
+SQL_GRID_AGG_2D = """
+WITH b AS (
+  SELECT CASE WHEN floor((value - (-100.0)) / 20.0) >= 10 THEN 9
+              ELSE CAST(floor((value - (-100.0)) / 20.0) AS INTEGER) END AS xbin,
+         CASE WHEN floor(hour(ts) / 4.0) >= 6 THEN 5
+              ELSE CAST(floor(hour(ts) / 4.0) AS INTEGER) END AS ybin,
+         value
+  FROM events
+  WHERE value BETWEEN -100.0 AND 100.0 AND hour(ts) BETWEEN 0 AND 24
+)
+SELECT xbin, ybin, count(value) AS n_vals,
+       CASE WHEN count(value) >= 3 THEN round(avg(value), 6) END AS mean_z
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_doy_cumulative(spark, sf_dir):
+    from diive_spark.operators import features
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.sum("value").alias("v"))
+    out = features.doy_cumulatives_per_year(daily, "d", "v")
+    return out.select("year", "doy", _r6("cumsum").alias("cum_v"))
+
+
+SQL_DOY_CUMULATIVE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, sum(value) AS v FROM events GROUP BY 1
+)
+SELECT year(d) AS year, dayofyear(d) AS doy,
+       round(sum(v) OVER (PARTITION BY year(d) ORDER BY dayofyear(d)
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_v
+FROM daily
+"""
+
+
+def q_agg_as_hires(spark, sf_dir):
+    from diive_spark.operators import frames
+    ev = _t(spark, sf_dir, "events")
+    out = frames.aggregated_as_hires(ev, "ts", "value", "day", "mean")
+    return out.select("event_id", _r6("value_mean_day").alias("daily_mean"))
+
+
+SQL_AGG_AS_HIRES = """
+SELECT event_id,
+       round(avg(value) OVER (PARTITION BY date_trunc('day', ts)), 6) AS daily_mean
+FROM events
+"""
+
+
+def q_keep_records_where(spark, sf_dir):
+    from diive_spark.operators import frames
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = frames.keep_records_where(ev, "value", -10.0, 10.0,
+                                    protect_cols=["event_id"])
+    return out.select("event_id", _r6("value").alias("value_kept"))
+
+
+SQL_KEEP_RECORDS_WHERE = """
+SELECT event_id,
+       CASE WHEN value >= -10.0 AND value <= 10.0 THEN round(value, 6) END AS value_kept
+FROM events
+"""
+
+
+QUERIES.update({
+    "grid_agg_2d": q_grid_agg_2d,
+    "doy_cumulative": q_doy_cumulative,
+    "agg_as_hires": q_agg_as_hires,
+    "keep_records_where": q_keep_records_where,
+})
+ORACLES.update({
+    "grid_agg_2d": SQL_GRID_AGG_2D,
+    "doy_cumulative": SQL_DOY_CUMULATIVE,
+    "agg_as_hires": SQL_AGG_AS_HIRES,
+    "keep_records_where": SQL_KEEP_RECORDS_WHERE,
+})
