@@ -879,3 +879,79 @@ ORACLES.update({
     "agg_as_hires": SQL_AGG_AS_HIRES,
     "keep_records_where": SQL_KEEP_RECORDS_WHERE,
 })
+
+
+def q_stepwise_screening(spark, sf_dir):
+    """Chained outlier tests + QCF + cleaned hourly resample (the reference's
+    StepwiseMeteoScreeningDb flow, meteoscreening.py:37)."""
+    from diive_spark.operators.stepwise import StepwiseScreening
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        StepwiseScreening(ev, ["event_type"], "ts", "value")
+        .flag_absolute_limits(-60.0, 60.0)
+        .flag_zscore(thres=3.0)
+        .finalize(resample_tier="1h")
+    )
+    return out.select(
+        "event_type", "window_end",
+        F.col("value_CLEANED_cnt").alias("cnt"),
+        _r6("value_CLEANED_mean").alias("mean_clean"),
+    )
+
+
+SQL_STEPWISE_SCREENING = """
+WITH flagged AS (
+  SELECT event_type, ts, value,
+         CASE WHEN value < -60.0 OR value > 60.0 THEN 2 ELSE 0 END AS f1,
+         CASE WHEN abs((value - avg(value) OVER (PARTITION BY event_type))
+                       / stddev_pop(value) OVER (PARTITION BY event_type)) > 3.0
+              THEN 2 ELSE 0 END AS f2
+  FROM events WHERE value IS NOT NULL
+),
+cleaned AS (
+  SELECT event_type, ts, value FROM flagged WHERE f1 = 0 AND f2 = 0
+)
+SELECT event_type,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       count(value) AS cnt,
+       round(avg(value), 6) AS mean_clean
+FROM cleaned GROUP BY 1, 2
+"""
+
+
+def q_profile_lineitem(spark, sf_dir):
+    from diive_spark.operators import sstats as ss
+    li = _t(spark, sf_dir, "lineitem")
+    prof = ss.profile_dataframe(li, cols=["l_quantity", "l_extendedprice", "l_discount"])
+    return prof.select(
+        "column", "n", "n_missing",
+        _r6("mean").alias("mean_v"), _r6("sd").alias("sd_v"),
+        _r6("min").alias("min_v"), _r6("q25").alias("q25_v"),
+        _r6("median").alias("median_v"), _r6("q75").alias("q75_v"),
+        _r6("max").alias("max_v"),
+    )
+
+
+def _profile_col_sql(c):
+    return f"""
+SELECT '{c}' AS "column", count({c}) AS n, count(*) - count({c}) AS n_missing,
+       round(avg({c}), 6) AS mean_v, round(stddev_samp({c}), 6) AS sd_v,
+       round(min({c}), 6) AS min_v, round(quantile_cont({c}, 0.25), 6) AS q25_v,
+       round(quantile_cont({c}, 0.5), 6) AS median_v,
+       round(quantile_cont({c}, 0.75), 6) AS q75_v, round(max({c}), 6) AS max_v
+FROM lineitem"""
+
+
+SQL_PROFILE_LINEITEM = " UNION ALL ".join(
+    _profile_col_sql(c) for c in ["l_quantity", "l_extendedprice", "l_discount"]
+)
+
+
+QUERIES.update({
+    "stepwise_screening": q_stepwise_screening,
+    "profile_lineitem": q_profile_lineitem,
+})
+ORACLES.update({
+    "stepwise_screening": SQL_STEPWISE_SCREENING,
+    "profile_lineitem": SQL_PROFILE_LINEITEM,
+})
