@@ -1,0 +1,75 @@
+"""Streaming rollup == batch rollup; Catalyst plan-quality assertions
+(pushdown, pruning, broadcast, partial aggregation)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from diive_spark import synth
+from diive_spark.operators import resample
+from diive_spark.streaming import rollup_stream
+
+
+def test_streaming_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "tokens")
+    ckpt = str(tmp_path / "ckpt")
+    raw = synth.with_event_time(synth.token_table(spark, 3000, with_tokens=False)).select(
+        "n_tok", "source", "event_time"
+    )
+    raw.write.mode("overwrite").parquet(src)
+
+    stream = rollup_stream.streaming_rollup(
+        spark, src, "n_tok int, source string, event_time timestamp",
+        "event_time", ["n_tok"], "1h", ["source"],
+    )
+    got = rollup_stream.run_available_now(stream, ckpt).toPandas()
+    want = resample.rollup(
+        spark.read.parquet(src), "event_time", ["n_tok"], "1h", key_cols=["source"]
+    ).toPandas()
+    key = ["source", "window_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
+# ---------------- Catalyst plan quality ----------------
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = ev.filter(F.col("event_type") == "click").select("ts", "value")
+    plan = _plan(q)
+    # predicate reaches the parquet scan...
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1][:200]
+    # ...and the scan reads only the needed columns
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "value" in read_schema and "props" not in read_schema
+
+
+def test_broadcast_join_for_small_dim(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    supp = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    q = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).groupBy("s_name").count()
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_rollup_has_partial_aggregation(spark):
+    raw = synth.with_event_time(synth.token_table(spark, 1000, with_tokens=False))
+    r = resample.rollup(raw, "event_time", ["n_tok"], "1h", key_cols=["source"])
+    plan = _plan(r)
+    # map-side combine: two HashAggregate stages around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1  # exactly one shuffle for the rollup
+
+
+def test_whole_stage_codegen_in_hot_path(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    r = resample.rollup(ev, "ts", ["value"], "1h", key_cols=["event_type"])
+    r.collect()  # AQE finalizes the physical plan only after execution
+    plan = _plan(r)
+    assert "*(" in plan  # the *(n) stage prefix marks WholeStageCodegen spans
