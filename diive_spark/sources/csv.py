@@ -31,7 +31,8 @@ class FileType:
     skip_rows: int = 0            # rows before the header block
     header_rows: int = 1          # stacked header rows (names [+ units])
     units_row: int | None = None  # index within header block holding units
-    na_values: tuple = ("NA", "NaN", "nan", "-9999", "-9999.0")
+    na_values: tuple = ("-9999", "-6999", "-999", "nan", "NaN", "NAN", "NA",
+                        "inf", "-inf", "-", "-9999.0")
     compression: str | None = None
     timestamp_col: str = "TIMESTAMP_END"
     timestamp_format: str | None = None
@@ -43,7 +44,8 @@ class FileType:
 FILETYPES = {
     ft.name: ft
     for ft in [
-        FileType("DIIVE-CSV-30MIN", header_rows=2, units_row=1, nominal_freq_seconds=1800),
+        FileType("DIIVE-CSV-30MIN", header_rows=2, units_row=1,
+                 timestamp_col="TIMESTAMP_MIDDLE", nominal_freq_seconds=1800),
         FileType("EDDYPRO-FLUXNET-CSV-30MIN", nominal_freq_seconds=1800),
         FileType("EDDYPRO-FLUXNET-CSV-60MIN", nominal_freq_seconds=3600),
         FileType("EDDYPRO-FULL-OUTPUT-CSV-30MIN", skip_rows=1, header_rows=2,
@@ -56,6 +58,8 @@ FILETYPES = {
         FileType("GENERIC-CSV-HEADER-1ROW-TS-END-1MIN", nominal_freq_seconds=60),
         FileType("GENERIC-CSV-HEADER-1ROW-TS-MIDDLE-30MIN",
                  timestamp_col="TIMESTAMP_MIDDLE", nominal_freq_seconds=1800),
+        FileType("GENERIC-CSV-HEADER-1ROW-TS-MIDDLE-FULL-1MIN",
+                 timestamp_col="TIMESTAMP_MIDDLE", nominal_freq_seconds=60),
     ]
 }
 
@@ -104,7 +108,8 @@ def read_filetype(
     for c in df.columns:
         if c == ft.timestamp_col:
             continue
-        cleaned = F.when(F.col(c).isin(*ft.na_values), None).otherwise(F.col(c))
+        qc = F.col(f"`{c}`")  # backticks: raw names may contain dots
+        cleaned = F.when(qc.isin(*ft.na_values), None).otherwise(qc)
         df = df.withColumn(c, cleaned.try_cast("double"))
     return df, {"units": units, "filetype": ft.name}
 
