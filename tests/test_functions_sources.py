@@ -155,7 +155,7 @@ def test_csv_filetype_roundtrip(spark, tmp_path):
     # diive-format CSV: 2 header rows (names + units), NA sentinels
     p = str(tmp_path / "data.csv")
     with open(p, "w") as f:
-        f.write("TIMESTAMP_END,TA,SW_IN\n")
+        f.write("TIMESTAMP_MIDDLE,TA,SW_IN\n")  # DIIVE dialect: middle ts
         f.write("-,degC,W m-2\n")
         for i in range(48):
             ts = pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=30 * (i + 1))
@@ -168,7 +168,7 @@ def test_csv_filetype_roundtrip(spark, tmp_path):
     assert pdf["TA"].isna().sum() == 1  # -9999 -> null
     out, freq = sanitizer.sanitize_timestamps(
         df.withColumn("_ord", F.monotonically_increasing_id()),
-        "TIMESTAMP_END", nominal_freq_seconds=1800, order_col="_ord",
+        "TIMESTAMP_MIDDLE", nominal_freq_seconds=1800, order_col="_ord",
     )
     assert freq.freq_seconds == 1800
 
