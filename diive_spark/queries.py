@@ -955,3 +955,124 @@ ORACLES.update({
     "stepwise_screening": SQL_STEPWISE_SCREENING,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
 })
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """Long-form MinHash signatures — verifies the universal-hash MinHash
+    math itself against SQL (the LSH banding on top stays rows-only)."""
+    from diive_spark.operators import dedup
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", k=16, seed=42)
+    long = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("perm"), F.col(f"mh_{i}").alias("minhash"))
+                for i in range(16)
+            ])
+        ).alias("s"),
+    ).select("doc_id", F.col("s.perm").cast("bigint").alias("perm"), "s.minhash")
+    return long
+
+
+def _minhash_sql():
+    import random
+    rng = random.Random(42)
+    p = (1 << 31) - 1
+    perms = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(16)]
+    perm_rows = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(perms))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) g
+  WHERE i + 2 <= len(words)
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM sh),
+perms(perm, a, b) AS (VALUES {perm_rows})
+SELECT doc_id, CAST(perm AS BIGINT) AS perm,
+       min((a * hv + b) % {p}) AS minhash
+FROM h CROSS JOIN perms
+GROUP BY doc_id, perm
+"""
+
+
+QUERIES["minhash_signatures"] = q_minhash_signatures
+ORACLES["minhash_signatures"] = _minhash_sql()
+
+
+def q_median_fill_1h(spark, sf_dir):
+    """Interp(limit=3) + single-tier rolling-median fill (49-slot centered
+    window, min 2 samples) on the hourly grid — SQL-checkable slice of the
+    gap-fill cascade (the multi-tier first-success loop stays kernel-side)."""
+    g = _hourly_gridded(spark, sf_dir).select("event_type", "window_start", "value_mean")
+    filled = gapfill.gapfill_cascade(
+        g, ["event_type"], "window_start", "value_mean",
+        tier_seconds=3600, interp_limit=3, window_tiers=[49], min_samples=2,
+    )
+    return filled.select(
+        "event_type", "window_start",
+        _r6("filled").alias("filled_v"),
+        F.col("fill_flag").cast("int").alias("fill_flag"),
+    )
+
+
+SQL_MEDIAN_FILL_1H = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, avg(value) AS mean_v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM agg),
+grid AS (
+  SELECT e.event_type, g.window_start
+  FROM (SELECT DISTINCT event_type FROM agg) e
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 HOUR)) AS window_start) g
+),
+j AS (
+  SELECT g.event_type, g.window_start, a.mean_v,
+         CAST(epoch(g.window_start) AS DOUBLE) AS tsn,
+         count(a.mean_v) OVER w_prev AS run
+  FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.window_start = g.window_start
+  WINDOW w_prev AS (PARTITION BY g.event_type ORDER BY g.window_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+k AS (
+  SELECT *,
+         last_value(mean_v IGNORE NULLS) OVER w_prev AS prev_v,
+         last_value(CASE WHEN mean_v IS NOT NULL THEN tsn END IGNORE NULLS) OVER w_prev AS prev_t,
+         first_value(mean_v IGNORE NULLS) OVER w_next AS next_v,
+         first_value(CASE WHEN mean_v IS NOT NULL THEN tsn END IGNORE NULLS) OVER w_next AS next_t,
+         sum(CASE WHEN mean_v IS NULL THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type, run) AS gap_len,
+         median(mean_v) OVER w_med AS rmed,
+         count(mean_v) OVER w_med AS rcnt
+  FROM j
+  WINDOW w_prev AS (PARTITION BY event_type ORDER BY window_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY event_type ORDER BY window_start
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+         w_med AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING)
+),
+f AS (
+  SELECT *,
+         CASE WHEN mean_v IS NOT NULL THEN mean_v
+              WHEN gap_len <= 3 AND prev_v IS NOT NULL AND next_v IS NOT NULL
+              THEN prev_v + (next_v - prev_v) * ((tsn - prev_t) / (next_t - prev_t))
+         END AS interp_v
+  FROM k
+)
+SELECT event_type, window_start,
+       round(CASE WHEN interp_v IS NOT NULL THEN interp_v
+                  WHEN rcnt >= 2 THEN rmed END, 6) AS filled_v,
+       CAST(CASE WHEN mean_v IS NOT NULL THEN 0
+                 WHEN interp_v IS NOT NULL THEN 1
+                 WHEN rcnt >= 2 THEN 2 END AS INTEGER) AS fill_flag
+FROM f
+"""
+
+
+QUERIES["median_fill_1h"] = q_median_fill_1h
+ORACLES["median_fill_1h"] = SQL_MEDIAN_FILL_1H
