@@ -42,9 +42,14 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # --- tier-0 ingest throughput on the engine's native token table -------
-    raw = synth.with_event_time(
-        synth.token_table(spark, TOKEN_ROWS, with_tokens=False)
-    ).select("n_tok", "source", "event_time").cache()
+    raw = (
+        synth.with_event_time(synth.token_table(spark, TOKEN_ROWS, with_tokens=False))
+        .select("n_tok", "source", "event_time")
+        # event-time range partitioning = window locality: per-task partial-agg
+        # hash maps stay cache-sized (see BENCH/BASELINE.md)
+        .repartitionByRange(int(CPUS) * 2, "event_time")
+        .cache()
+    )
     total_tokens = raw.selectExpr("sum(n_tok) s").collect()[0]["s"]  # forces cache
 
     t0 = time.time()
