@@ -46,11 +46,14 @@ FILETYPES = {
     for ft in [
         FileType("DIIVE-CSV-30MIN", header_rows=2, units_row=1,
                  timestamp_col="TIMESTAMP_MIDDLE", nominal_freq_seconds=1800),
-        FileType("EDDYPRO-FLUXNET-CSV-30MIN", nominal_freq_seconds=1800),
-        FileType("EDDYPRO-FLUXNET-CSV-60MIN", nominal_freq_seconds=3600),
+        FileType("EDDYPRO-FLUXNET-CSV-30MIN", nominal_freq_seconds=1800,
+                 timestamp_format="yyyyMMddHHmm"),
+        FileType("EDDYPRO-FLUXNET-CSV-60MIN", nominal_freq_seconds=3600,
+                 timestamp_format="yyyyMMddHHmm"),
         FileType("EDDYPRO-FULL-OUTPUT-CSV-30MIN", skip_rows=1, header_rows=2,
                  units_row=1, nominal_freq_seconds=1800),
-        FileType("FLUXNET-FULLSET-HH-CSV-30MIN", nominal_freq_seconds=1800),
+        FileType("FLUXNET-FULLSET-HH-CSV-30MIN", nominal_freq_seconds=1800,
+                 timestamp_format="yyyyMMddHHmm"),
         FileType("FLUXNET-FULLSET-HR-CSV-60MIN", nominal_freq_seconds=3600),
         FileType("ICOS-H2R-CSVZIP-10S", compression="zip", nominal_freq_seconds=10),
         FileType("TOA5-DAT-1MIN", skip_rows=1, header_rows=3, units_row=1,

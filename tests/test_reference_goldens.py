@@ -128,3 +128,17 @@ def test_format_timestamp_fluxnet(generic_1min, spark):
         timeparts.format_timestamp_fluxnet(F.col("TIMESTAMP_MIDDLE")).alias("f")
     ).limit(1).collect()[0]
     assert out["f"] == "202403312359"
+
+
+def test_eddypro_fluxnet_structural(spark):
+    # The CH-AWS golden file is absent from this snapshot; the CH-FRU 2012
+    # EddyPro FLUXNET file checks the dialect structurally (yyyyMMddHHmm
+    # timestamps parse, 30-min dominant frequency).
+    p = (f"{EXAMPLEDATA}/exampledata_EDDYPRO-FLUXNET-CSV-30MIN_2012_eddypro_"
+         "CH-FRU_FR-20230425-220357_fluxnet_2023-04-26T201227_adv.csv")
+    df, _ = csvsrc.read_filetype(spark, p, "EDDYPRO-FLUXNET-CSV-30MIN")
+    assert df.count() == 49  # 50-line sample file: header + 49 records
+    freq = sanitizer.detect_frequency(df, "TIMESTAMP_END")
+    assert freq.freq_seconds == 1800
+    first = df.agg(F.min("TIMESTAMP_END").alias("f")).collect()[0]["f"]
+    assert first.year == 2012 and first.minute in (0, 30)
