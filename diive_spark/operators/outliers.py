@@ -171,7 +171,8 @@ def flag_trim_low(
     return flagged.unionByName(nulls)
 
 
-def _hampel_kernel(value_col, flag_col, window_length, n_sigma, use_differencing):
+def _hampel_kernel(value_col, flag_col, window_length, n_sigma, use_differencing,
+                   daytime_col=None, n_sigma_daytime=None, n_sigma_nighttime=None):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf.copy()
         s = pdf[value_col]
@@ -184,7 +185,14 @@ def _hampel_kernel(value_col, flag_col, window_length, n_sigma, use_differencing
         rolling_median = s_to_test.rolling(window_length, center=True, min_periods=1).median()
         deviations = (s_to_test - rolling_median).abs()
         rolling_mad = deviations.rolling(window_length, center=True, min_periods=1).median() + 1e-6
-        limit = HAMPEL_K * rolling_mad * n_sigma
+        if daytime_col is not None:
+            # per-record day/night thresholds (hampel.py:224-234): rolling
+            # stats stay whole-series, only the threshold differs
+            thresholds = pd.Series(n_sigma_nighttime, index=s_to_test.index)
+            thresholds[pdf.loc[mask_nn, daytime_col].astype(bool).to_numpy()] = n_sigma_daytime
+        else:
+            thresholds = n_sigma
+        limit = HAMPEL_K * rolling_mad * thresholds
         is_outlier = (s_to_test > rolling_median + limit) | (s_to_test < rolling_median - limit)
         flag = pd.Series(pd.NA, index=s.index, dtype="Int32")
         flag[mask_nn] = is_outlier.map({True: 2, False: 0}).astype("Int32")
@@ -201,6 +209,9 @@ def flag_hampel(
     use_differencing: bool = False,
     flag_col: str = "FLAG_HAMPEL_TEST",
     slab_seconds: int | None = None,
+    daytime_col: str | None = None,
+    n_sigma_daytime: float | None = None,
+    n_sigma_nighttime: float | None = None,
 ) -> DataFrame:
     """Hampel filter: centered rolling median ± n_sigma*k*MAD (hampel.py:199-258).
 
@@ -218,7 +229,8 @@ def flag_hampel(
     ) + f", {flag_col} int"
     return apply_with_halo(
         df, key_cols, ts_col,
-        _hampel_kernel(value_col, flag_col, window_length, n_sigma, use_differencing),
+        _hampel_kernel(value_col, flag_col, window_length, n_sigma, use_differencing,
+                       daytime_col, n_sigma_daytime, n_sigma_nighttime),
         output_schema=schema,
         slab_seconds=slab_seconds, halo_seconds=halo_seconds,
     )

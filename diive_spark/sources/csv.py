@@ -57,7 +57,7 @@ FILETYPES = {
         FileType("FLUXNET-FULLSET-HR-CSV-60MIN", nominal_freq_seconds=3600),
         FileType("ICOS-H2R-CSVZIP-10S", compression="zip", nominal_freq_seconds=10),
         FileType("TOA5-DAT-1MIN", skip_rows=1, header_rows=3, units_row=1,
-                 nominal_freq_seconds=60, timestamp_col="TIMESTAMP_END"),
+                 nominal_freq_seconds=60, timestamp_col="TIMESTAMP"),
         FileType("GENERIC-CSV-HEADER-1ROW-TS-END-1MIN", nominal_freq_seconds=60),
         FileType("GENERIC-CSV-HEADER-1ROW-TS-MIDDLE-30MIN",
                  timestamp_col="TIMESTAMP_MIDDLE", nominal_freq_seconds=1800),

@@ -165,3 +165,26 @@ def test_qcf_decision_table(spark):
     assert list(got["FLAG_QCF"]) == [r[5] for r in rows]
     assert list(got["SUM_HARDFLAGS"]) == [0, 0, 0, 0, 2, 2]
     assert list(got["SUM_SOFTFLAGS"]) == [0, 1, 3, 4, 0, 1]
+
+
+def test_hampel_day_night_thresholds(noisy):
+    df, pdf = noisy
+    from pyspark.sql import functions as F
+    # mark alternating halves daytime; strict daytime threshold flags more
+    df2 = df.withColumn("DAYTIME", (F.hour("ts") < 12).cast("int"))
+    got = (
+        outliers.flag_hampel(df2, ["series"], "ts", "value", tier_seconds=1800,
+                             window_length=48, daytime_col="DAYTIME",
+                             n_sigma_daytime=2.0, n_sigma_nighttime=8.0)
+        .orderBy("ts").toPandas()
+    )
+    s = pdf["value"].dropna()
+    rmed = s.rolling(48, center=True, min_periods=1).median()
+    rmad = (s - rmed).abs().rolling(48, center=True, min_periods=1).median() + 1e-6
+    is_day = pd.DatetimeIndex(pdf.loc[s.index, "ts"]).hour < 12
+    thr = np.where(is_day, 2.0, 8.0)
+    lim = outliers.HAMPEL_K * rmad * thr
+    expect = pd.Series(np.where((s > rmed + lim) | (s < rmed - lim), 2, 0),
+                       index=s.index).reindex(pdf.index)
+    assert (got["FLAG_HAMPEL_TEST"].fillna(-1) == expect.fillna(-1)).all()
+    assert (got["FLAG_HAMPEL_TEST"] == 2).sum() > 0

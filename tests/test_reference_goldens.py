@@ -142,3 +142,16 @@ def test_eddypro_fluxnet_structural(spark):
     assert freq.freq_seconds == 1800
     first = df.agg(F.min("TIMESTAMP_END").alias("f")).collect()[0]["f"]
     assert first.year == 2012 and first.minute in (0, 30)
+
+
+def test_toa5_dialect(spark):
+    # TOA5 4-row header (device/names/units/aggtype), ts col 'TIMESTAMP'
+    p = (f"{EXAMPLEDATA}/exampledata_TOA5-DAT-1MIN_CH-OE2_iDL_BOX1_0_1_TBL1_"
+         "20220629-1714.dat")
+    df, meta = csvsrc.read_filetype(spark, p, "TOA5-DAT-1MIN")
+    assert meta["units"]["TIMESTAMP"] == "TS"
+    n = df.count()
+    assert n > 10
+    assert df.filter(F.col("TIMESTAMP").isNull()).count() == 0
+    freq = sanitizer.detect_frequency(df, "TIMESTAMP")
+    assert freq.freq_seconds == 60
