@@ -40,15 +40,54 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: split + sequence/transform
-    (JVM array exprs), exploded long-form (id, shingle)."""
+    (JVM array exprs), exploded long-form (id, shingle). Documents shorter
+    than n words produce no shingles (sequence() would otherwise DESCEND from
+    0 to a negative bound and crash element_at)."""
     words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
-    )
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
         .distinct()
+    )
+
+
+def _verified_jaccard(
+    sh: DataFrame, id_col: str, threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for all shared-shingle pairs, or only
+    for the given (id1, id2) candidates."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        sa = sh.withColumnRenamed(id_col, "id1").withColumnRenamed("shingle", "s1")
+        sb = sh.withColumnRenamed(id_col, "id2").withColumnRenamed("shingle", "s2")
+        inter = (
+            candidates.join(sa, "id1").join(sb, "id2")
+            .filter(F.col("s1") == F.col("s2"))
+            .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter"))
+        )
+    s1 = sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("n_sh", "n1")
+    s2 = sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("n_sh", "n2")
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(s1), "id1").join(F.broadcast(s2), "id2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
     )
 
 
@@ -59,24 +98,7 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by exact Jaccard over word n-gram shingle sets.
     Candidates = pairs sharing >= 1 shingle (bucket join on the shingle)."""
     sh = word_shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, F.col(f"a.shingle") == F.col(f"b.shingle"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    s1 = sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("n_sh", "n1")
-    s2 = sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("n_sh", "n2")
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        inter.join(F.broadcast(s1), "id1").join(F.broadcast(s2), "id2")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
-    )
+    return _verified_jaccard(sh, id_col, threshold)
 
 
 def minhash_signatures(
@@ -134,25 +156,10 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
         .distinct()
     )
-    # verify candidates with exact jaccard
+    # verify candidates with exact jaccard (same helper as the exact path,
+    # so LSH and exact Jaccard can never desynchronize)
     sh = word_shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.withColumnRenamed(id_col, "id1").withColumnRenamed("shingle", "s1")
-    sb = sh.withColumnRenamed(id_col, "id2").withColumnRenamed("shingle", "s2")
-    inter = (
-        cands.join(sa, "id1").join(sb, "id2")
-        .filter(F.col("s1") == F.col("s2"))
-        .groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter"))
-    )
-    s1 = sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("n_sh", "n1")
-    s2 = sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("n_sh", "n2")
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        inter.join(F.broadcast(s1), "id1").join(F.broadcast(s2), "id2")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
-    )
+    return _verified_jaccard(sh, id_col, threshold, candidates=cands)
 
 
 def simhash(

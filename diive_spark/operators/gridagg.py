@@ -34,16 +34,18 @@ def custom_edges_bucket(col: Column, edges: list[float]) -> Column:
 
 
 def quantile_bucket(df: DataFrame, value_col: str, n_bins: int, out_col: str) -> DataFrame:
-    """pd.qcut-equivalent: ntile over the value ordering (equal-count bins)."""
+    """pd.qcut-equivalent: ntile over the value ordering (equal-count bins).
+    Nulls are excluded BEFORE tiling (pd.qcut drops NaN first — tiling over
+    a window that includes nulls would shift every non-null bucket)."""
     from pyspark.sql import Window
 
+    base = df.withColumn("_qb_rowid", F.monotonically_increasing_id())
+    nn = base.filter(F.col(value_col).isNotNull())
     w = Window.orderBy(value_col)
-    return df.withColumn(
-        out_col,
-        F.when(F.col(value_col).isNull(), None)
-        .otherwise(F.ntile(n_bins).over(w) - 1)
-        .cast("int"),
+    tiled = nn.select(
+        "_qb_rowid", (F.ntile(n_bins).over(w) - 1).cast("int").alias(out_col)
     )
+    return base.join(tiled, "_qb_rowid", "left").drop("_qb_rowid")
 
 
 AGGS = {

@@ -92,7 +92,10 @@ def flag_zscore(
     parts = [*key_cols, *(group_cols or [])]
     w = Window.partitionBy(*parts) if parts else Window.partitionBy()
     v = F.col(value_col)
-    z = F.abs((v - F.avg(v).over(w)) / F.stddev_pop(v).over(w))
+    # null out a zero SD (constant/stuck series) instead of ANSI-mode
+    # DIVIDE_BY_ZERO: z becomes null -> no flag, matching numpy's nan
+    sd = F.nullif(F.stddev_pop(v).over(w), F.lit(0.0))
+    z = F.abs((v - F.avg(v).over(w)) / sd)
     return df.withColumn(
         flag_col,
         F.when(v.isNull(), F.lit(None)).when(z > thres_zscore, F.lit(2)).otherwise(F.lit(0)).cast("int"),
@@ -107,15 +110,20 @@ def flag_zscore_rolling(
     """Centered rolling z-score over *non-null records* (reference drops NaN
     first, zscore.py:319; min_periods=3; sample SD)."""
     v = F.col(value_col)
-    nn = df.filter(v.isNotNull())
+    base = df.withColumn("_rowid", F.monotonically_increasing_id())
+    nn = base.filter(v.isNotNull())
     w = _centered_frame(Window.partitionBy(*key_cols).orderBy(ts_col), winsize)
-    rmean, rsd, cnt = F.avg(v).over(w), F.stddev_samp(v).over(w), F.count(v).over(w)
+    rmean = F.avg(v).over(w)
+    rsd = F.nullif(F.stddev_samp(v).over(w), F.lit(0.0))
+    cnt = F.count(v).over(w)
     z = F.abs((v - rmean) / rsd)
     flagged = nn.select(
-        *key_cols, ts_col,
+        "_rowid",
         F.when((cnt >= 3) & (z > thres_zscore), F.lit(2)).otherwise(F.lit(0)).cast("int").alias(flag_col),
     )
-    return df.join(flagged, on=[*key_cols, ts_col], how="left")
+    # join back on a unique row id: duplicate (key, ts) rows (pre-dedup
+    # ingest) must not fan out
+    return base.join(flagged, on="_rowid", how="left").drop("_rowid")
 
 
 def flag_zscore_increments(
@@ -127,7 +135,8 @@ def flag_zscore_increments(
     records; outlier iff all three fire (incremental.py:111-152;
     double_diff_absolute, core/dfun/stats.py:526)."""
     v = F.col(value_col)
-    nn = df.filter(v.isNotNull())
+    base = df.withColumn("_rowid", F.monotonically_increasing_id())
+    nn = base.filter(v.isNotNull())
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
     prev, nxt = F.lag(v).over(w), F.lead(v).over(w)
     diffs = {
@@ -135,19 +144,20 @@ def flag_zscore_increments(
         "_dp": F.abs(v - prev),
         "_dn": F.abs(nxt - v),
     }
-    tmp = nn.select(*key_cols, ts_col, *[e.alias(n) for n, e in diffs.items()])
+    tmp = nn.select("_rowid", *key_cols, *[e.alias(n) for n, e in diffs.items()])
     gw = Window.partitionBy(*key_cols) if key_cols else Window.partitionBy()
     total = None
     for n in diffs:
         c = F.col(n)
-        z = F.abs((c - F.avg(c).over(gw)) / F.stddev_pop(c).over(gw))
+        sd = F.nullif(F.stddev_pop(c).over(gw), F.lit(0.0))
+        z = F.abs((c - F.avg(c).over(gw)) / sd)
         f = F.when(z > thres_zscore, F.lit(2)).otherwise(F.lit(0))
         total = f if total is None else total + f
     flagged = tmp.select(
-        *key_cols, ts_col,
+        "_rowid",
         F.when(total == 6, F.lit(2)).otherwise(F.lit(0)).cast("int").alias(flag_col),
     )
-    return df.join(flagged, on=[*key_cols, ts_col], how="left")
+    return base.join(flagged, on="_rowid", how="left").drop("_rowid")
 
 
 def flag_trim_low(
@@ -296,10 +306,15 @@ def repeat_flag(
     work_col = "_work_val"
     cur = df.withColumn(work_col, F.col(value_col))
     overall = None
+    prev_cached = None
     for _ in range(max_iter):
         flagged = flag_fn(cur, work_col).cache()
         n_out = flagged.filter(F.col(flag_col) == 2).count()
-        overall = flagged if overall is None else flagged
+        if prev_cached is not None:
+            prev_cached.unpersist()  # each iteration is materialized in its
+            # successor's cache; keep only the latest pinned
+        prev_cached = flagged
+        overall = flagged
         if n_out == 0:
             break
         cur = (

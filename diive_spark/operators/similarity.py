@@ -23,7 +23,9 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # nullif: a zero-norm vector yields null similarity instead of an
+    # ANSI-mode DIVIDE_BY_ZERO job failure
+    return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b), F.lit(0.0))
 
 
 def cosine_topk_bruteforce(

@@ -45,7 +45,9 @@ def sstats(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
         mean.alias("mean"),
         F.percentile(F.col("_v"), F.lit(0.5)).alias("median"),
         sd.alias("sd"),
-        (sd / mean).alias("cv"),
+        # nullif guards: zero mean / constant timestamps must yield null, not
+        # an ANSI DIVIDE_BY_ZERO job failure
+        (sd / F.nullif(mean, F.lit(0.0))).alias("cv"),
         F.min("_v").alias("min"),
         F.max("_v").alias("max"),
         (F.percentile(F.col("_v"), F.lit(0.75)) - F.percentile(F.col("_v"), F.lit(0.25))).alias("iqr"),
@@ -58,7 +60,7 @@ def sstats(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
         F.corr(F.col("_v"), F.col("_v_prev")).alias("autocorr_lag1"),
         F.avg(F.abs(F.col("_v") - F.col("_v_prev"))).alias("mean_abs_change"),
         F.sum("_v").alias("sum"),
-        (sxy / sxx).alias("trend_slope_per_sec"),
+        (sxy / F.nullif(sxx, F.lit(0.0))).alias("trend_slope_per_sec"),
     )
     # z-score outlier count needs the global mean/sd first: window in a
     # subquery, then aggregate

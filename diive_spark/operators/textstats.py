@@ -27,12 +27,21 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 def _count_occurrences(padded: Column, word: str) -> Column:
     """Occurrences of ' word ' via length-difference (no regex, so the SQL
-    oracle is dialect-proof)."""
+    oracle is dialect-proof). ``padded`` must come from :func:`pad_text`,
+    which DOUBLES interior spaces — otherwise adjacent repeats ('the the')
+    would share their delimiter space and non-overlapping replace would
+    undercount."""
     needle = f" {word} "
     return (
         (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
         / len(needle)
     ).cast("bigint")
+
+
+def pad_text(text: Column) -> Column:
+    """' ' + text with doubled interior spaces + ' ' — every word gets its
+    own delimiter spaces, making ' w ' needles non-overlapping."""
+    return F.concat(F.lit(" "), F.replace(text, F.lit(" "), F.lit("  ")), F.lit(" "))
 
 
 def n_words_expr(text: Column) -> Column:
@@ -46,7 +55,7 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality stats: char/word counts, avg word length,
     stopword ratio, and a composite quality score in [0, 1]."""
     t = F.col(text_col)
-    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    padded = pad_text(t)
     n_chars = F.length(t).cast("bigint")
     n_words = n_words_expr(t)
     stop_hits = None
@@ -70,7 +79,7 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram/marker-word language heuristic: argmax of per-language marker
     counts, deterministic tie-break by language code."""
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    padded = pad_text(F.lower(F.col(text_col)))
     scores = {}
     for lang, words in LANG_MARKERS.items():
         s = None

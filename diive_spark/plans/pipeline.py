@@ -102,9 +102,13 @@ def run_pipeline(
             prev = t
 
         if pack_tier:
+            # block on window_START so blocks align with the event_date
+            # batching: the 23:59 window's END is midnight of d+1, which
+            # would land the day's last point in a partition a later batch
+            # dynamically overwrites
             packed = gorilla.pack_blocks(
                 t1m_back.withColumn("_k", F.concat_ws("|", *key_cols) if key_cols else F.lit("all")),
-                ["_k"], "window_end", f"{value_cols[0]}_mean", block_seconds=86400,
+                ["_k"], "window_start", f"{value_cols[0]}_mean", block_seconds=86400,
             ).withColumnRenamed("_k", "series_key")
             packed.withColumn(
                 "event_date", F.to_date(F.timestamp_seconds(F.col("block_id") * 86400))

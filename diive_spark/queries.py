@@ -295,7 +295,7 @@ SQL_ZSCORE_OUTLIERS = """
 SELECT event_id, event_type, round(value, 6) AS value_v
 FROM (
   SELECT *, abs((value - avg(value) OVER (PARTITION BY event_type))
-                / stddev_pop(value) OVER (PARTITION BY event_type)) AS z
+                / nullif(stddev_pop(value) OVER (PARTITION BY event_type), 0)) AS z
   FROM events
 ) WHERE z > 2.5
 """
@@ -596,7 +596,7 @@ _STOP_SQL = " + ".join(
 )
 SQL_TEXT_QUALITY = f"""
 WITH b AS (
-  SELECT doc_id, ' ' || text || ' ' AS p,
+  SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS p,
          CAST(length(text) AS BIGINT) AS n_chars_c,
          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words
   FROM documents
@@ -626,7 +626,7 @@ def _lang_score_sql(lang):
 
 
 SQL_LANG_ID = f"""
-WITH b AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+WITH b AS (SELECT doc_id, ' ' || replace(lower(text), ' ', '  ') || ' ' AS p FROM documents),
 s AS (
   SELECT doc_id,
          {_lang_score_sql('en')} AS s_en, {_lang_score_sql('es')} AS s_es,
@@ -904,7 +904,7 @@ WITH flagged AS (
   SELECT event_type, ts, value,
          CASE WHEN value < -60.0 OR value > 60.0 THEN 2 ELSE 0 END AS f1,
          CASE WHEN abs((value - avg(value) OVER (PARTITION BY event_type))
-                       / stddev_pop(value) OVER (PARTITION BY event_type)) > 3.0
+                       / nullif(stddev_pop(value) OVER (PARTITION BY event_type), 0)) > 3.0
               THEN 2 ELSE 0 END AS f2
   FROM events WHERE value IS NOT NULL
 ),

@@ -51,28 +51,34 @@ def validate_timestamp_column_name(name: str) -> None:
 
 def detect_frequency(df: DataFrame, ts_col: str) -> FrequencyResult:
     """Mode-of-deltas vote (times.py:1340): the dominant consecutive delta
-    with its occurrence fraction; >0.5 counts as confident (matching the
-    reference's >50% rule; full agreement == 1.0)."""
-    w = Window.orderBy(ts_col)
-    deltas = (
+    with its occurrence fraction over ALL deltas; >0.5 counts as confident
+    (the reference's >50% rule; full agreement == 1.0).
+
+    Scale note: deltas are computed per calendar-day segment (window
+    partitioned by date), not over one global sort — fully parallel, at the
+    cost of ignoring one boundary delta per day, which cannot move a >50%
+    mode on any non-trivial series."""
+    w = Window.partitionBy(F.to_date(ts_col)).orderBy(ts_col)
+    delta_counts = (
         df.select(F.col(ts_col))
         .filter(F.col(ts_col).isNotNull())
         .withColumn("_d", F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w)))
         .filter(F.col("_d").isNotNull())
         .groupBy("_d").count()
-        .orderBy(F.desc("count"), F.asc("_d"))
-        .limit(5)
-        .collect()
+        .cache()
     )
-    if not deltas:
+    top = delta_counts.orderBy(F.desc("count"), F.asc("_d")).limit(5).collect()
+    if not top:
+        delta_counts.unpersist()
         return FrequencyResult(None, 0.0, 0, [])
-    total = sum(r["count"] for r in deltas)
-    mode = deltas[0]
+    total = delta_counts.agg(F.sum("count").alias("t")).collect()[0]["t"]
+    delta_counts.unpersist()
+    mode = top[0]
     return FrequencyResult(
         int(mode["_d"]),
         mode["count"] / total,
-        total,
-        [(int(r["_d"]), int(r["count"])) for r in deltas[1:]],
+        int(total),
+        [(int(r["_d"]), int(r["count"])) for r in top[1:]],
     )
 
 

@@ -134,3 +134,12 @@ def test_doy_cumulatives_and_quadrature(spark):
             "k": "a", "ts": pd.date_range("2024-01-01", periods=4, freq="1h"),
             "v": [3.0, 4.0, 0.0, 12.0]})), ["k"], "ts", "v").orderBy("ts").toPandas()
     np.testing.assert_allclose(quad["cum_quadrature"], [3.0, 5.0, 5.0, 13.0])
+
+
+def test_quantile_bucket_ignores_nulls(spark):
+    # review regression: nulls must not consume ntiles
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0, None, None, None, None]})
+    out = gridagg.quantile_bucket(spark.createDataFrame(pdf), "v", 4, "b").toPandas()
+    nn = out.dropna(subset=["v"]).sort_values("v")
+    assert list(nn["b"]) == [0, 1, 2, 3]
+    assert out.loc[out["v"].isna(), "b"].isna().all()

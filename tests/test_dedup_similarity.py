@@ -123,3 +123,24 @@ def test_multimodal_plumbing(spark):
         multimodal.extract_image_features(bad).collect()
     frames = multimodal.frame_sample(media, every_n=2).toPandas()
     assert (frames["frame_idx"] == 0).all()  # fake format: 1 frame each
+
+
+def test_short_documents_dont_crash_shingles(spark):
+    # review regression: sequence(0, size-n) descends for docs with < n words
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": ["hello world", "one", "a b c d e"]})
+    df = spark.createDataFrame(pdf)
+    sh = dedup.word_shingles(df, "doc_id", n=3).toPandas()
+    assert set(sh["doc_id"]) == {3}  # only the 5-word doc has 3-gram shingles
+    assert dedup.ngram_jaccard_pairs(df, "doc_id").count() == 0
+    sig = dedup.minhash_signatures(df, "doc_id").toPandas()
+    assert set(sig["doc_id"]) == {3}
+
+
+def test_adjacent_repeated_stopwords_counted(spark):
+    # review regression: ' w ' needles must not overlap on shared spaces
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["the the the cat"],
+                        "lang": ["en"], "source": ["s"], "n_chars": [15]})
+    out = textstats.add_text_stats(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert out["n_words"] == 4
+    np.testing.assert_allclose(out["stopword_ratio"], 3 / 4)

@@ -189,3 +189,19 @@ def test_read_many_keep_last(spark, tmp_path):
     assert len(merged) == 60  # 36 + 36 - 12 overlap
     overlap = merged[(merged["TA"] >= 200) & (merged["TA"] < 212)]
     assert len(overlap) == 12  # later file won the overlap
+
+
+def test_detect_frequency_confidence_uses_all_deltas(spark):
+    # review regression: confidence denominator must cover ALL deltas, not
+    # just the top-5 groups — irregular series must fail the >50% gate
+    ts = [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=60 * i) for i in range(11)]
+    cur = ts[-1]
+    for i in range(40):  # 40 distinct irregular deltas
+        cur = cur + pd.Timedelta(seconds=61 + i)
+        ts.append(cur)
+    df = spark.createDataFrame(pd.DataFrame({"TIMESTAMP_END": ts, "v": 1.0}))
+    freq = sanitizer.detect_frequency(df, "TIMESTAMP_END")
+    assert freq.freq_seconds == 60
+    assert freq.confidence < 0.5  # 10 of 50 deltas
+    with pytest.raises(sanitizer.TimestampError, match="irregular"):
+        sanitizer.sanitize_timestamps(df, "TIMESTAMP_END")

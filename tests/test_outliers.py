@@ -188,3 +188,25 @@ def test_hampel_day_night_thresholds(noisy):
                        index=s.index).reindex(pdf.index)
     assert (got["FLAG_HAMPEL_TEST"].fillna(-1) == expect.fillna(-1)).all()
     assert (got["FLAG_HAMPEL_TEST"] == 2).sum() > 0
+
+
+def test_constant_series_flags_nothing(spark):
+    # review regression: zero SD must not raise ANSI DIVIDE_BY_ZERO
+    df, _ = _series_df(spark, [5.0] * 50)
+    z = outliers.flag_zscore(df, ["series"], "value", 4.0).toPandas()
+    assert (z["FLAG_ZSCORE_TEST"] == 0).all()
+    zi = outliers.flag_zscore_increments(df, ["series"], "ts", "value", 4.0).toPandas()
+    assert (zi["FLAG_INCREMENTS_TEST"] == 0).all()
+    zr = outliers.flag_zscore_rolling(df, ["series"], "ts", "value", 4.0, 10).toPandas()
+    assert (zr["FLAG_ZSCOREROLLING_TEST"] == 0).all()
+
+
+def test_rolling_zscore_duplicate_timestamps_no_fanout(spark):
+    # review regression: join-back must not duplicate rows on dup (key, ts)
+    import pandas as pd
+    ts = pd.date_range("2024-01-01", periods=10, freq="1h")
+    pdf = pd.DataFrame({"series": "s1", "ts": list(ts) + [ts[3]],
+                        "value": list(range(10)) + [99.0]})
+    df = spark.createDataFrame(pdf)
+    out = outliers.flag_zscore_rolling(df, ["series"], "ts", "value", 4.0, 5)
+    assert out.count() == 11

@@ -61,3 +61,14 @@ def test_rerun_is_noop(spark, raw, tmp_path_factory):
     pipeline.run_pipeline(spark, raw, out, batch_size=30)
     m2 = pipeline.run_pipeline(spark, raw, out, batch_size=30)
     assert m2["n_partitions_pending"] == 0
+
+
+def test_packed_tier_is_complete(spark, raw, tmp_path_factory):
+    # review regression: day-boundary windows must not be dropped when
+    # batches overwrite packed partitions (block on window_start, not end)
+    out = str(tmp_path_factory.mktemp("packed"))
+    pipeline.run_pipeline(spark, raw, out, batch_size=3)
+    t1m = spark.read.parquet(pipeline.tier_path(out, "1m"))
+    packed = spark.read.parquet(pipeline.tier_path(out, "packed"))
+    n_points = packed.agg(F.sum("n_points").alias("n")).collect()[0]["n"]
+    assert n_points == t1m.count()
