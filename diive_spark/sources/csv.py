@@ -99,7 +99,8 @@ def read_filetype(
     if len(names) < len(data_cols):
         names += [f"col_{i}" for i in range(len(names), len(data_cols))]
     df = df.toDF(*names[: len(data_cols)])
-    if ft.timestamp_col in df.columns:
+    has_ts = ft.timestamp_col is not None and ft.timestamp_col in df.columns
+    if has_ts:
         fmt = ft.timestamp_format
         ts = (
             F.try_to_timestamp(F.col(ft.timestamp_col), F.lit(fmt))
@@ -114,6 +115,14 @@ def read_filetype(
         qc = F.col(f"`{c}`")  # backticks: raw names may contain dots
         cleaned = F.when(qc.isin(*ft.na_values), None).otherwise(qc)
         df = df.withColumn(c, cleaned.try_cast("double"))
+    if not has_ts:
+        # no timestamp to key the header-skip on: header/units lines coerce
+        # to all-null rows — drop them
+        any_value = None
+        for c in df.columns:
+            cond = F.col(f"`{c}`").isNotNull()
+            any_value = cond if any_value is None else (any_value | cond)
+        df = df.filter(any_value)
     return df, {"units": units, "filetype": ft.name}
 
 
@@ -144,4 +153,139 @@ def split_write(
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(out_path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# high-frequency (20Hz) + zipped dialects
+# ---------------------------------------------------------------------------
+
+FILETYPES["ETH-RECORD-TOA5-CSVGZ-20HZ"] = FileType(
+    "ETH-RECORD-TOA5-CSVGZ-20HZ", skip_rows=1, header_rows=3, units_row=1,
+    compression="gzip", timestamp_col=None, nominal_freq_seconds=None,
+)
+FILETYPES["ETH-RECORD-TOA5-CSVGZ-20HZ"].nominal_freq_ms = 50
+FILETYPES["ICOS-H2R-CSVZIP-10S"] = FileType(
+    "ICOS-H2R-CSVZIP-10S", header_rows=2, units_row=1, compression="zip",
+    timestamp_col="TIMESTAMP", timestamp_format="yyyyMMddHHmmss",
+    nominal_freq_seconds=10,
+)
+
+
+def create_timestamp_from_file_start(
+    df: DataFrame,
+    file_start_pattern: str = r"(\d{8}-\d{4})",
+    file_start_format: str = "yyyyMMdd-HHmm",
+    nominal_freq_ms: int = 50,
+    ts_col: str = "TIMESTAMP_END",
+) -> DataFrame:
+    """Reconstruct per-record timestamps for high-frequency files that carry
+    no timestamp column (create_timestamp / calc_true_resolution,
+    /root/reference/diive/core/times/times.py:2027/1997): record i of a file
+    gets file_start + i * nominal interval.
+
+    Row order within a file is the gzip read order (gzip is unsplittable, so
+    one task reads each file sequentially and monotonically_increasing_id is
+    order-preserving within it).
+    """
+    from pyspark.sql import Window
+
+    tagged = (
+        df.withColumn("_file", F.input_file_name())
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("_file").orderBy("_mid")
+    start = F.to_timestamp(
+        F.regexp_extract(F.col("_file"), file_start_pattern, 1), file_start_format
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn(
+            ts_col,
+            F.timestamp_millis(
+                F.unix_millis(start) + F.col("_rn") * F.lit(nominal_freq_ms)
+            ),
+        )
+        .drop("_file", "_mid", "_rn")
+    )
+
+
+def read_highfreq_gz(
+    spark: SparkSession, paths: list[str] | str, filetype: str,
+    file_start_pattern: str = r"(\d{8}-\d{4})",
+    file_start_format: str = "yyyyMMdd-HHmm",
+) -> DataFrame:
+    """Read 20Hz gzip CSVs (Spark reads gzip natively) and reconstruct
+    per-record timestamps from each file's start time + nominal rate."""
+    ft = FILETYPES[filetype]
+    if isinstance(paths, str):
+        paths = [paths]
+    df, _ = read_filetype(spark, ",".join(paths) if len(paths) == 1 else paths[0], filetype)
+    # multi-path: union the rest (each file keeps its own row numbering)
+    for p in paths[1:]:
+        nxt, _ = read_filetype(spark, p, filetype)
+        df = df.unionByName(nxt, allowMissingColumns=True)
+    return create_timestamp_from_file_start(
+        df, file_start_pattern, file_start_format, ft.nominal_freq_ms
+    )
+
+
+def read_zipped_filetype(
+    spark: SparkSession, path: str, filetype: str,
+) -> DataFrame:
+    """Read zip-compressed CSVs distributed: binaryFile source + an Arrow
+    mapInPandas kernel that unzips and parses each archive in its executor
+    (Spark has no native zip codec). Schema comes from the first archive's
+    header block, parsed once on the driver."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    ft = FILETYPES[filetype]
+    first = spark.read.format("binaryFile").load(path).limit(1).collect()[0]
+    with zipfile.ZipFile(io.BytesIO(first["content"])) as z:
+        inner = z.namelist()[0]
+        head_lines = io.TextIOWrapper(z.open(inner)).readlines()[
+            ft.skip_rows: ft.skip_rows + ft.header_rows
+        ]
+    names = [c.strip().strip('"') for c in head_lines[0].strip().split(ft.separator)]
+    names = [n if n else f"col_{i}" for i, n in enumerate(names)]
+
+    schema = ", ".join(
+        f"`{n}` timestamp" if n == ft.timestamp_col else f"`{n}` double" for n in names
+    )
+    na_values = [*ft.na_values]
+    ts_col, ts_fmt = ft.timestamp_col, ft.timestamp_format
+    skip = ft.skip_rows + ft.header_rows
+    sep = ft.separator
+
+    def parse(batches):
+        for pdf in batches:
+            frames = []
+            for blob in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+                    for name in zf.namelist():
+                        raw = pd.read_csv(
+                            zf.open(name), sep=sep, skiprows=skip, header=None,
+                            names=names, na_values=list(na_values),
+                        )
+                        if ts_col in raw.columns:
+                            fmt = (ts_fmt.replace("yyyy", "%Y").replace("MM", "%m")
+                                   .replace("dd", "%d").replace("HH", "%H")
+                                   .replace("mm", "%M").replace("ss", "%S"))
+                            raw[ts_col] = pd.to_datetime(
+                                raw[ts_col].astype("Int64").astype(str), format=fmt,
+                                errors="coerce",
+                            )
+                        for c in raw.columns:
+                            if c != ts_col:
+                                raw[c] = pd.to_numeric(raw[c], errors="coerce")
+                        frames.append(raw)
+            yield pd.concat(frames) if frames else pd.DataFrame(columns=names)
+
+    return (
+        spark.read.format("binaryFile").load(path)
+        .select("content")
+        .mapInPandas(parse, schema=schema)
     )

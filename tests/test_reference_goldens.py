@@ -155,3 +155,30 @@ def test_toa5_dialect(spark):
     assert df.filter(F.col("TIMESTAMP").isNull()).count() == 0
     freq = sanitizer.detect_frequency(df, "TIMESTAMP")
     assert freq.freq_seconds == 60
+
+
+def test_icos_zip_dialect(spark):
+    p = f"{EXAMPLEDATA}/exampledata_ICOS-H2R-CSVZIP-10S_CH-Dav_BM_20230328_L02_F03.zip"
+    df = csvsrc.read_zipped_filetype(spark, p, "ICOS-H2R-CSVZIP-10S")
+    n = df.count()
+    assert n == 98  # 100-line sample: 2 header rows + 98 records
+    assert df.filter(F.col("TIMESTAMP").isNull()).count() == 0
+    freq = sanitizer.detect_frequency(df, "TIMESTAMP")
+    assert freq.freq_seconds == 10
+    first = df.agg(F.min("TIMESTAMP").alias("f")).collect()[0]["f"]
+    assert str(first) == "2023-03-28 00:00:10"
+
+
+def test_highfreq_gz_timestamp_reconstruction(spark):
+    p = (f"{EXAMPLEDATA}/exampledata_ETH-RECORD-TOA5-CSVGZ-20HZ_CH-FRU_ec_"
+         "20240404-1300.csv.gz")
+    df = csvsrc.read_highfreq_gz(spark, p, "ETH-RECORD-TOA5-CSVGZ-20HZ")
+    n = df.count()
+    assert n == 96  # 100-line sample: 4 header rows + 96 records
+    bounds = df.agg(F.min("TIMESTAMP_END").alias("lo"),
+                    F.max("TIMESTAMP_END").alias("hi")).collect()[0]
+    assert str(bounds["lo"]) == "2024-04-04 13:00:00"
+    # 50ms nominal rate: span == (n-1) * 50ms
+    span_ms = (bounds["hi"] - bounds["lo"]).total_seconds() * 1000
+    assert span_ms == (n - 1) * 50
+    assert df.select("U").first()["U"] is not None
