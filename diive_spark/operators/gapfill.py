@@ -221,3 +221,118 @@ def gapfill_cascade(
         interp, key_cols, ts_col, value_col, tier_seconds,
         window_tiers=window_tiers, min_samples=min_samples,
     )
+
+
+FLAG_CLIMATOLOGY = 3
+METHOD_CLIMATOLOGY = 3
+
+
+def climatology_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    each_month: bool = True,
+    min_samples: int = 3,
+    filled_col: str = "filled",
+    flag_col: str = "fill_flag",
+    granular_col: str = "fill_granular",
+) -> DataFrame:
+    """Last-resort fill from the time-of-day climatology — the model-free
+    analogue of the reference's timestamp-features FALLBACK model
+    (MlRegressorGapFillingBase, /root/reference/diive/core/ml/common.py:1175-1212:
+    rows the full model can't predict get a model on timestamp features only).
+
+    The climatology is the per (key[, month], hour, minute) mean of OBSERVED
+    values (a groupBy + broadcast join-back — pure exprs); still-missing slots
+    with >= min_samples climatology support get flag 3, granular 3000+count
+    capped at 3999. Observed and previously-filled values are never touched.
+    """
+    v = F.col(value_col)
+    groups = [*key_cols, F.hour(ts_col).alias("_h"), F.minute(ts_col).alias("_m")]
+    if each_month:
+        groups.append(F.month(ts_col).alias("_mo"))
+    clim = (
+        df.filter(v.isNotNull())
+        .groupBy(*groups)
+        .agg(F.avg(v).alias("_clim"), F.count(v).alias("_clim_n"))
+    )
+    join_keys = [*key_cols, "_h", "_m"] + (["_mo"] if each_month else [])
+    out = df.withColumn("_h", F.hour(ts_col)).withColumn("_m", F.minute(ts_col))
+    if each_month:
+        out = out.withColumn("_mo", F.month(ts_col))
+    out = out.join(F.broadcast(clim), join_keys, "left")
+
+    still_missing = F.col(filled_col).isNull() if filled_col in df.columns else v.isNull()
+    # materialize the predicate BEFORE mutating filled_col: withColumn
+    # expressions resolve lazily against the updated frame, so reusing the
+    # raw predicate after the first mutation would see the new filled values
+    out = out.withColumn(
+        "_elig",
+        still_missing & F.col("_clim").isNotNull() & (F.col("_clim_n") >= min_samples),
+    )
+    eligible = F.col("_elig")
+    base_filled = F.col(filled_col) if filled_col in df.columns else v
+    base_flag = F.col(flag_col) if flag_col in df.columns else F.when(v.isNotNull(), F.lit(FLAG_OBSERVED))
+    base_gran = F.col(granular_col) if granular_col in df.columns else F.lit(None)
+    out = (
+        out.withColumn(
+            flag_col,
+            F.when(eligible, F.lit(FLAG_CLIMATOLOGY)).otherwise(base_flag).cast("int"),
+        )
+        .withColumn(
+            granular_col,
+            F.when(
+                eligible,
+                F.lit(METHOD_CLIMATOLOGY * 1000) + F.least(F.col("_clim_n"), F.lit(999)),
+            ).otherwise(base_gran).cast("int"),
+        )
+        .withColumn(filled_col, F.when(eligible, F.col("_clim")).otherwise(base_filled))
+    )
+    return out.drop("_h", "_m", "_mo", "_clim", "_clim_n", "_elig")
+
+
+def gapfill_scores(
+    gridded_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tier_seconds: int,
+    holdout_frac: float = 0.25,
+    seed: int = 42,
+    **cascade_kwargs,
+) -> DataFrame:
+    """Holdout skill scores for the fill cascade — mirrors the reference's
+    random 25% holdout scoring (ml/common.py scores_: r2/mae/rmse). A seeded
+    deterministic hash selects observed rows to hide; the cascade fills them;
+    predictions are scored against the hidden truth."""
+    h = F.pmod(F.xxhash64(F.col(ts_col).cast("string"), *key_cols, F.lit(seed)), F.lit(10_000))
+    is_holdout = (h < int(holdout_frac * 10_000)) & F.col(value_col).isNotNull()
+    # _is_holdout MUST be materialized before value_col is nulled (withColumn
+    # expressions resolve against the mutated frame)
+    masked = (
+        gridded_df.withColumn("_is_holdout", is_holdout)
+        .withColumn("_truth", F.col(value_col))
+        .withColumn(
+            value_col,
+            F.when(F.col("_is_holdout"), F.lit(None)).otherwise(F.col(value_col)),
+        )
+    )
+    filled = gapfill_cascade(masked, key_cols, ts_col, value_col, tier_seconds,
+                             **cascade_kwargs)
+    scored = filled.filter(F.col("_is_holdout") & F.col("filled").isNotNull())
+    err = F.col("filled") - F.col("_truth")
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.sqrt(F.avg(err * err)).alias("rmse"),
+        F.sum(err * err).alias("_sse"),
+        F.sum(F.col("_truth") * F.col("_truth")).alias("_st2"),
+        F.sum("_truth").alias("_st"),
+        F.count("_truth").cast("double").alias("_n"),
+    )
+    # r2 = 1 - SSE / SStot, SStot from moment sums (no window-in-agg)
+    sstot = F.col("_st2") - F.col("_st") * F.col("_st") / F.col("_n")
+    return agg.withColumn("r2", 1 - F.col("_sse") / F.nullif(sstot, F.lit(0.0))).drop(
+        "_sse", "_st2", "_st", "_n"
+    )

@@ -1076,3 +1076,81 @@ FROM f
 
 QUERIES["median_fill_1h"] = q_median_fill_1h
 ORACLES["median_fill_1h"] = SQL_MEDIAN_FILL_1H
+
+
+def q_climatology_fill_1h(spark, sf_dir):
+    """Interp + hour-of-day climatology fallback fill (the model-free
+    analogue of the reference's timestamp-features fallback model,
+    ml/common.py:1175-1212)."""
+    g = _hourly_gridded(spark, sf_dir).select("event_type", "window_start", "value_mean")
+    interp = gapfill.linear_interpolation(g, ["event_type"], "window_start",
+                                          "value_mean", limit=3)
+    out = gapfill.climatology_fill(interp, ["event_type"], "window_start",
+                                   "value_mean", each_month=False, min_samples=3)
+    return out.select(
+        "event_type", "window_start",
+        _r6("filled").alias("filled_v"),
+        F.col("fill_flag").cast("int").alias("fill_flag"),
+    )
+
+
+SQL_CLIMATOLOGY_FILL_1H = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, avg(value) AS mean_v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM agg),
+grid AS (
+  SELECT e.event_type, g.window_start
+  FROM (SELECT DISTINCT event_type FROM agg) e
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 HOUR)) AS window_start) g
+),
+j AS (
+  SELECT g.event_type, g.window_start, a.mean_v,
+         CAST(epoch(g.window_start) AS DOUBLE) AS tsn,
+         count(a.mean_v) OVER w_prev AS run
+  FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.window_start = g.window_start
+  WINDOW w_prev AS (PARTITION BY g.event_type ORDER BY g.window_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+k AS (
+  SELECT *,
+         last_value(mean_v IGNORE NULLS) OVER w_prev AS prev_v,
+         last_value(CASE WHEN mean_v IS NOT NULL THEN tsn END IGNORE NULLS) OVER w_prev AS prev_t,
+         first_value(mean_v IGNORE NULLS) OVER w_next AS next_v,
+         first_value(CASE WHEN mean_v IS NOT NULL THEN tsn END IGNORE NULLS) OVER w_next AS next_t,
+         sum(CASE WHEN mean_v IS NULL THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type, run) AS gap_len
+  FROM j
+  WINDOW w_prev AS (PARTITION BY event_type ORDER BY window_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY event_type ORDER BY window_start
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+f AS (
+  SELECT *,
+         CASE WHEN mean_v IS NOT NULL THEN mean_v
+              WHEN gap_len <= 3 AND prev_v IS NOT NULL AND next_v IS NOT NULL
+              THEN prev_v + (next_v - prev_v) * ((tsn - prev_t) / (next_t - prev_t))
+         END AS interp_v
+  FROM f0
+), f0 AS (SELECT * FROM k),
+clim AS (
+  SELECT event_type, hour(window_start) AS h,
+         avg(mean_v) AS clim_v, count(mean_v) AS clim_n
+  FROM j WHERE mean_v IS NOT NULL GROUP BY 1, 2
+)
+SELECT f.event_type, f.window_start,
+       round(CASE WHEN f.interp_v IS NOT NULL THEN f.interp_v
+                  WHEN c.clim_n >= 3 THEN c.clim_v END, 6) AS filled_v,
+       CAST(CASE WHEN f.mean_v IS NOT NULL THEN 0
+                 WHEN f.interp_v IS NOT NULL THEN 1
+                 WHEN c.clim_n >= 3 THEN 3 END AS INTEGER) AS fill_flag
+FROM f LEFT JOIN clim c ON c.event_type = f.event_type AND c.h = hour(f.window_start)
+"""
+
+
+QUERIES["climatology_fill_1h"] = q_climatology_fill_1h
+ORACLES["climatology_fill_1h"] = SQL_CLIMATOLOGY_FILL_1H

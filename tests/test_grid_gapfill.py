@@ -136,3 +136,34 @@ def test_slab_halo_equals_global(spark):
         small_slabs["filled"].to_numpy(), one_big["filled"].to_numpy(), rtol=0, atol=0
     )
     pd.testing.assert_series_equal(small_slabs["fill_flag"], one_big["fill_flag"])
+
+
+def test_climatology_fill_and_scores(spark):
+    # two weeks hourly with a strong diel cycle; one full day missing ->
+    # interp can't fill, climatology (hour-of-day mean) can
+    ts = pd.date_range("2024-06-01", periods=14 * 24, freq="1h")
+    vals = 10 + 5 * np.sin(2 * np.pi * ts.hour / 24)
+    pdf = pd.DataFrame({"series": "s1", "window_start": ts, "value": vals})
+    pdf.loc[(ts >= "2024-06-08") & (ts < "2024-06-09"), "value"] = np.nan
+    df = spark.createDataFrame(pdf)
+
+    interp = gapfill.linear_interpolation(df, ["series"], "window_start", "value", limit=3)
+    out = gapfill.climatology_fill(
+        interp, ["series"], "window_start", "value", each_month=True
+    ).orderBy("window_start").toPandas()
+    missing_day = out[(out["window_start"] >= "2024-06-08") & (out["window_start"] < "2024-06-09")]
+    assert (missing_day["fill_flag"] == gapfill.FLAG_CLIMATOLOGY).all()
+    # climatology of a pure diel signal reproduces it exactly
+    truth = 10 + 5 * np.sin(2 * np.pi * pd.DatetimeIndex(missing_day["window_start"]).hour / 24)
+    np.testing.assert_allclose(missing_day["filled"], truth, rtol=1e-12)
+    # observed untouched
+    obs = out[out["fill_flag"] == 0]
+    np.testing.assert_allclose(obs["filled"], obs["value"], rtol=0)
+
+    scores = gapfill.gapfill_scores(
+        df, ["series"], "window_start", "value", tier_seconds=3600,
+        interp_limit=3, window_tiers=[5, 13],
+    ).toPandas().iloc[0]
+    assert scores["n_scored"] > 30
+    assert scores["r2"] > 0.9  # smooth diel signal: local fills are skilled
+    assert scores["mae"] < 1.0
