@@ -1154,3 +1154,29 @@ FROM f LEFT JOIN clim c ON c.event_type = f.event_type AND c.h = hour(f.window_s
 
 QUERIES["climatology_fill_1h"] = q_climatology_fill_1h
 ORACLES["climatology_fill_1h"] = SQL_CLIMATOLOGY_FILL_1H
+
+
+def q_json_props(spark, sf_dir):
+    """JSON metadata extraction from the events props column (engine-new;
+    the reference has no JSON surface, SURVEY.md §2.8) + per-type stats."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.count("k").alias("cnt"),
+             _r6(F.avg("k")).alias("mean_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, count(k) AS cnt, round(avg(k), 6) AS mean_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
+GROUP BY 1
+"""
+
+QUERIES["json_props"] = q_json_props
+ORACLES["json_props"] = SQL_JSON_PROPS

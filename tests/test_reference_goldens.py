@@ -182,3 +182,12 @@ def test_highfreq_gz_timestamp_reconstruction(spark):
     span_ms = (bounds["hi"] - bounds["lo"]).total_seconds() * 1000
     assert span_ms == (n - 1) * 50
     assert df.select("U").first()["U"] is not None
+
+
+def test_fluxnet_fullset_structural(spark):
+    p = (f"{EXAMPLEDATA}/exampledata_FLUXNET-FULLSET-HH-CSV-30MIN_FLX_CH-Cha_"
+         "FLUXNET2015_FULLSET_HH_2005-2020_beta-3.csv")
+    df, _ = csvsrc.read_filetype(spark, p, "FLUXNET-FULLSET-HH-CSV-30MIN")
+    assert df.count() > 10
+    freq = sanitizer.detect_frequency(df, "TIMESTAMP_END")
+    assert freq.freq_seconds == 1800
