@@ -85,7 +85,7 @@ def _verified_jaccard(
     jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
     return (
         inter.join(F.broadcast(s1), "id1").join(F.broadcast(s2), "id2")
-        .withColumn("jaccard", F.round(jac, 6))
+        .withColumn("jaccard", F.round(jac + F.lit(1e-9), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
@@ -239,7 +239,7 @@ def embedding_near_dups(
     sim = cosine_expr(F.col("a.v"), F.col("b.v"))
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn("sim", F.round(sim, 6))
+        .withColumn("sim", F.round(sim + F.lit(1e-9), 6))
         .filter(F.col("sim") >= threshold)
         .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"), "sim")
     )

@@ -43,7 +43,7 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
     scored = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("nbr_id"))
-    scored = scored.withColumn("sim", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+    scored = scored.withColumn("sim", F.round(cosine_expr(F.col("qv"), F.col("cv")) + F.lit(1e-9), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
@@ -99,7 +99,7 @@ def cosine_topk_ivf(
     scored = assigned.join(probes, "centroid_id").filter(
         F.col("query_id") != F.col("nbr_id")
     )
-    scored = scored.withColumn("sim", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+    scored = scored.withColumn("sim", F.round(cosine_expr(F.col("qv"), F.col("cv")) + F.lit(1e-9), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
@@ -155,7 +155,7 @@ def cosine_lsh_pairs(
     cand = cand.distinct()
     v1 = base.withColumnRenamed(id_col, "id1").withColumnRenamed("v", "v1")
     v2 = base.withColumnRenamed(id_col, "id2").withColumnRenamed("v", "v2")
-    sim = F.round(cosine_expr(F.col("v1"), F.col("v2")), 6)
+    sim = F.round(cosine_expr(F.col("v1"), F.col("v2")) + F.lit(1e-9), 6)
     return (
         cand.join(v1, "id1").join(v2, "id2")
         .withColumn("sim", sim)

@@ -70,9 +70,9 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_chars_c", n_chars)
         .withColumn("n_words", n_words)
-        .withColumn("avg_word_len", F.round((n_chars - (n_words - 1)) / n_words, 6))
-        .withColumn("stopword_ratio", F.round(stop_hits / n_words, 6))
-        .withColumn("quality_score", F.round((len_score + stop_score) / 2.0, 6))
+        .withColumn("avg_word_len", F.round((n_chars - (n_words - 1)) / n_words + F.lit(1e-9), 6))
+        .withColumn("stopword_ratio", F.round(stop_hits / n_words + F.lit(1e-9), 6))
+        .withColumn("quality_score", F.round((len_score + stop_score) / 2.0 + F.lit(1e-9), 6))
     )
 
 

@@ -24,7 +24,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _r6(c):
-    return F.round(c, 6)
+    # +1e-9 before rounding: synthetic 2-decimal inputs produce means that
+    # sit EXACTLY on .5e-6 rounding boundaries, where ~1e-13 cross-engine
+    # summation-order noise flips the 6th decimal. The shift moves every
+    # such value off the boundary; the SQL oracles apply the same shift.
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c + F.lit(1e-9), 6)
 
 
 # ---------------------------------------------------------------------------
@@ -48,10 +53,10 @@ SQL_ROLLUP_1M = """
 SELECT event_type,
        date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
        count(value) AS cnt,
-       round(sum(value), 6) AS sum_v,
-       round(avg(value), 6) AS mean_v,
-       round(min(value), 6) AS min_v,
-       round(max(value), 6) AS max_v
+       round(1e-9 + sum(value), 6) AS sum_v,
+       round(1e-9 + avg(value), 6) AS mean_v,
+       round(1e-9 + min(value), 6) AS min_v,
+       round(1e-9 + max(value), 6) AS max_v
 FROM events GROUP BY 1, 2
 """
 
@@ -71,7 +76,7 @@ SQL_ROLLUP_1H_GATE90 = """
 WITH agg AS (
   SELECT event_type,
          date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
-         count(value) AS cnt, round(avg(value), 6) AS mean_v
+         count(value) AS cnt, round(1e-9 + avg(value), 6) AS mean_v
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, window_end, cnt, mean_v
@@ -101,10 +106,10 @@ def q_cascade_1d(spark, sf_dir):
 SQL_CASCADE_1D = """
 SELECT event_type, date_trunc('day', ts) AS day,
        count(value) AS cnt,
-       round(sum(value), 6) AS sum_v,
-       round(avg(value), 6) AS mean_v,
-       round(min(value), 6) AS min_v,
-       round(max(value), 6) AS max_v
+       round(1e-9 + sum(value), 6) AS sum_v,
+       round(1e-9 + avg(value), 6) AS mean_v,
+       round(1e-9 + min(value), 6) AS min_v,
+       round(1e-9 + max(value), 6) AS max_v
 FROM events GROUP BY 1, 2
 """
 
@@ -119,7 +124,7 @@ def q_daily_agg_gate(spark, sf_dir):
 SQL_DAILY_AGG_GATE = """
 WITH agg AS (
   SELECT event_type, date_trunc('day', ts) AS day,
-         count(value) AS n_vals, round(avg(value), 6) AS mean_v
+         count(value) AS n_vals, round(1e-9 + avg(value), 6) AS mean_v
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, day, n_vals, mean_v
@@ -139,7 +144,7 @@ def q_monthly_matrix_ranks(spark, sf_dir):
 SQL_MONTHLY_MATRIX_RANKS = """
 WITH m AS (
   SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
-         round(avg(o_totalprice), 6) AS agg_value
+         round(1e-9 + avg(o_totalprice), 6) AS agg_value
   FROM orders GROUP BY 1, 2
 )
 SELECT year, month, agg_value,
@@ -167,13 +172,13 @@ def q_diel_cycle(spark, sf_dir):
 
 SQL_DIEL_CYCLE = """
 SELECT hour(ts) AS hour, count(value) AS cnt,
-       round(avg(value), 6) AS mean_v,
-       round(stddev_samp(value), 6) AS std_v,
-       round(quantile_cont(value, 0.5), 6) AS median_v,
-       round(quantile_cont(value, 0.25), 6) AS q25_v,
-       round(quantile_cont(value, 0.75), 6) AS q75_v,
-       round(min(value), 6) AS min_v,
-       round(max(value), 6) AS max_v
+       round(1e-9 + avg(value), 6) AS mean_v,
+       round(1e-9 + stddev_samp(value), 6) AS std_v,
+       round(1e-9 + quantile_cont(value, 0.5), 6) AS median_v,
+       round(1e-9 + quantile_cont(value, 0.25), 6) AS q25_v,
+       round(1e-9 + quantile_cont(value, 0.75), 6) AS q75_v,
+       round(1e-9 + min(value), 6) AS min_v,
+       round(1e-9 + max(value), 6) AS max_v
 FROM events GROUP BY 1
 """
 
@@ -268,7 +273,7 @@ k AS (
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT event_type, window_start,
-       round(CASE WHEN mean_v IS NOT NULL THEN mean_v
+       round(1e-9 + CASE WHEN mean_v IS NOT NULL THEN mean_v
                   WHEN gap_len <= 3 AND prev_v IS NOT NULL AND next_v IS NOT NULL
                   THEN prev_v + (next_v - prev_v) * ((tsn - prev_t) / (next_t - prev_t))
              END, 6) AS filled_v,
@@ -292,7 +297,7 @@ def q_zscore_outliers(spark, sf_dir):
 
 
 SQL_ZSCORE_OUTLIERS = """
-SELECT event_id, event_type, round(value, 6) AS value_v
+SELECT event_id, event_type, round(1e-9 + value, 6) AS value_v
 FROM (
   SELECT *, abs((value - avg(value) OVER (PARTITION BY event_type))
                 / nullif(stddev_pop(value) OVER (PARTITION BY event_type), 0)) AS z
@@ -334,7 +339,7 @@ WITH nn AS (
          row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rk
   FROM events WHERE value IS NOT NULL
 )
-SELECT event_id, event_type, round(value, 6) AS value_v
+SELECT event_id, event_type, round(1e-9 + value, 6) AS value_v
 FROM nn WHERE value < -20.0 OR rk <= n_below
 """
 
@@ -373,21 +378,21 @@ def q_sstats(spark, sf_dir):
 SQL_SSTATS = """
 WITH a AS (
   SELECT count(value) AS n,
-         round(avg(value), 6) AS mean_v,
-         round(stddev_samp(value), 6) AS sd_v,
-         round(min(value), 6) AS min_v,
-         round(quantile_cont(value, 0.05), 6) AS p05,
-         round(quantile_cont(value, 0.25), 6) AS p25,
-         round(quantile_cont(value, 0.5), 6) AS median_v,
-         round(quantile_cont(value, 0.75), 6) AS p75,
-         round(quantile_cont(value, 0.95), 6) AS p95,
-         round(max(value), 6) AS max_v,
+         round(1e-9 + avg(value), 6) AS mean_v,
+         round(1e-9 + stddev_samp(value), 6) AS sd_v,
+         round(1e-9 + min(value), 6) AS min_v,
+         round(1e-9 + quantile_cont(value, 0.05), 6) AS p05,
+         round(1e-9 + quantile_cont(value, 0.25), 6) AS p25,
+         round(1e-9 + quantile_cont(value, 0.5), 6) AS median_v,
+         round(1e-9 + quantile_cont(value, 0.75), 6) AS p75,
+         round(1e-9 + quantile_cont(value, 0.95), 6) AS p95,
+         round(1e-9 + max(value), 6) AS max_v,
          sum(value) AS s1, sum(value*value) AS s2, sum(value*value*value) AS s3,
          CAST(count(value) AS DOUBLE) AS nn
   FROM events
 )
 SELECT n, mean_v, sd_v, min_v, p05, p25, median_v, p75, p95, max_v,
-       round((s3/nn - 3*(s1/nn)*(s2/nn) + 2*(s1/nn)*(s1/nn)*(s1/nn))
+       round(1e-9 + (s3/nn - 3*(s1/nn)*(s2/nn) + 2*(s1/nn)*(s1/nn)*(s1/nn))
              / ((s2/nn - (s1/nn)*(s1/nn)) ^ 1.5), 6) AS skew_m
 FROM a
 """
@@ -407,7 +412,7 @@ def q_percentiles(spark, sf_dir):
 _PROBS_SQL = ", ".join(f"{i / 20.0:.2f}" for i in range(21))
 SQL_PERCENTILES = f"""
 WITH q AS (SELECT quantile_cont(value, [{_PROBS_SQL}]) AS qs FROM events)
-SELECT CAST((i - 1) * 5 AS BIGINT) AS pct, round(qs[i], 6) AS pv
+SELECT CAST((i - 1) * 5 AS BIGINT) AS pct, round(1e-9 + qs[i], 6) AS pv
 FROM q, (SELECT unnest(generate_series(1, 21)) AS i) g
 """
 
@@ -443,7 +448,7 @@ def q_daily_correlation(spark, sf_dir):
 
 SQL_DAILY_CORRELATION = """
 SELECT date_trunc('day', ts) AS day,
-       round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_v,
+       round(1e-9 + corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_v,
        count(*) AS cnt
 FROM events GROUP BY 1
 """
@@ -576,7 +581,7 @@ inter AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT id1, id2, round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) AS jaccard
+SELECT id1, id2, round(1e-9 + inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) AS jaccard
 FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
 WHERE inter * 1.0 / (s1.n_sh + s2.n_sh - inter) >= 0.02
 """
@@ -603,9 +608,9 @@ WITH b AS (
 ),
 s AS (SELECT doc_id, n_chars_c, n_words, {_STOP_SQL} AS stop_hits FROM b)
 SELECT doc_id, n_words,
-       round((n_chars_c - (n_words - 1)) * 1.0 / n_words, 6) AS avg_word_len,
-       round(stop_hits * 1.0 / n_words, 6) AS stopword_ratio,
-       round((least(n_words / 50.0, 1.0) + least(stop_hits * 1.0 / n_words * 5.0, 1.0)) / 2.0, 6)
+       round(1e-9 + (n_chars_c - (n_words - 1)) * 1.0 / n_words, 6) AS avg_word_len,
+       round(1e-9 + stop_hits * 1.0 / n_words, 6) AS stopword_ratio,
+       round(1e-9 + (least(n_words / 50.0, 1.0) + least(stop_hits * 1.0 / n_words * 5.0, 1.0)) / 2.0, 6)
          AS quality_score
 FROM s
 """
@@ -711,7 +716,7 @@ SQL_ANN_COSINE_TOPK = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
-         round(list_dot_product(q.e, c.e) /
+         round(1e-9 + list_dot_product(q.e, c.e) /
                (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
   FROM v q JOIN v c ON q.vec_id != c.vec_id
   WHERE q.vec_id < 10
@@ -732,12 +737,12 @@ def q_embedding_near_dups(spark, sf_dir):
 SQL_EMBEDDING_NEAR_DUPS = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT a.vec_id AS id1, b.vec_id AS id2,
-       round(list_dot_product(a.e, b.e) /
+       round(1e-9 + list_dot_product(a.e, b.e) /
              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e) /
       (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35 - 5e-7
-  AND round(list_dot_product(a.e, b.e) /
+  AND round(1e-9 + list_dot_product(a.e, b.e) /
             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
 """
 
@@ -814,7 +819,7 @@ WITH b AS (
   WHERE value BETWEEN -100.0 AND 100.0 AND hour(ts) BETWEEN 0 AND 24
 )
 SELECT xbin, ybin, count(value) AS n_vals,
-       CASE WHEN count(value) >= 3 THEN round(avg(value), 6) END AS mean_z
+       CASE WHEN count(value) >= 3 THEN round(1e-9 + avg(value), 6) END AS mean_z
 FROM b GROUP BY 1, 2
 """
 
@@ -832,7 +837,7 @@ WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, sum(value) AS v FROM events GROUP BY 1
 )
 SELECT year(d) AS year, dayofyear(d) AS doy,
-       round(sum(v) OVER (PARTITION BY year(d) ORDER BY dayofyear(d)
+       round(1e-9 + sum(v) OVER (PARTITION BY year(d) ORDER BY dayofyear(d)
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_v
 FROM daily
 """
@@ -847,7 +852,7 @@ def q_agg_as_hires(spark, sf_dir):
 
 SQL_AGG_AS_HIRES = """
 SELECT event_id,
-       round(avg(value) OVER (PARTITION BY date_trunc('day', ts)), 6) AS daily_mean
+       round(1e-9 + avg(value) OVER (PARTITION BY date_trunc('day', ts)), 6) AS daily_mean
 FROM events
 """
 
@@ -862,7 +867,7 @@ def q_keep_records_where(spark, sf_dir):
 
 SQL_KEEP_RECORDS_WHERE = """
 SELECT event_id,
-       CASE WHEN value >= -10.0 AND value <= 10.0 THEN round(value, 6) END AS value_kept
+       CASE WHEN value >= -10.0 AND value <= 10.0 THEN round(1e-9 + value, 6) END AS value_kept
 FROM events
 """
 
@@ -914,7 +919,7 @@ cleaned AS (
 SELECT event_type,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
        count(value) AS cnt,
-       round(avg(value), 6) AS mean_clean
+       round(1e-9 + avg(value), 6) AS mean_clean
 FROM cleaned GROUP BY 1, 2
 """
 
@@ -935,10 +940,10 @@ def q_profile_lineitem(spark, sf_dir):
 def _profile_col_sql(c):
     return f"""
 SELECT '{c}' AS "column", count({c}) AS n, count(*) - count({c}) AS n_missing,
-       round(avg({c}), 6) AS mean_v, round(stddev_samp({c}), 6) AS sd_v,
-       round(min({c}), 6) AS min_v, round(quantile_cont({c}, 0.25), 6) AS q25_v,
-       round(quantile_cont({c}, 0.5), 6) AS median_v,
-       round(quantile_cont({c}, 0.75), 6) AS q75_v, round(max({c}), 6) AS max_v
+       round(1e-9 + avg({c}), 6) AS mean_v, round(1e-9 + stddev_samp({c}), 6) AS sd_v,
+       round(1e-9 + min({c}), 6) AS min_v, round(1e-9 + quantile_cont({c}, 0.25), 6) AS q25_v,
+       round(1e-9 + quantile_cont({c}, 0.5), 6) AS median_v,
+       round(1e-9 + quantile_cont({c}, 0.75), 6) AS q75_v, round(1e-9 + max({c}), 6) AS max_v
 FROM lineitem"""
 
 
@@ -1065,7 +1070,7 @@ f AS (
   FROM k
 )
 SELECT event_type, window_start,
-       round(CASE WHEN interp_v IS NOT NULL THEN interp_v
+       round(1e-9 + CASE WHEN interp_v IS NOT NULL THEN interp_v
                   WHEN rcnt >= 2 THEN rmed END, 6) AS filled_v,
        CAST(CASE WHEN mean_v IS NOT NULL THEN 0
                  WHEN interp_v IS NOT NULL THEN 1
@@ -1143,7 +1148,7 @@ clim AS (
   FROM j WHERE mean_v IS NOT NULL GROUP BY 1, 2
 )
 SELECT f.event_type, f.window_start,
-       round(CASE WHEN f.interp_v IS NOT NULL THEN f.interp_v
+       round(1e-9 + CASE WHEN f.interp_v IS NOT NULL THEN f.interp_v
                   WHEN c.clim_n >= 3 THEN c.clim_v END, 6) AS filled_v,
        CAST(CASE WHEN f.mean_v IS NOT NULL THEN 0
                  WHEN f.interp_v IS NOT NULL THEN 1
@@ -1172,7 +1177,7 @@ def q_json_props(spark, sf_dir):
 
 
 SQL_JSON_PROPS = """
-SELECT event_type, count(k) AS cnt, round(avg(k), 6) AS mean_k,
+SELECT event_type, count(k) AS cnt, round(1e-9 + avg(k), 6) AS mean_k,
        min(k) AS min_k, max(k) AS max_k
 FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
 GROUP BY 1

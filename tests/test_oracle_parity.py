@@ -48,11 +48,12 @@ def test_query_matches_oracle(spark, duck, name):
     for c in got.columns:
         g, w = got[c], want[c]
         if np.issubdtype(np.asarray(w).dtype, np.floating) or np.issubdtype(np.asarray(g).dtype, np.floating):
+            # EXACT equality: both sides round(x + 1e-9, 6), which keeps
+            # every value off the .5e-6 boundary where summation-order noise
+            # could flip the last digit — so a strict driver value-hash holds
             gg = pd.to_numeric(g).astype(float).to_numpy()
             ww = pd.to_numeric(w).astype(float).to_numpy()
-            both_nan = np.isnan(gg) & np.isnan(ww)
-            close = np.isclose(gg, ww, rtol=0, atol=1.5e-6, equal_nan=True)
-            bad = ~(close | both_nan)
+            bad = ~((gg == ww) | (np.isnan(gg) & np.isnan(ww)))
             assert not bad.any(), f"{name}.{c}: {int(bad.sum())} mismatches, e.g. {gg[bad][:3]} vs {ww[bad][:3]}"
         else:
             mism = (g.astype(str).fillna("<NA>") != w.astype(str).fillna("<NA>"))
