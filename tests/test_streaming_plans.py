@@ -73,3 +73,51 @@ def test_whole_stage_codegen_in_hot_path(spark):
     r.collect()  # AQE finalizes the physical plan only after execution
     plan = _plan(r)
     assert "*(" in plan  # the *(n) stage prefix marks WholeStageCodegen spans
+
+
+def test_stateful_gap_monitor(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches: the
+    second batch (after the seeded silence) must raise a gap alert."""
+    import pandas as pd
+    from diive_spark.streaming import stateful
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "stream_ckpt")
+    # batch 1: events up to 01:00; batch 2 (separate file): events from 05:00
+    b1 = pd.DataFrame({"source": "web",
+                       "event_time": pd.date_range("2024-01-01 00:00", periods=10, freq="5min")})
+    b2 = pd.DataFrame({"source": "web",
+                       "event_time": pd.date_range("2024-01-01 05:00", periods=5, freq="5min")})
+    spark.createDataFrame(b1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("source string, event_time timestamp").parquet(src)
+    monitored = stateful.gap_monitor_stream(stream, "source", gap_seconds=3600.0)
+
+    out_dir = str(tmp_path / "monitor_out")
+
+    def sink(df, _bid):
+        df.write.mode("append").parquet(out_dir)
+
+    q = (monitored.writeStream.foreachBatch(sink)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    first = spark.read.parquet(out_dir).toPandas()
+    assert len(first) == 1 and not first.iloc[0]["is_gap_alert"]
+    assert first.iloc[0]["total_events"] == 10
+
+    # append the late batch and resume from the checkpoint: state persists
+    spark.createDataFrame(b2).write.mode("append").parquet(src)
+    q2 = (stateful.gap_monitor_stream(
+            spark.readStream.schema("source string, event_time timestamp").parquet(src),
+            "source", gap_seconds=3600.0)
+          .writeStream.foreachBatch(sink)
+          .outputMode("update").option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    rows = spark.read.parquet(out_dir).toPandas().sort_values("total_events")
+    assert len(rows) == 2
+    row = rows.iloc[-1]
+    assert row["is_gap_alert"]                      # ~3.25h silence > 1h
+    assert row["total_events"] == 15                # state carried over
+    assert row["gap_seconds"] > 3600
