@@ -163,3 +163,46 @@ def profile_dataframe(df: DataFrame, cols: list[str] | None = None) -> DataFrame
         for c in numeric
     ]
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def approximate_entropy(
+    df: DataFrame, value_col: str, m: int = 2, r: float | None = None,
+    max_n: int = 2000,
+) -> DataFrame:
+    """Approximate entropy ApEn(m, r) — the reference's regularity metric
+    (diive/core/dfun/stats.py:261-300), vectorized: phi(m) - phi(m+1) with
+    Chebyshev tolerance r (default 0.2 * std), computed via numpy broadcast
+    instead of the reference's per-pair Python loops.
+
+    O(n^2) by definition: the series is truncated to the first ``max_n``
+    non-null values (documented cap; diive runs it on single-site series).
+    Runs as a single-group Arrow kernel — appropriate for rollup-tier series,
+    not raw 10^12-row scans.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        vals = []
+        for pdf in batches:
+            vals.append(pdf[value_col].dropna().to_numpy(dtype=np.float64))
+        s = np.concatenate(vals) if vals else np.empty(0)
+        s = s[:max_n]
+        n = len(s)
+        if n < m + 2:
+            yield pd.DataFrame({"apen": [float("nan")], "n_used": [n]})
+            return
+        tol = (0.2 * s.std()) if r is None else r
+
+        def phi(mm: int) -> float:
+            emb = np.lib.stride_tricks.sliding_window_view(s, mm)  # (n-mm+1, mm)
+            # pairwise Chebyshev distances via broadcasting
+            d = np.abs(emb[:, None, :] - emb[None, :, :]).max(axis=2)
+            c = (d <= tol).mean(axis=1)
+            return float(np.log(c).mean())
+
+        yield pd.DataFrame({"apen": [phi(m) - phi(m + 1)], "n_used": [n]})
+
+    return df.select(value_col).coalesce(1).mapInPandas(
+        kernel, schema="apen double, n_used bigint"
+    )

@@ -101,3 +101,31 @@ def test_profile_dataframe(spark):
     a = got[got["column"] == "a"].iloc[0]
     assert a["n"] == 3 and a["n_missing"] == 1
     np.testing.assert_allclose(a["mean"], 7 / 3)
+
+
+def test_approximate_entropy_matches_reference_formula(spark):
+    # oracle: the reference's own per-pair formula (stats.py:261-300)
+    rng = np.random.default_rng(11)
+    regular = np.tile([1.0, 2.0, 3.0, 4.0], 50)
+    noisy_s = rng.normal(0, 1, 200)
+
+    def ref_apen(s, m=2, r=None):
+        s = np.asarray(s, dtype=float)
+        N = len(s)
+        r = 0.2 * s.std() if r is None else r
+        def phi(mm):
+            x = [s[i:i + mm] for i in range(N - mm + 1)]
+            C = [np.mean([np.max(np.abs(xi - xj)) <= r for xj in x]) for xi in x]
+            return np.mean(np.log(C))
+        return phi(m) - phi(m + 1)
+
+    for series in (regular, noisy_s):
+        pdf = pd.DataFrame({"v": series})
+        got = sstats.approximate_entropy(spark.createDataFrame(pdf), "v").toPandas().iloc[0]
+        np.testing.assert_allclose(got["apen"], ref_apen(series), rtol=1e-10)
+    # regularity ordering: periodic << random
+    ap_reg = sstats.approximate_entropy(
+        spark.createDataFrame(pd.DataFrame({"v": regular})), "v").toPandas().iloc[0]["apen"]
+    ap_rand = sstats.approximate_entropy(
+        spark.createDataFrame(pd.DataFrame({"v": noisy_s})), "v").toPandas().iloc[0]["apen"]
+    assert ap_reg < 0.1 < ap_rand
