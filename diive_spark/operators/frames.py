@@ -60,8 +60,12 @@ def keep_records_where(
     }
     pred = conds[inclusive]
     if invert:
-        pred = ~pred
-    pred = c.isNotNull() & pred
+        # invert removes the IN-RANGE records; a null condition can't be
+        # in-range, so it is KEPT (tests/test_frames.py:54-58 contract)
+        pred = c.isNull() | ~pred
+    else:
+        # null condition values never match (tests/test_frames.py:40-44)
+        pred = c.isNotNull() & pred
     if drop:
         return df.filter(pred)
     protect = set(protect_cols or [])

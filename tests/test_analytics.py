@@ -61,7 +61,10 @@ def test_keep_records_where_shape_preserving(spark):
     left = frames.keep_records_where(df, "v", 3.0, 7.0, inclusive="left", drop=True).toPandas()
     assert set(left["v"]) == {3.0, 5.0}
     inv = frames.keep_records_where(df, "v", 2.0, 8.0, invert=True, drop=True).toPandas()
-    assert set(inv["v"]) == {1.0, 9.0}           # null never kept
+    # invert removes IN-RANGE records; a null condition can't be in-range so
+    # it is kept (reference tests/test_frames.py:46-58 contract)
+    assert set(inv["v"].dropna()) == {1.0, 9.0}
+    assert inv["v"].isna().sum() == 1
 
 
 def test_trim_and_keep_utils(spark):
