@@ -191,3 +191,57 @@ def test_fluxnet_fullset_structural(spark):
     assert df.count() > 10
     freq = sanitizer.detect_frequency(df, "TIMESTAMP_END")
     assert freq.freq_seconds == 1800
+
+
+def test_gridaggregator_goldens(spark):
+    # the reference's synthetic seeded fixture (tests/test_gridaggregator.py:12)
+    # is fully reproducible: np.random.seed(42), 100 uniform x/y/z
+    import numpy as np
+    from diive_spark.operators import gridagg
+
+    np.random.seed(42)
+    pdf = pd.DataFrame({
+        "x": np.random.rand(100), "y": np.random.rand(100), "z": np.random.rand(100)
+    })
+    df = spark.createDataFrame(pdf)
+
+    # quantile binning golden: wide-matrix sum (test_gridaggregator.py:18-34)
+    q = gridagg.grid_aggregate(df, "x", "y", "z", "quantile",
+                               n_bins_x=5, n_bins_y=5,
+                               aggfunc="mean", min_n_vals_per_bin=2).toPandas()
+    np.testing.assert_allclose(q["agg_value"].dropna().sum(),
+                               12.778815109306617, rtol=1e-12)
+
+    # custom binning golden: wide-matrix sum (test_gridaggregator.py:56-74)
+    c = gridagg.grid_aggregate(df, "x", "y", "z", "custom",
+                               custom_x_edges=[0, 0.25, 0.5, 0.75, 1],
+                               custom_y_edges=[0, 0.3, 0.6, 1],
+                               aggfunc="max", min_n_vals_per_bin=1).toPandas()
+    np.testing.assert_allclose(c["agg_value"].dropna().sum(),
+                               10.860205042306513, rtol=1e-12)
+    assert c["xbin"].nunique() == 4 and c["ybin"].nunique() == 3
+
+
+def test_qcf_goldens(spark):
+    # the reference's synthetic QCF decision fixture (tests/test_qaqc.py:11-55)
+    from diive_spark.operators import outliers
+
+    cols = [f"FLAG_FC_T{i}_TEST" for i in range(1, 6)]
+    rows = [
+        [0, 0, 0, 0, 0],  # -> QCF 0
+        [1, 0, 0, 0, 0],  # -> QCF 1
+        [1, 1, 0, 0, 0],  # -> QCF 1
+        [1, 1, 1, 1, 0],  # -> QCF 2 (4 soft)
+        [2, 0, 0, 0, 0],  # -> QCF 2 (1 hard)
+        [2, 1, 1, 0, 0],  # -> QCF 2
+    ]
+    pdf = pd.DataFrame(rows, columns=cols, dtype=float)
+    pdf["FC"] = np.arange(1.0, 7.0)
+    out = outliers.flag_qcf(spark.createDataFrame(pdf)).orderBy("FC").toPandas()
+    assert list(out["FLAG_QCF"]) == [0, 1, 1, 2, 2, 2]
+    # filtered series drops QCF==2; HQ keeps only QCF==0 (test_qaqc.py:41-55)
+    filtered = out["FC"].where(out["FLAG_QCF"] < 2)
+    assert filtered.iloc[[3, 4, 5]].isna().all()
+    np.testing.assert_allclose(filtered.iloc[[0, 1, 2]], [1.0, 2.0, 3.0])
+    hq = out["FC"].where(out["FLAG_QCF"] == 0)
+    assert int(hq.notna().sum()) == 1
