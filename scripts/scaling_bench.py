@@ -226,6 +226,13 @@ scan bandwidth, so the ingest job's scaling tracks the control number
 (>= 0.8): the only cross-node stage is the final-merge of 1m partials
 (KB-scale per window) and the tiny 1h/1d cascades.
 
+- Packed-binary token encoding (operators/tokens.py): storing tokens as
+  little-endian int32 BINARY and computing per-sequence stats via an Arrow
+  numpy kernel (frombuffer + reduceat) instead of JVM array expressions ran
+  the same 1.2M-row ingest ~1.75x faster absolute (11.67s @4c / 5.19s @16c
+  vs 20.4 / 8.9) with the same bus-bound scaling curve — the recommended
+  raw-table encoding at 100 TB (no per-row JVM array objects).
+
 Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by scripts/scaling_bench.py.
 """)
 
