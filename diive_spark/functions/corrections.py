@@ -83,3 +83,22 @@ def event_flag(ts: Column, events: list[tuple[str, str]]) -> Column:
     for start, end in events:
         cond = cond | ts.between(F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp"))
     return cond.cast("int")
+
+
+def measurement_offset_from_replicate(
+    df: DataFrame, value_col: str, replicate_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove the systematic offset between a sensor and its replicate
+    (MeasurementOffsetFromReplicate, offsetcorrection.py:25): offset =
+    median of (value - replicate) over rows where both exist, subtracted
+    from the value column. One tiny global agg + a column expression."""
+    out_col = out_col or f"{value_col}_corrected"
+    diff = F.col(value_col) - F.col(replicate_col)
+    offset = (
+        df.filter(F.col(value_col).isNotNull() & F.col(replicate_col).isNotNull())
+        .agg(F.percentile(diff, F.lit(0.5)).alias("_offset"))
+    )
+    return df.crossJoin(F.broadcast(offset)).withColumn(
+        out_col, F.col(value_col) - F.coalesce(F.col("_offset"), F.lit(0.0))
+    ).drop("_offset")

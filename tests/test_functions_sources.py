@@ -205,3 +205,17 @@ def test_detect_frequency_confidence_uses_all_deltas(spark):
     assert freq.confidence < 0.5  # 10 of 50 deltas
     with pytest.raises(sanitizer.TimestampError, match="irregular"):
         sanitizer.sanitize_timestamps(df, "TIMESTAMP_END")
+
+
+def test_measurement_offset_from_replicate(spark):
+    pdf = pd.DataFrame({
+        "main": [10.5, 11.5, 12.5, None, 14.5],
+        "rep": [10.0, 11.0, 12.0, 13.0, None],
+    })
+    out = corrections.measurement_offset_from_replicate(
+        spark.createDataFrame(pdf), "main", "rep"
+    ).toPandas()
+    # offset = median(main - rep over shared rows) = 0.5
+    np.testing.assert_allclose(
+        out["main_corrected"].dropna().sort_values(), [10.0, 11.0, 12.0, 14.0]
+    )
