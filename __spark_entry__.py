@@ -23,10 +23,31 @@ from pyspark.sql import functions as F  # noqa: E402
 from diive_spark import queries as q  # noqa: E402
 from diive_spark.operators import gapfill, grid, resample  # noqa: E402
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers regardless of how the
+    caller's SparkSession was created (its workers only see diive_spark if
+    launched from this repo's cwd or with --py-files). Safe to call often."""
+    try:
+        import subprocess
+        zip_path = os.path.join(_REPO, "dist", "diive_spark.zip")
+        if not os.path.exists(zip_path):
+            subprocess.run(
+                [sys.executable, os.path.join(_REPO, "scripts", "make_pyfiles_zip.py")],
+                capture_output=True, timeout=60,
+            )
+        if os.path.exists(zip_path):
+            spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added, or workers can import via cwd/PYTHONPATH anyway
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full 3-tier rollup cascade over events + gap-filled hourly
     continuous aggregate with quality flags (the engine's core pipeline)."""
+    _ensure_shipped(spark)
     sf_dir = "/root/testdata/sf0.001"
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     t1m = resample.rollup(ev, "ts", ["value"], "1m", key_cols=["event_type"])
@@ -47,7 +68,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(q.QUERIES)
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, fn in q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
