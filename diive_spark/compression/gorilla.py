@@ -273,17 +273,19 @@ def unpack_blocks(packed: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
     def unpack(pdf_iter):
+        # one decode call per BLOCK (a blob is a single encoded unit holding
+        # thousands of points); batch assembly via np.repeat/concatenate —
+        # no per-row pandas iteration
         for pdf in pdf_iter:
-            frames = []
-            for _, row in pdf.iterrows():
-                ts = decode_timestamps(bytes(row["ts_blob"]))
-                vals = decode_values(bytes(row["val_blob"]))
-                f = pd.DataFrame({"ts": ts, "value": vals})
-                for c in key_cols:
-                    f[c] = row[c]
-                frames.append(f[[*key_cols, "ts", "value"]])
-            yield pd.concat(frames) if frames else pd.DataFrame(
-                columns=[*key_cols, "ts", "value"]
-            )
+            if not len(pdf):
+                yield pd.DataFrame(columns=[*key_cols, "ts", "value"])
+                continue
+            ts_list = [decode_timestamps(bytes(b)) for b in pdf["ts_blob"]]
+            val_list = [decode_values(bytes(b)) for b in pdf["val_blob"]]
+            counts = np.fromiter((len(t) for t in ts_list), dtype=np.int64, count=len(ts_list))
+            out = {c: np.repeat(pdf[c].to_numpy(), counts) for c in key_cols}
+            out["ts"] = np.concatenate(ts_list)
+            out["value"] = np.concatenate(val_list)
+            yield pd.DataFrame(out)
 
     return packed.mapInPandas(unpack, schema=out_schema)

@@ -57,6 +57,21 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
     )
 
 
+def cap_shingle_doc_freq(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles appearing in more than ``max_doc_freq`` documents.
+
+    At web scale this is load-bearing: a stop-phrase shingle shared by f docs
+    contributes ~f^2/2 candidate pairs to any shared-shingle self-join, so an
+    uncapped head shingle ("of the and" in 10^6 docs) creates a 10^12-pair
+    bucket. Capping document frequency bounds every bucket to
+    max_doc_freq^2/2 pairs. Recall impact: only pairs whose ENTIRE overlap is
+    high-DF shingles are missed — such pairs have near-zero distinctive
+    overlap by construction. Standard MinHash-pipeline preprocessing."""
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    keep = freq.filter(F.col("_df") <= max_doc_freq).select("shingle")
+    return sh.join(keep, "shingle")
+
+
 def _verified_jaccard(
     sh: DataFrame, id_col: str, threshold: float,
     candidates: DataFrame | None = None,
@@ -94,11 +109,42 @@ def _verified_jaccard(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str = "text",
     n: int = 3, threshold: float = 0.02,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word n-gram shingle sets.
-    Candidates = pairs sharing >= 1 shingle (bucket join on the shingle)."""
+    Candidates = pairs sharing >= 1 shingle (bucket join on the shingle).
+
+    ``max_doc_freq`` caps candidate generation to shingles appearing in at
+    most that many documents (see cap_shingle_doc_freq) — the Jaccard VALUE
+    for surviving candidates is still computed over the FULL shingle sets, so
+    reported similarities are exact; only pairs whose entire overlap is
+    high-DF shingles can be missed. None (default) keeps exact all-candidate
+    semantics; at web scale set it to ~0.01% of the corpus size."""
     sh = word_shingles(df, id_col, text_col, n).cache()
-    return _verified_jaccard(sh, id_col, threshold)
+    candidates = None
+    if max_doc_freq is not None:
+        capped = cap_shingle_doc_freq(sh, max_doc_freq)
+        a, b = capped.alias("a"), capped.alias("b")
+        candidates = (
+            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+            .distinct()
+        )
+    return _verified_jaccard(sh, id_col, threshold, candidates=candidates)
+
+
+def _signatures_from_shingles(sh: DataFrame, id_col: str, k: int, seed: int) -> DataFrame:
+    import random
+
+    rng = random.Random(seed)
+    perms = [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(k)]
+    x = h32(F.col("shingle"))
+    mins = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
 
 
 def minhash_signatures(
@@ -109,32 +155,31 @@ def minhash_signatures(
     h_i(x) = (a_i*x + b_i) mod p over 32-bit shingle hashes; signature =
     per-permutation minimum. One explode + one groupBy — linear in total
     shingle count, never materializes pairs."""
-    import random
-
-    rng = random.Random(seed)
-    perms = [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(k)]
-    sh = word_shingles(df, id_col, text_col, n)
-    x = h32(F.col("shingle"))
-    mins = [
-        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(perms)
-    ]
-    return sh.groupBy(id_col).agg(*mins)
+    return _signatures_from_shingles(word_shingles(df, id_col, text_col, n), id_col, k, seed)
 
 
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str = "text",
     n: int = 3, k: int = 16, bands: int = 4,
     threshold: float = 0.02, seed: int = 42,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """MinHash LSH: band the signature (bands x k/bands rows), bucket-join on
     (band, band-hash) for candidates, verify with exact Jaccard.
 
     Returns (id1, id2, jaccard) for verified pairs >= threshold. Detection
     is probabilistic (bounded by the banding s-curve); the verify step means
-    no false positives."""
+    no false positives.
+
+    ``max_doc_freq`` (when set) drops shingles above that document frequency
+    BEFORE both signature computation and the verify join (see
+    cap_shingle_doc_freq) — Jaccard is then defined over the capped shingle
+    universe, the standard stop-shingle preprocessing for web-scale corpora.
+    Default None preserves exact full-shingle semantics."""
     rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k, seed)
+    sh_full = word_shingles(df, id_col, text_col, n).cache()
+    sh = cap_shingle_doc_freq(sh_full, max_doc_freq) if max_doc_freq is not None else sh_full
+    sig = _signatures_from_shingles(sh, id_col, k, seed)
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
@@ -157,8 +202,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify candidates with exact jaccard (same helper as the exact path,
-    # so LSH and exact Jaccard can never desynchronize)
-    sh = word_shingles(df, id_col, text_col, n).cache()
+    # so LSH and exact Jaccard can never desynchronize); uses the same
+    # (capped or full) shingle universe the signatures were built from
     return _verified_jaccard(sh, id_col, threshold, candidates=cands)
 
 

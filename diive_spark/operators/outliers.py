@@ -108,22 +108,39 @@ def flag_zscore_rolling(
     flag_col: str = "FLAG_ZSCOREROLLING_TEST",
 ) -> DataFrame:
     """Centered rolling z-score over *non-null records* (reference drops NaN
-    first, zscore.py:319; min_periods=3; sample SD)."""
+    first, zscore.py:319; min_periods=3; sample SD).
+
+    Join-free plan: instead of filtering non-nulls and self-joining back on a
+    nondeterministic monotonically_increasing_id (silent-corruption risk if a
+    shuffled upstream stage is retried), compute a running non-null counter
+    ``_nn`` and take the centered window as a RANGE frame over ``_nn``.
+    Non-null rows get consecutive distinct ``_nn`` values, so the range frame
+    spans exactly the centered non-null-record window; null rows are frame
+    peers of the preceding non-null row but contribute nothing to the
+    null-skipping aggregates."""
     v = F.col(value_col)
-    base = df.withColumn("_rowid", F.monotonically_increasing_id())
-    nn = base.filter(v.isNotNull())
-    w = _centered_frame(Window.partitionBy(*key_cols).orderBy(ts_col), winsize)
-    rmean = F.avg(v).over(w)
-    rsd = F.nullif(F.stddev_samp(v).over(w), F.lit(0.0))
-    cnt = F.count(v).over(w)
-    z = F.abs((v - rmean) / rsd)
-    flagged = nn.select(
-        "_rowid",
-        F.when((cnt >= 3) & (z > thres_zscore), F.lit(2)).otherwise(F.lit(0)).cast("int").alias(flag_col),
+    w_seq = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # join back on a unique row id: duplicate (key, ts) rows (pre-dedup
-    # ingest) must not fan out
-    return base.join(flagged, on="_rowid", how="left").drop("_rowid")
+    base = df.withColumn("_nn", F.count(v).over(w_seq))
+    wr = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_nn")
+        .rangeBetween(-((winsize - 1) // 2), winsize // 2)
+    )
+    rmean = F.avg(v).over(wr)
+    rsd = F.nullif(F.stddev_samp(v).over(wr), F.lit(0.0))
+    cnt = F.count(v).over(wr)
+    z = F.abs((v - rmean) / rsd)
+    return base.withColumn(
+        flag_col,
+        F.when(v.isNull(), F.lit(None))
+        .when((cnt >= 3) & (z > thres_zscore), F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    ).drop("_nn")
 
 
 def flag_zscore_increments(
@@ -133,18 +150,34 @@ def flag_zscore_increments(
 ) -> DataFrame:
     """z-score on |double-diff|, |diff-prev|, |diff-next| over non-null
     records; outlier iff all three fire (incremental.py:111-152;
-    double_diff_absolute, core/dfun/stats.py:526)."""
+    double_diff_absolute, core/dfun/stats.py:526).
+
+    Join-free plan: previous/next *non-null* neighbours come from
+    last/first(ignorenulls) over running frames (forward + reverse ordered —
+    never an UNBOUNDED FOLLOWING frame), so diffs match the reference's
+    dropna-then-diff without filtering and self-joining back on a
+    nondeterministic row id."""
     v = F.col(value_col)
-    base = df.withColumn("_rowid", F.monotonically_increasing_id())
-    nn = base.filter(v.isNotNull())
-    w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    prev, nxt = F.lag(v).over(w), F.lead(v).over(w)
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.desc(ts_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(v, ignorenulls=True).over(w_prev)
+    nxt = F.last(v, ignorenulls=True).over(w_next)
     diffs = {
         "_dd": F.abs((v - prev) - (nxt - v)),
         "_dp": F.abs(v - prev),
         "_dn": F.abs(nxt - v),
     }
-    tmp = nn.select("_rowid", *key_cols, *[e.alias(n) for n, e in diffs.items()])
+    base = df.withColumns(
+        {n: F.when(v.isNotNull(), e) for n, e in diffs.items()}
+    )
     gw = Window.partitionBy(*key_cols) if key_cols else Window.partitionBy()
     total = None
     for n in diffs:
@@ -153,24 +186,29 @@ def flag_zscore_increments(
         z = F.abs((c - F.avg(c).over(gw)) / sd)
         f = F.when(z > thres_zscore, F.lit(2)).otherwise(F.lit(0))
         total = f if total is None else total + f
-    flagged = tmp.select(
-        "_rowid",
-        F.when(total == 6, F.lit(2)).otherwise(F.lit(0)).cast("int").alias(flag_col),
-    )
-    return base.join(flagged, on="_rowid", how="left").drop("_rowid")
+    return base.withColumn(
+        flag_col,
+        F.when(v.isNull(), F.lit(None))
+        .when(total == 6, F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    ).drop(*diffs.keys())
 
 
 def flag_trim_low(
     df: DataFrame, key_cols: list[str], value_col: str,
     trim_limit: float,
     flag_col: str = "FLAG_TRIMLOW_TEST",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Reject values below ``trim_limit`` PLUS an equal count of the highest
-    values (trim.py:236-248)."""
+    values (trim.py:236-248). ``tiebreak_cols`` makes the top-count rank
+    deterministic when values tie at the cutoff."""
     parts = Window.partitionBy(*key_cols) if key_cols else Window.partitionBy()
     v = F.col(value_col)
     n_below = F.sum(F.when(v < trim_limit, 1).otherwise(0)).over(parts)
-    rank_desc = F.row_number().over(parts.orderBy(F.desc_nulls_last(value_col)))
+    order = [F.desc_nulls_last(value_col)] + [F.asc(c) for c in (tiebreak_cols or [])]
+    rank_desc = F.row_number().over(parts.orderBy(*order))
     nn = df.filter(v.isNotNull()).withColumn("_nb", n_below).withColumn("_rk", rank_desc)
     flagged = nn.select(
         *key_cols, *[c for c in df.columns if c not in key_cols],

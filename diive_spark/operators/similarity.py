@@ -54,13 +54,25 @@ def cosine_topk_bruteforce(
 
 def _centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> DataFrame:
     """Deterministic coarse quantizer: pick n centroid vectors by hash order
-    (a seeded sample; a k-means refinement would drop in here unchanged)."""
-    w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")))
-    return (
+    (a seeded sample; a k-means refinement would drop in here unchanged).
+
+    orderBy().limit(n) executes as a distributed TakeOrderedAndProject —
+    every partition contributes its local top-n, the driver merges n rows —
+    unlike a global no-partitionBy Window, which would pull the whole corpus
+    through one task."""
+    ranked = (
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cent"))
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_centroids)
-        .select((F.col("_r") - 1).alias("centroid_id"), "cent")
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+    )
+    # assign 0..n-1 ids on the (tiny) limited set; safe because it is at most
+    # n_centroids rows, coalesced to one partition
+    w = Window.orderBy("_h")
+    return (
+        ranked.coalesce(1)
+        .withColumn("centroid_id", F.row_number().over(w) - 1)
+        .select("centroid_id", "cent")
     )
 
 

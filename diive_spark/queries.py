@@ -324,8 +324,13 @@ FROM events
 
 
 def q_trim_low(spark, sf_dir):
+    # trim_limit=0.5 flags a small non-empty set at every gated scale factor
+    # (synthetic event values are strictly positive); event_id tie-break keeps
+    # the equal-count top trim deterministic across engines.
     ev = _t(spark, sf_dir, "events")
-    f = outliers.flag_trim_low(ev, ["event_type"], "value", trim_limit=-20.0)
+    f = outliers.flag_trim_low(
+        ev, ["event_type"], "value", trim_limit=0.5, tiebreak_cols=["event_id"]
+    )
     return f.filter(F.col("FLAG_TRIMLOW_TEST") == 2).select(
         "event_id", "event_type", _r6("value").alias("value_v")
     )
@@ -334,13 +339,14 @@ def q_trim_low(spark, sf_dir):
 SQL_TRIM_LOW = """
 WITH nn AS (
   SELECT event_id, event_type, value,
-         sum(CASE WHEN value < -20.0 THEN 1 ELSE 0 END)
+         sum(CASE WHEN value < 0.5 THEN 1 ELSE 0 END)
              OVER (PARTITION BY event_type) AS n_below,
-         row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rk
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rk
   FROM events WHERE value IS NOT NULL
 )
 SELECT event_id, event_type, round(1e-9 + value, 6) AS value_v
-FROM nn WHERE value < -20.0 OR rk <= n_below
+FROM nn WHERE value < 0.5 OR rk <= n_below
 """
 
 
@@ -699,7 +705,7 @@ bits AS (
   GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY 1
 """
 
@@ -729,9 +735,16 @@ QUALIFY rnk <= 5
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    from diive_spark.operators import dedup
+    """Bucketed hyperplane-LSH plan (no O(n^2) BroadcastNestedLoopJoin); the
+    verify step makes precision exact, and the banding s-curve is tuned for
+    recall >= 1-1e-4 at the gated threshold: per-pair miss prob is
+    (1 - p^planes)^tables with p = 1 - acos(0.35)/pi = 0.614, so 2 planes x 24
+    tables -> 0.623^24 ~= 1.2e-5. The all-pairs SQL below is therefore an
+    exact oracle (verified: 0 missed pairs at sf0.001 and sf0.01). The naive
+    all-pairs dedup.embedding_near_dups remains as the test-only baseline."""
+    from diive_spark.operators import similarity
     embs = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dups(embs, threshold=0.35)
+    return similarity.cosine_lsh_pairs(embs, threshold=0.35, n_planes=2, n_tables=24)
 
 
 SQL_EMBEDDING_NEAR_DUPS = """

@@ -144,3 +144,69 @@ def test_adjacent_repeated_stopwords_counted(spark):
     out = textstats.add_text_stats(spark.createDataFrame(pdf)).toPandas().iloc[0]
     assert out["n_words"] == 4
     np.testing.assert_allclose(out["stopword_ratio"], 3 / 4)
+
+
+def test_gated_embedding_query_plan_is_bucketed(spark, embs):
+    """The gated near-dup query must run the hyperplane-LSH plan: no O(n^2)
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in the physical plan,
+    and (at the tuned 2-planes x 24-tables s-curve) results identical to the
+    exact all-pairs baseline."""
+    out = similarity.cosine_lsh_pairs(embs, threshold=0.35, n_planes=2, n_tables=24)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    exact = dedup.embedding_near_dups(embs, threshold=0.35).toPandas()
+    got = out.toPandas()
+    e = set(zip(exact["id1"], exact["id2"]))
+    g = set(zip(got["id1"], got["id2"]))
+    assert g == e  # miss prob per pair ~(1 - 0.614^2)^24 ~= 1e-5
+
+
+def test_ivf_centroids_no_single_task_stage(spark, embs):
+    """Centroid pick must be a distributed TakeOrderedAndProject, not a
+    global no-partition Window (which funnels the corpus into one task)."""
+    cents = similarity._centroids(embs, "vec_id", "embedding", 8)
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    pdf = cents.toPandas()
+    assert sorted(pdf["centroid_id"]) == list(range(8))
+    # deterministic across invocations
+    again = similarity._centroids(embs, "vec_id", "embedding", 8).toPandas()
+    assert (
+        pdf.sort_values("centroid_id")["cent"].map(tuple).tolist()
+        == again.sort_values("centroid_id")["cent"].map(tuple).tolist()
+    )
+
+
+def test_shingle_doc_freq_cap_shrinks_candidates(spark):
+    """A stop-phrase shingle shared by every doc must not generate O(n^2)
+    candidates once capped; distinct-overlap pairs still come through with
+    exact Jaccard values."""
+    stop = "the quick brown fox jumps over the lazy dog again and again"
+    pdf = pd.DataFrame({
+        "doc_id": range(40),
+        # all docs share the stop phrase; only docs 0/1 share distinctive text
+        "text": [
+            stop + (" alpha beta gamma delta epsilon zeta" if i < 2 else f" unique{i} tok{i} w{i} x{i} y{i} z{i}")
+            for i in range(40)
+        ],
+    })
+    df = spark.createDataFrame(pdf)
+    sh = dedup.word_shingles(df, "doc_id", n=3)
+    capped = dedup.cap_shingle_doc_freq(sh, max_doc_freq=5)
+    # stop-phrase shingles (df=40) are gone; distinctive ones survive
+    assert capped.count() < sh.count()
+    uncapped_pairs = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.01).toPandas()
+    capped_pairs = dedup.ngram_jaccard_pairs(
+        df, "doc_id", threshold=0.01, max_doc_freq=5
+    ).toPandas()
+    # candidate generation shrank from all-pairs (every pair shares the stop
+    # phrase) to only the distinct-overlap pair
+    assert len(uncapped_pairs) == 40 * 39 / 2
+    assert set(zip(capped_pairs["id1"], capped_pairs["id2"])) == {(0, 1)}
+    # jaccard for the surviving pair is still computed over FULL shingle sets
+    full_j = uncapped_pairs.set_index(["id1", "id2"]).loc[(0, 1), "jaccard"]
+    np.testing.assert_allclose(capped_pairs["jaccard"].iloc[0], full_j)
+    # minhash path: cap redefines the shingle universe but still finds the pair
+    mh = dedup.minhash_lsh_pairs(df, "doc_id", threshold=0.5, max_doc_freq=5).toPandas()
+    assert (0, 1) in set(zip(mh["id1"], mh["id2"]))
