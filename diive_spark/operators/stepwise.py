@@ -86,6 +86,25 @@ class StepwiseScreening:
         )
         return self
 
+    def flag_lof(self, n_neighbors: int = 20, contamination: float | str = 0.01,
+                 daytime_col: str | None = None, repeat: bool = False) -> "StepwiseScreening":
+        from diive_spark.operators import lof as lof_mod
+        name = self._name("LOF")
+        if repeat:
+            self.df = outliers.repeat_flag(
+                self.df,
+                lambda d, v: lof_mod.flag_lof(d, self.key_cols, self.ts_col, v,
+                                              n_neighbors, contamination,
+                                              daytime_col, flag_col=name),
+                self.value_col, name,
+            )
+        else:
+            self.df = lof_mod.flag_lof(
+                self.df, self.key_cols, self.ts_col, self.value_col,
+                n_neighbors, contamination, daytime_col, flag_col=name,
+            )
+        return self
+
     def flag_trim_low(self, trim_limit: float) -> "StepwiseScreening":
         self.df = outliers.flag_trim_low(
             self.df, self.key_cols, self.value_col, trim_limit,
