@@ -34,9 +34,11 @@ class FileType:
     na_values: tuple = ("-9999", "-6999", "-999", "nan", "NaN", "NAN", "NA",
                         "inf", "-inf", "-", "-9999.0")
     compression: str | None = None
-    timestamp_col: str = "TIMESTAMP_END"
+    timestamp_col: str | None = "TIMESTAMP_END"
     timestamp_format: str | None = None
     nominal_freq_seconds: int | None = None
+    timestamp_index: int | None = None  # position-based ts column (generic
+    # NS dialects declare INDEX_COLUMN: [0] instead of a fixed name)
 
 
 # Registry mirroring the reference dialect catalogue (SURVEY.md §2.1); the
@@ -63,8 +65,29 @@ FILETYPES = {
                  timestamp_col="TIMESTAMP_MIDDLE", nominal_freq_seconds=1800),
         FileType("GENERIC-CSV-HEADER-1ROW-TS-MIDDLE-FULL-1MIN",
                  timestamp_col="TIMESTAMP_MIDDLE", nominal_freq_seconds=60),
+        # timestamp-less 20Hz dialects (ETH-MERCURY-CSV-20HZ.yml,
+        # ETH-SONICREAD-BICO-MOD-CSV-20HZ.yml): 1-row header, timestamps are
+        # reconstructed from the file-start pattern + 50ms nominal rate
+        FileType("ETH-MERCURY-CSV-20HZ", timestamp_col=None),
+        FileType("ETH-SONICREAD-BICO-MOD-CSV-20HZ", timestamp_col=None),
+        # 3-row header (names, units, 1 ignored row), gzip, no timestamp
+        # (ETH-SONICREAD-BICO-CSVGZ-20HZ.yml)
+        FileType("ETH-SONICREAD-BICO-CSVGZ-20HZ", header_rows=3, units_row=1,
+                 compression="gzip", timestamp_col=None),
+        # nanosecond-resolution full timestamps in positional column 0
+        # (GENERIC-CSV-HEADER-1ROW-TS-{END,MIDDLE}-FULL-NS-20HZ.yml)
+        FileType("GENERIC-CSV-HEADER-1ROW-TS-END-FULL-NS-20HZ",
+                 timestamp_col=None, timestamp_index=0),
+        FileType("GENERIC-CSV-HEADER-1ROW-TS-MIDDLE-FULL-NS-20HZ",
+                 timestamp_col=None, timestamp_index=0),
     ]
 }
+
+for _ft in ("ETH-MERCURY-CSV-20HZ", "ETH-SONICREAD-BICO-MOD-CSV-20HZ",
+            "ETH-SONICREAD-BICO-CSVGZ-20HZ",
+            "GENERIC-CSV-HEADER-1ROW-TS-END-FULL-NS-20HZ",
+            "GENERIC-CSV-HEADER-1ROW-TS-MIDDLE-FULL-NS-20HZ"):
+    FILETYPES[_ft].nominal_freq_ms = 50
 
 
 def _parse_header(spark: SparkSession, path: str, ft: FileType) -> tuple[list[str], dict]:
@@ -99,18 +122,21 @@ def read_filetype(
     if len(names) < len(data_cols):
         names += [f"col_{i}" for i in range(len(names), len(data_cols))]
     df = df.toDF(*names[: len(data_cols)])
-    has_ts = ft.timestamp_col is not None and ft.timestamp_col in df.columns
+    ft_ts_col = ft.timestamp_col
+    if ft_ts_col is None and ft.timestamp_index is not None:
+        ft_ts_col = df.columns[ft.timestamp_index]
+    has_ts = ft_ts_col is not None and ft_ts_col in df.columns
     if has_ts:
         fmt = ft.timestamp_format
         ts = (
-            F.try_to_timestamp(F.col(ft.timestamp_col), F.lit(fmt))
-            if fmt else F.try_to_timestamp(F.col(ft.timestamp_col))
+            F.try_to_timestamp(F.col(f"`{ft_ts_col}`"), F.lit(fmt))
+            if fmt else F.try_to_timestamp(F.col(f"`{ft_ts_col}`"))
         )
-        df = df.withColumn(ft.timestamp_col, ts).filter(ts.isNotNull())
+        df = df.withColumn(ft_ts_col, ts).filter(ts.isNotNull())
     # NA sentinels -> null, then coerce value columns numeric — the reference
     # 'all-float64' data model (convert_data_to_numeric, frames.py:361)
     for c in df.columns:
-        if c == ft.timestamp_col:
+        if c == ft_ts_col:
             continue
         qc = F.col(f"`{c}`")  # backticks: raw names may contain dots
         cleaned = F.when(qc.isin(*ft.na_values), None).otherwise(qc)

@@ -219,3 +219,94 @@ def test_measurement_offset_from_replicate(spark):
     np.testing.assert_allclose(
         out["main_corrected"].dropna().sort_values(), [10.0, 11.0, 12.0, 14.0]
     )
+
+
+# ---------------------------------------------------------------------------
+# file discovery + remaining dialects + FileSplitter round-trip
+# ---------------------------------------------------------------------------
+
+EXAMPLES = "/root/reference/diive/configs/exampledata"
+
+
+def test_search_files_and_folders(spark, tmp_path):
+    from diive_spark.sources import discovery
+
+    (tmp_path / "a" / "b").mkdir(parents=True)
+    (tmp_path / "a" / "x.csv").write_text("h\n1\n")
+    (tmp_path / "a" / "b" / "y.csv").write_text("h\n2\n")
+    (tmp_path / "a" / "b" / "z.dat").write_text("h\n3\n")
+    files = discovery.search_files(spark, str(tmp_path), "*.csv")
+    assert [f.rsplit("/", 1)[1] for f in files] == ["y.csv", "x.csv"] or \
+           sorted(f.rsplit("/", 1)[1] for f in files) == ["x.csv", "y.csv"]
+    assert len(files) == 2 and all(f.endswith(".csv") for f in files)
+    # pattern * finds everything; sorted like the reference
+    assert len(discovery.search_files(spark, str(tmp_path), "*")) == 3
+    folders = discovery.search_folders(spark, str(tmp_path))
+    names = [f.rstrip("/").rsplit("/", 1)[1] for f in folders]
+    assert {"a", "b"} <= set(names)
+    # nonexistent dir: empty, no crash (reference os.walk behavior)
+    assert discovery.search_files(spark, str(tmp_path / "nope"), "*") == []
+    # discovery -> read_many end-to-end (the reference's ingest idiom,
+    # filereader.py:629)
+    got = discovery.search_files(spark, str(tmp_path / "a"), "x.csv")
+    assert len(got) == 1
+
+
+def test_bico_gz_dialect_three_row_header(spark):
+    """ETH-SONICREAD-BICO-CSVGZ-20HZ: 3-row header (names / units / ignored),
+    gzip, no timestamp — on the reference's own bundled 20Hz file."""
+    p = f"{EXAMPLES}/exampledata_ETH-SONICREAD-BICO-CSVGZ-20HZ_CH-FRU_202307071300.csv.gz"
+    df, meta = csvsrc.read_filetype(spark, p, "ETH-SONICREAD-BICO-CSVGZ-20HZ")
+    assert "U_[R350-B]" in df.columns
+    assert meta["units"]["U_[R350-B]"] == "[m+1_s-1]"
+    pdf = df.limit(5).toPandas()
+    assert pdf["U_[R350-B]"].dtype == float
+    # timestamp reconstruction from the filename pattern (yyyyMMddHHmm)
+    ts = csvsrc.create_timestamp_from_file_start(
+        df, r"_(\d{12})\.csv", "yyyyMMddHHmm", nominal_freq_ms=50
+    ).limit(3).toPandas()
+    assert str(ts["TIMESTAMP_END"].iloc[0]).startswith("2023-07-07 13:00:00")
+
+
+def test_generic_ns_20hz_dialect(spark):
+    """GENERIC-CSV-HEADER-1ROW-TS-MIDDLE-FULL-NS-20HZ: positional timestamp
+    column 0 with fractional seconds — reference bundled file."""
+    p = (f"{EXAMPLES}/exampledata_GENERIC-CSV-HEADER-1ROW-TS-MIDDLE-FULL-NS-20HZ"
+         "_CH-DAS_202305130830_30MIN-SPLIT_TR.csv")
+    df, _ = csvsrc.read_filetype(spark, p, "GENERIC-CSV-HEADER-1ROW-TS-MIDDLE-FULL-NS-20HZ")
+    pdf = df.limit(4).toPandas()
+    assert str(pdf.columns[0]) == "TIMESTAMP"
+    assert pdf["TIMESTAMP"].notna().all()
+    # 50ms resolution preserved (third record is at +0.050s)
+    assert pdf["TIMESTAMP"].iloc[2].microsecond == 50000
+    # every reference YAML dialect is registered (plus engine extras)
+    import os
+    ref = {f[:-4] for f in os.listdir("/root/reference/diive/configs/filetypes")
+           if f.endswith(".yml")}
+    assert ref <= set(csvsrc.FILETYPES)
+
+
+def test_split_write_roundtrip(spark, tmp_path):
+    """FileSplitter: time-range splits, bounded file sizes, lossless."""
+    import glob
+
+    pdf = pd.DataFrame({
+        "TIMESTAMP_END": pd.date_range("2024-01-01", periods=2000, freq="50ms"),
+        "U": np.arange(2000.0),
+    })
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "splits")
+    csvsrc.split_write(df, out, "TIMESTAMP_END", n_ranges=4, max_records_per_file=300)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 7  # 2000 rows / 300 per file
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    # each file covers a contiguous time range (range partitioning)
+    per_file = (
+        back.withColumn("_f", F.input_file_name())
+        .groupBy("_f").agg(F.min("U").alias("lo"), F.max("U").alias("hi"),
+                           F.count("*").alias("n"))
+        .toPandas().sort_values("lo")
+    )
+    assert (per_file["n"] <= 300).all()
+    assert (per_file["hi"] - per_file["lo"] + 1 == per_file["n"]).all()
