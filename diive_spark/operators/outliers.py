@@ -290,8 +290,9 @@ def _localsd_kernel(value_col, flag_col, winsize, n_sd, constant_sd):
         s = pdf[value_col]
         mask_nn = s.notna()
         s_nn = s[mask_nn]
-        rmedian = s_nn.rolling(winsize, center=True, min_periods=1).median()
-        sd = s_nn.std() if constant_sd else s_nn.rolling(winsize, center=True, min_periods=1).std()
+        # min_periods=3 per reference localsd.py:244-248
+        rmedian = s_nn.rolling(winsize, center=True, min_periods=3).median()
+        sd = s_nn.std() if constant_sd else s_nn.rolling(winsize, center=True, min_periods=3).std()
         upper, lower = rmedian + n_sd * sd, rmedian - n_sd * sd
         is_outlier = (s_nn > upper) | (s_nn < lower)
         flag = pd.Series(pd.NA, index=s.index, dtype="Int32")

@@ -310,3 +310,18 @@ def test_split_write_roundtrip(spark, tmp_path):
     )
     assert (per_file["n"] <= 300).all()
     assert (per_file["hi"] - per_file["lo"] + 1 == per_file["n"]).all()
+
+
+def test_fluxnet_timestamp_format(spark):
+    """FLUXNET yyyyMMddHHmm round-trip (times.py:485-512): format then
+    re-parse is the identity on minute-resolution timestamps."""
+    ts = pd.date_range("2023-12-31 22:30", periods=8, freq="30min")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts}))
+    out = df.select(
+        timeparts.format_timestamp_fluxnet(F.col("ts")).alias("fx"),
+        F.to_timestamp(timeparts.format_timestamp_fluxnet(F.col("ts")),
+                       "yyyyMMddHHmm").alias("back"),
+        "ts",
+    ).toPandas()
+    assert list(out["fx"][:2]) == ["202312312230", "202312312300"]
+    assert (out["back"] == out["ts"]).all()  # year/day rollover exact

@@ -210,3 +210,47 @@ def test_rolling_zscore_duplicate_timestamps_no_fanout(spark):
     df = spark.createDataFrame(pdf)
     out = outliers.flag_zscore_rolling(df, ["series"], "ts", "value", 4.0, 5)
     assert out.count() == 11
+
+
+def test_local_sd_matches_reference_formula(noisy):
+    """LocalSD vs a pandas oracle implementing localsd.py:244-248 exactly:
+    dropna (localsd.py:286), rolling median/SD center=True min_periods=3,
+    flag 2 outside rmedian +- n_sd * SD."""
+    df, pdf = noisy
+    winsize, n_sd = 48, 3.0
+    got = (
+        outliers.flag_local_sd(df, ["series"], "ts", "value",
+                               tier_seconds=1800, winsize=winsize, n_sd=n_sd)
+        .orderBy("ts").toPandas()["FLAG_LOCALSD_TEST"]
+    )
+    s = pdf.set_index("ts")["value"].dropna()
+    rmedian = s.rolling(winsize, center=True, min_periods=3).median()
+    sd = s.rolling(winsize, center=True, min_periods=3).std()
+    rejected = (s > rmedian + n_sd * sd) | (s < rmedian - n_sd * sd)
+    expect = pd.Series(np.where(rejected, 2, 0), index=s.index).reindex(
+        pdf.set_index("ts").index
+    )
+    np.testing.assert_array_equal(got.to_numpy(dtype=float),
+                                  expect.to_numpy(dtype=float))
+    assert (got == 2).sum() > 0  # the seeded spikes are actually caught
+
+
+def test_local_sd_constant_sd_single_slab(spark):
+    """constant_sd=True: whole-series SD band (slab-local by design; a
+    single-slab series matches the reference exactly)."""
+    rng = np.random.default_rng(1)
+    vals = rng.normal(5, 1, 300)
+    vals[[30, 200]] = [30.0, -20.0]
+    df, pdf = _series_df(spark, vals)
+    got = (
+        outliers.flag_local_sd(df, ["series"], "ts", "value", tier_seconds=1800,
+                               winsize=48, n_sd=5.0, constant_sd=True)
+        .orderBy("ts").toPandas()["FLAG_LOCALSD_TEST"]
+    )
+    s = pdf.set_index("ts")["value"].dropna()
+    rmedian = s.rolling(48, center=True, min_periods=3).median()
+    sd = s.std()
+    rejected = (s > rmedian + 5.0 * sd) | (s < rmedian - 5.0 * sd)
+    np.testing.assert_array_equal(got.to_numpy(dtype=float),
+                                  np.where(rejected, 2, 0).astype(float))
+    assert set(np.where(got == 2)[0]) == {30, 200}
