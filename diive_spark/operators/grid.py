@@ -114,6 +114,63 @@ def gap_table(
     return out
 
 
+def gap_stats_monthly(
+    gridded_df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str = "window_start",
+    gap_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-calendar-month missing statistics, all years combined (GapStats
+    monthly_stats, /root/reference/diive/analysis/gapfinder.py:440-466):
+    total_records, missing_records, missing_pct (2 dp), n_gaps counted at the
+    month of gap_start. Months absent from the grid produce no row (the
+    reference reindexes 1-12 with zeros — a presentation concern)."""
+    base = gridded_df.groupBy(*key_cols, F.month(ts_col).alias("MONTH")).agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0)).alias("missing_records"),
+    ).withColumn(
+        "missing_pct",
+        F.round(100.0 * F.col("missing_records") / F.greatest(F.col("total_records"), F.lit(1)) + F.lit(1e-9), 2),
+    )
+    if gap_df is None:
+        gap_df = gap_table(gridded_df, key_cols, value_col, ts_col)
+    gcounts = gap_df.groupBy(*key_cols, F.month("gap_start").alias("MONTH")).agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
+    return (
+        base.join(gcounts, on=[*key_cols, "MONTH"], how="left")
+        .withColumn("n_gaps", F.coalesce(F.col("n_gaps"), F.lit(0)))
+    )
+
+
+def gap_stats_annual(
+    gridded_df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str = "window_start",
+) -> DataFrame:
+    """Per-year data coverage (GapStats annual_coverage,
+    gapfinder.py:467-480): total/valid/missing records, coverage_pct (2 dp)."""
+    return gridded_df.groupBy(*key_cols, F.year(ts_col).alias("YEAR")).agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.count(value_col).alias("valid_records"),
+    ).withColumn(
+        "missing_records", F.col("total_records") - F.col("valid_records")
+    ).withColumn(
+        "coverage_pct",
+        F.round(100.0 * F.col("valid_records") / F.greatest(F.col("total_records"), F.lit(1)) + F.lit(1e-9), 2),
+    )
+
+
+def long_gaps(gap_df: DataFrame, long_gap_records: int = 48) -> DataFrame:
+    """Gaps with gap_length >= threshold, longest first (GapStats long_gaps,
+    gapfinder.py:513-521; default 48 records = one day of 30-min data)."""
+    return gap_df.filter(F.col("gap_length") >= long_gap_records).orderBy(
+        F.desc("gap_length"), F.asc("gap_start")
+    )
+
+
 def gap_stats(gap_df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Headline gap stats per key (GapFinder.summary / GapStats,
     gapfinder.py:160-178): count, total missing records, min/median/max/mean

@@ -1198,3 +1198,61 @@ GROUP BY 1
 
 QUERIES["json_props"] = q_json_props
 ORACLES["json_props"] = SQL_JSON_PROPS
+
+
+def q_gap_stats_monthly(spark, sf_dir):
+    """GapStats monthly breakdown (gapfinder.py:440-466) over the 1h-gridded
+    events rollup: per (event_type, calendar month) total/missing records,
+    missing %, and gap count at the gap_start month."""
+    g = _hourly_gridded(spark, sf_dir)
+    out = grid.gap_stats_monthly(g, ["event_type"], "value_cnt")
+    return out.select(
+        "event_type", "MONTH",
+        F.col("total_records").cast("bigint").alias("total_records"),
+        F.col("missing_records").cast("bigint").alias("missing_records"),
+        "missing_pct",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+    )
+
+
+SQL_GAP_STATS_MONTHLY = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM agg),
+grid AS (
+  SELECT e.event_type, g.window_start
+  FROM (SELECT DISTINCT event_type FROM agg) e
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 HOUR)) AS window_start) g
+),
+j AS (
+  SELECT g.event_type, g.window_start, a.cnt,
+         count(a.cnt) OVER (PARTITION BY g.event_type ORDER BY g.window_start) AS run
+  FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.window_start = g.window_start
+),
+base AS (
+  SELECT event_type, CAST(month(window_start) AS INTEGER) AS MONTH,
+         CAST(count(*) AS BIGINT) AS total_records,
+         CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_records
+  FROM j GROUP BY 1, 2
+),
+gaps AS (
+  SELECT event_type, min(window_start) AS gap_start
+  FROM j WHERE cnt IS NULL GROUP BY event_type, run
+),
+gc AS (
+  SELECT event_type, CAST(month(gap_start) AS INTEGER) AS MONTH,
+         CAST(count(*) AS BIGINT) AS n_gaps
+  FROM gaps GROUP BY 1, 2
+)
+SELECT b.event_type, b.MONTH, b.total_records, b.missing_records,
+       round(100.0 * b.missing_records / greatest(b.total_records, 1) + 1e-9, 2) AS missing_pct,
+       CAST(coalesce(gc.n_gaps, 0) AS BIGINT) AS n_gaps
+FROM base b LEFT JOIN gc ON b.event_type = gc.event_type AND b.MONTH = gc.MONTH
+"""
+
+QUERIES["gap_stats_monthly"] = q_gap_stats_monthly
+ORACLES["gap_stats_monthly"] = SQL_GAP_STATS_MONTHLY

@@ -167,3 +167,39 @@ def test_climatology_fill_and_scores(spark):
     assert scores["n_scored"] > 30
     assert scores["r2"] > 0.9  # smooth diel signal: local fills are skilled
     assert scores["mae"] < 1.0
+
+
+def test_gap_stats_by_period_matches_pandas(hourly):
+    """GapStats monthly/annual breakdown + long_gaps vs pandas oracles
+    implementing gapfinder.py:440-480/513-521."""
+    pdf = hourly.toPandas().sort_values("window_start")
+    s = pdf.set_index("window_start")["n_tok_cnt"]
+
+    monthly = grid.gap_stats_monthly(hourly, ["series"], "n_tok_cnt").toPandas()
+    monthly = monthly.set_index("MONTH").sort_index()
+    exp_total = s.groupby(s.index.month).size()
+    exp_missing = s.isna().groupby(s.index.month).sum()
+    np.testing.assert_array_equal(monthly["total_records"], exp_total.values)
+    np.testing.assert_array_equal(monthly["missing_records"], exp_missing.values)
+    np.testing.assert_allclose(
+        monthly["missing_pct"],
+        (100 * exp_missing / exp_total.clip(lower=1)).round(2), atol=0.01,
+    )
+    # n_gaps: count gap starts per month (run-id trick oracle)
+    runs = s.notna().cumsum()[s.isna()]
+    gap_starts = s[s.isna()].groupby(runs).apply(lambda x: x.index.min())
+    exp_gaps = pd.Series(gap_starts).dt.month.value_counts().sort_index()
+    got_gaps = monthly["n_gaps"][monthly["n_gaps"] > 0]
+    np.testing.assert_array_equal(got_gaps.values, exp_gaps.values)
+
+    annual = grid.gap_stats_annual(hourly, ["series"], "n_tok_cnt").toPandas()
+    assert (annual["total_records"] == annual["valid_records"]
+            + annual["missing_records"]).all()
+    y = annual.set_index("YEAR").sort_index()
+    exp_valid = s.groupby(s.index.year).count()
+    np.testing.assert_array_equal(y["valid_records"], exp_valid.values)
+
+    gaps = grid.gap_table(hourly, ["series"], "n_tok_cnt")
+    lg = grid.long_gaps(gaps, long_gap_records=3).toPandas()
+    assert (lg["gap_length"] >= 3).all()
+    assert (lg["gap_length"].values == np.sort(lg["gap_length"].values)[::-1]).all()
