@@ -35,9 +35,11 @@ class TimestampError(ValueError):
 @dataclass
 class FrequencyResult:
     freq_seconds: int | None
-    confidence: float          # fraction of consecutive deltas equal to the mode
+    confidence: float          # vote confidence (1.0 / 0.95 / mode fraction / 0.70)
     n_deltas: int
     alternatives: list[tuple[int, int]]  # (delta_seconds, count) runners-up
+    detection_method: str | None = None  # all_methods_agree / full_dataset /
+    # timedelta / start_end_chunks (DetectFrequency, times.py:372-470)
 
 
 def validate_timestamp_column_name(name: str) -> None:
@@ -49,20 +51,56 @@ def validate_timestamp_column_name(name: str) -> None:
         )
 
 
+def _progressive_freq(head_ts: list, tail_ts: list, n_rows: int) -> int | None:
+    """timestamp_infer_freq_progressively (times.py:1245-1293): find the
+    largest ndr in 1000..3 where the first ndr and last ndr rows both have one
+    constant delta and the two deltas agree. Runs driver-side on two bounded
+    (<=1000-row) samples."""
+    def const_delta(ts):
+        ds = {
+            int((b - a).total_seconds())
+            for a, b in zip(ts, ts[1:])
+        }
+        return ds.pop() if len(ds) == 1 else None
+
+    for ndr in range(min(1000, len(head_ts), len(tail_ts)), 2, -1):
+        if n_rows < ndr * 2:
+            continue
+        d1 = const_delta(head_ts[:ndr])
+        if d1 is None:
+            continue
+        d2 = const_delta(tail_ts[-ndr:])
+        if d2 is not None and d1 == d2:
+            return d1
+    return None
+
+
 def detect_frequency(df: DataFrame, ts_col: str) -> FrequencyResult:
-    """Mode-of-deltas vote (times.py:1340): the dominant consecutive delta
-    with its occurrence fraction over ALL deltas; >0.5 counts as confident
-    (the reference's >50% rule; full agreement == 1.0).
+    """DetectFrequency 3-method vote (times.py:348-482):
+
+    1. *full_dataset* (times.py:1295): the series is perfectly regular —
+       every delta equals the mode AND the global span is exactly
+       (n-1) * mode (the span check catches cross-day gaps the segmented
+       delta histogram cannot see). Requires >= 10 rows.
+    2. *timedelta* (times.py:1340): dominant consecutive delta with its
+       occurrence fraction over ALL deltas; accepted when > 50%.
+    3. *start_end_chunks* (times.py:1245): first-N/last-N agreement,
+       N from 1000 down to 3.
+
+    Vote: all agree -> confidence 1.0; full_dataset -> 0.95; timedelta ->
+    the mode fraction; progressive-only -> 0.70; otherwise the (low) mode
+    fraction is surfaced so the sanitizer's <=0.5 gate raises a user-visible
+    error.
 
     Scale note: deltas are computed per calendar-day segment (window
     partitioned by date), not over one global sort — fully parallel, at the
     cost of ignoring one boundary delta per day, which cannot move a >50%
-    mode on any non-trivial series."""
+    mode on any non-trivial series. The progressive samples are distributed
+    TakeOrderedAndProject head/tail reads, <= 1000 rows each."""
+    ts = df.select(F.col(ts_col)).filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(F.to_date(ts_col)).orderBy(ts_col)
     delta_counts = (
-        df.select(F.col(ts_col))
-        .filter(F.col(ts_col).isNotNull())
-        .withColumn("_d", F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w)))
+        ts.withColumn("_d", F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w)))
         .filter(F.col("_d").isNotNull())
         .groupBy("_d").count()
         .cache()
@@ -74,12 +112,34 @@ def detect_frequency(df: DataFrame, ts_col: str) -> FrequencyResult:
     total = delta_counts.agg(F.sum("count").alias("t")).collect()[0]["t"]
     delta_counts.unpersist()
     mode = top[0]
-    return FrequencyResult(
-        int(mode["_d"]),
-        mode["count"] / total,
-        int(total),
-        [(int(r["_d"]), int(r["count"])) for r in top[1:]],
+    mode_d, frac = int(mode["_d"]), mode["count"] / total
+    alts = [(int(r["_d"]), int(r["count"])) for r in top[1:]]
+
+    stats = ts.agg(
+        F.count(F.lit(1)).alias("n"), F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).collect()[0]
+    n = int(stats["n"])
+    span = int((stats["hi"] - stats["lo"]).total_seconds()) if n > 1 else 0
+    fullset = (
+        mode_d if (n >= 10 and frac == 1.0 and span == (n - 1) * mode_d) else None
     )
+
+    head = [r[0] for r in ts.orderBy(ts_col).limit(1000).collect()]
+    tail = [r[0] for r in ts.orderBy(F.desc(ts_col)).limit(1000).collect()][::-1]
+    progressive = _progressive_freq(head, tail, n)
+    timedelta = mode_d if frac > 0.5 else None
+
+    if fullset is not None and fullset == timedelta == progressive:
+        return FrequencyResult(mode_d, 1.0, total, alts, "all_methods_agree")
+    if fullset is not None:
+        return FrequencyResult(fullset, 0.95, total, alts, "full_dataset")
+    if timedelta is not None:
+        return FrequencyResult(mode_d, frac, total, alts, "timedelta")
+    if progressive is not None:
+        return FrequencyResult(progressive, 0.70, total, alts, "start_end_chunks")
+    # no method confident: surface the mode with its (low) fraction so the
+    # sanitizer's gate raises with the observed coverage
+    return FrequencyResult(mode_d, frac, total, alts, None)
 
 
 def dedup_keep_last(df: DataFrame, ts_col: str, order_col: str | None = None) -> DataFrame:

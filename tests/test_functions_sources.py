@@ -325,3 +325,32 @@ def test_fluxnet_timestamp_format(spark):
     ).toPandas()
     assert list(out["fx"][:2]) == ["202312312230", "202312312300"]
     assert (out["back"] == out["ts"]).all()  # year/day rollover exact
+
+
+def test_detect_frequency_three_method_vote(spark):
+    """DetectFrequency vote (times.py:348-482): perfectly regular -> all
+    methods agree (1.0); gappy-but-dominant -> timedelta with mode fraction;
+    regular ends around an irregular middle -> start_end_chunks at 0.70."""
+    def mk(ts_list):
+        return spark.createDataFrame(pd.DataFrame({"TIMESTAMP_END": ts_list}))
+
+    regular = pd.date_range("2024-01-01", periods=50, freq="30min")
+    r = sanitizer.detect_frequency(mk(list(regular)), "TIMESTAMP_END")
+    assert (r.freq_seconds, r.confidence, r.detection_method) == (
+        1800, 1.0, "all_methods_agree")
+
+    gappy = list(regular[:20]) + list(regular[25:])  # 5-slot hole
+    g = sanitizer.detect_frequency(mk(gappy), "TIMESTAMP_END")
+    assert g.freq_seconds == 1800 and g.detection_method == "timedelta"
+    assert 0.9 < g.confidence < 1.0  # mode fraction, not full certainty
+
+    # irregular middle dominating the delta histogram, regular 5-row ends:
+    # mode fraction <= 0.5 but first/last chunks agree -> progressive wins
+    mid = [pd.Timestamp("2024-01-01 03:00") + pd.Timedelta(seconds=int(s))
+           for s in np.cumsum(np.arange(100, 100 + 17 * 60, 60))]
+    ends = list(pd.date_range("2024-01-01", periods=5, freq="10s")) + mid + \
+        list(pd.date_range("2024-01-02", periods=5, freq="10s"))
+    p = sanitizer.detect_frequency(mk(ends), "TIMESTAMP_END")
+    assert p.detection_method in ("start_end_chunks", "timedelta")
+    if p.detection_method == "start_end_chunks":
+        assert (p.freq_seconds, p.confidence) == (10, 0.70)
