@@ -76,6 +76,41 @@ def keep_records_where(
     return df.select(*cols)
 
 
+def select_records_to_code(
+    df: DataFrame,
+    predicate: str,
+    lineage=None,
+    tier: str = "selection",
+    run_id: str | None = None,
+    record_count: bool = False,
+) -> DataFrame:
+    """Auditable record selection (reference select_records_to_code,
+    diive/core/dfun/frames.py:129 — an interactive affordance that hands the
+    user a reproducible code snippet; SURVEY.md maps it to "log the
+    equivalent SQL in lineage").
+
+    Filters by a SQL predicate and, when a LineageStore is given, commits a
+    lineage row whose ``query_text`` holds the exact predicate — so every
+    manual selection in a pipeline is replayable from the lineage table.
+    ``record_count=True`` additionally materializes the selected row count
+    (one extra job)."""
+    out = df.filter(F.expr(predicate))
+    if lineage is not None:
+        from diive_spark.plans.lineage import new_run_id
+
+        lineage.commit([{
+            "partition_id": "query",
+            "tier": tier,
+            "status": "selected",
+            "n_rows": int(out.count()) if record_count else -1,
+            "checksum": None,
+            "elapsed_sec": None,
+            "run_id": run_id or new_run_id(),
+            "query_text": f"SELECT * FROM input WHERE {predicate}",
+        }])
+    return out
+
+
 def keep_daterange(df: DataFrame, ts_col: str, start: str, end: str) -> DataFrame:
     """Inclusive-both time-range filter (times.py:1884)."""
     return df.filter(F.col(ts_col).between(F.lit(start).cast("timestamp"),

@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
     "partition_id string, tier string, status string, n_rows bigint, "
-    "checksum bigint, elapsed_sec double, run_id string, committed_at double"
+    "checksum bigint, elapsed_sec double, run_id string, committed_at double, "
+    "query_text string"
 )
+_LINEAGE_COLS = [f.split(" ")[0] for f in LINEAGE_SCHEMA.split(", ")]
 
 
 class LineageStore:
@@ -52,6 +54,10 @@ class LineageStore:
             return
         pdf = pd.DataFrame.from_records(records)
         pdf["committed_at"] = time.time()
+        for c in _LINEAGE_COLS:  # optional fields (e.g. query_text) -> null
+            if c not in pdf.columns:
+                pdf[c] = None
+        pdf = pdf[_LINEAGE_COLS]  # createDataFrame(schema=...) maps by POSITION
         (
             self.spark.createDataFrame(pdf, schema=LINEAGE_SCHEMA)
             .coalesce(1)

@@ -72,3 +72,23 @@ def test_packed_tier_is_complete(spark, raw, tmp_path_factory):
     packed = spark.read.parquet(pipeline.tier_path(out, "packed"))
     n_points = packed.agg(F.sum("n_points").alias("n")).collect()[0]["n"]
     assert n_points == t1m.count()
+
+
+def test_select_records_to_code_logs_query_text(spark, tmp_path):
+    """select_records_to_code: filter + replayable SQL text in lineage."""
+    import pandas as pd
+
+    from diive_spark.operators import frames
+    from diive_spark.plans.lineage import LineageStore
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 5.0, 9.0], "k": list("abc")}))
+    store = LineageStore(spark, str(tmp_path / "lineage"))
+    out = frames.select_records_to_code(df, "v > 2.0 AND k <> 'c'",
+                                        lineage=store, record_count=True)
+    assert out.count() == 1
+    row = store.read().filter("tier = 'selection'").collect()[0]
+    assert row["query_text"] == "SELECT * FROM input WHERE v > 2.0 AND k <> 'c'"
+    assert row["n_rows"] == 1 and row["status"] == "selected"
+    # replay from lineage reproduces the selection
+    pred = row["query_text"].split("WHERE ", 1)[1]
+    assert df.filter(pred).count() == 1
