@@ -163,9 +163,15 @@ def neighboring_years_pool(df: DataFrame, ts_col: str, target_year: int, n_neigh
     return keep_years(df, ts_col, years)
 
 
-def add_continuous_record_number(df: DataFrame, ts_col: str, out_col: str = "RECORD_NUMBER") -> DataFrame:
-    """1-based record number in time order (frames.py:543)."""
-    return df.withColumn(out_col, F.row_number().over(Window.orderBy(ts_col)))
+def add_continuous_record_number(
+    df: DataFrame, ts_col: str, out_col: str = "RECORD_NUMBER",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """1-based record number in time order (frames.py:543). Global numbering
+    (no key_cols) is a single-partition sort — the reference semantics for
+    one file; pass ``key_cols`` to number per series distributed."""
+    w = (Window.partitionBy(*key_cols) if key_cols else Window).orderBy(ts_col)
+    return df.withColumn(out_col, F.row_number().over(w))
 
 
 def detect_new_columns(df: DataFrame, other: DataFrame) -> list[str]:

@@ -21,11 +21,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def sstats(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
-    """One row of ~25 summary stats (stats.py:332-509)."""
+def sstats(df: DataFrame, ts_col: str, value_col: str,
+           key_cols: list[str] | None = None) -> DataFrame:
+    """One row of ~25 summary stats (stats.py:332-509) — per key when
+    ``key_cols`` is given (one output row per series, every window and
+    aggregation partitioned by key: no single-task stage). With no keys the
+    lag-1/autocorr window is one partition — the reference semantics for a
+    single series; pass keys for multi-series corpora."""
+    keys = key_cols or []
     v = F.col(value_col)
-    w = Window.orderBy(ts_col)
+    w = Window.partitionBy(*keys).orderBy(ts_col) if keys else Window.orderBy(ts_col)
     enriched = df.select(
+        *keys,
         F.col(ts_col).alias("_ts"), v.alias("_v"),
         F.lag(v).over(w).alias("_v_prev"),
         F.unix_timestamp(F.col(ts_col)).cast("double").alias("_tsn"),
@@ -36,7 +43,8 @@ def sstats(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
     # linear trend slope via closed-form least squares on (t, v)
     sxy = F.avg(F.col("_tsn") * F.col("_v")) - F.avg("_tsn") * F.avg("_v")
     sxx = F.avg(F.col("_tsn") * F.col("_tsn")) - F.avg("_tsn") * F.avg("_tsn")
-    agg = enriched.agg(
+    grouped = enriched.groupBy(*keys) if keys else enriched.groupBy()
+    agg = grouped.agg(
         F.min("_ts").alias("startdate"),
         F.max("_ts").alias("enddate"),
         F.count(F.lit(1)).alias("period_rows"),
@@ -62,16 +70,21 @@ def sstats(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
         F.sum("_v").alias("sum"),
         (sxy / F.nullif(sxx, F.lit(0.0))).alias("trend_slope_per_sec"),
     )
-    # z-score outlier count needs the global mean/sd first: window in a
+    # z-score outlier count needs the per-series mean/sd first: window in a
     # subquery, then aggregate
+    zw = Window.partitionBy(*keys) if keys else Window.partitionBy()
     zsub = enriched.select(
+        *keys,
         F.when(
-            F.abs(F.col("_v") - F.avg("_v").over(Window.partitionBy()))
-            > 3 * F.stddev_pop("_v").over(Window.partitionBy()),
+            F.abs(F.col("_v") - F.avg("_v").over(zw))
+            > 3 * F.stddev_pop("_v").over(zw),
             1,
         ).otherwise(0).alias("_is_out")
     )
-    zc = zsub.agg(F.sum("_is_out").alias("n_zscore3_outliers"))
+    zgrouped = zsub.groupBy(*keys) if keys else zsub.groupBy()
+    zc = zgrouped.agg(F.sum("_is_out").alias("n_zscore3_outliers"))
+    if keys:
+        return agg.join(zc, on=keys)
     return agg.crossJoin(zc)
 
 

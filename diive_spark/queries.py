@@ -1256,3 +1256,118 @@ FROM base b LEFT JOIN gc ON b.event_type = gc.event_type AND b.MONTH = gc.MONTH
 
 QUERIES["gap_stats_monthly"] = q_gap_stats_monthly
 ORACLES["gap_stats_monthly"] = SQL_GAP_STATS_MONTHLY
+
+
+def q_classical_decompose(spark, sf_dir):
+    """Classical seasonal-trend decomposition (period 24) of the hourly mean
+    series per event_type (decomposition_utils.py:160 semantics)."""
+    from diive_spark.operators import analysis
+    g = _hourly_gridded(spark, sf_dir).select("event_type", "window_start", "value_mean")
+    out = analysis.classical_decompose(g, ["event_type"], "window_start",
+                                       "value_mean", period=24)
+    return out.select(
+        "event_type", "window_start",
+        _r6("trend").alias("trend_v"),
+        _r6("seasonal").alias("seasonal_v"),
+        _r6("residual").alias("residual_v"),
+    )
+
+
+SQL_CLASSICAL_DECOMPOSE = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM agg),
+grid AS (
+  SELECT e.event_type, g.window_start
+  FROM (SELECT DISTINCT event_type FROM agg) e
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 HOUR)) AS window_start) g
+),
+seq AS (
+  SELECT g.event_type, g.window_start, a.v,
+         row_number() OVER (PARTITION BY g.event_type ORDER BY g.window_start) - 1 AS rn
+  FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.window_start = g.window_start
+),
+tr AS (
+  SELECT *,
+         CASE WHEN count(v) OVER w25 = 25
+              THEN (sum(v) OVER w25
+                    - 0.5 * lag(v, 12) OVER wseq
+                    - 0.5 * lead(v, 12) OVER wseq) / 24 END AS trend
+  FROM seq
+  WINDOW wseq AS (PARTITION BY event_type ORDER BY rn),
+         w25 AS (PARTITION BY event_type ORDER BY rn
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+ph AS (
+  SELECT event_type, rn % 24 AS phase, avg(v - trend) AS pm
+  FROM tr GROUP BY 1, 2
+),
+grand AS (SELECT event_type, avg(pm) AS gm FROM ph GROUP BY 1)
+SELECT t.event_type, t.window_start,
+       round(1e-9 + t.trend, 6) AS trend_v,
+       round(1e-9 + (p.pm - gr.gm), 6) AS seasonal_v,
+       round(1e-9 + (t.v - t.trend - (p.pm - gr.gm)), 6) AS residual_v
+FROM tr t
+JOIN ph p ON p.event_type = t.event_type AND p.phase = t.rn % 24
+JOIN grand gr ON gr.event_type = t.event_type
+"""
+
+QUERIES["classical_decompose"] = q_classical_decompose
+ORACLES["classical_decompose"] = SQL_CLASSICAL_DECOMPOSE
+
+
+def q_harmonics(spark, sf_dir):
+    """Harmonic amplitudes/phases at k/24h over the hourly mean series per
+    event_type — the exact-DFT distributed-sums path (harmonic.py:19)."""
+    from diive_spark.operators import analysis
+    g = _hourly_gridded(spark, sf_dir).select("event_type", "window_start", "value_mean")
+    out = analysis.harmonic_coefficients(g, ["event_type"], "window_start",
+                                         "value_mean", period=24, n_harmonics=3)
+    return out.select(
+        "event_type", "harmonic",
+        _r6("frequency").alias("freq_v"),
+        _r6("amplitude").alias("amp_v"),
+        _r6("phase").alias("phase_v"),
+    )
+
+
+def _harmonics_sql():
+    ks = [1, 2, 3]
+    sums = ",\n         ".join(
+        f"sum(v * cos(2 * pi() * {k} * t / 24)) AS c{k},\n         "
+        f"sum(v * sin(2 * pi() * {k} * t / 24)) AS s{k}"
+        for k in ks
+    )
+    parts = [
+        f"""SELECT event_type, {k} AS harmonic,
+       round(1e-9 + {k} / 24.0, 6) AS freq_v,
+       round(1e-9 + sqrt(pow(2 * c{k} / n, 2) + pow(2 * s{k} / n, 2)), 6) AS amp_v,
+       round(1e-9 + atan2(-2 * s{k} / n, 2 * c{k} / n), 6) AS phase_v
+FROM sums"""
+        for k in ks
+    ]
+    return f"""
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start) - 1 AS t
+  FROM agg WHERE v IS NOT NULL
+),
+sums AS (
+  SELECT event_type, count(*) AS n,
+         {sums}
+  FROM seq GROUP BY 1
+)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["harmonics"] = q_harmonics
+ORACLES["harmonics"] = _harmonics_sql()

@@ -1,0 +1,165 @@
+"""Analysis extras vs hand-rolled numpy/pandas oracles implementing the
+reference formulas (seasonaltrend classical path, harmonic DFT, granger
+ssr F-test, optimum range)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from diive_spark.operators import analysis
+
+
+def _mk(spark, vals, freq="1h", key="s1"):
+    ts = pd.date_range("2024-01-01", periods=len(vals), freq=freq)
+    return spark.createDataFrame(pd.DataFrame({"key": key, "ts": ts, "value": vals}))
+
+
+def _classical_oracle(vals: np.ndarray, period: int):
+    """statsmodels seasonal_decompose (additive) formulas, hand-rolled."""
+    s = pd.Series(vals)
+    if period % 2 == 1:
+        trend = s.rolling(period, center=True).mean()
+    else:
+        # 2xMA: period+1 window, half weight on both endpoints
+        w = np.ones(period + 1)
+        w[0] = w[-1] = 0.5
+        trend = s.rolling(period + 1, center=True).apply(
+            lambda x: (x * w).sum() / period, raw=True
+        )
+    detr = s - trend
+    phase = np.arange(len(s)) % period
+    pm = detr.groupby(phase).mean()
+    pm = pm - pm.mean()
+    seasonal = pm[phase].to_numpy()
+    resid = s.to_numpy() - trend.to_numpy() - seasonal
+    return trend.to_numpy(), seasonal, resid
+
+
+@pytest.mark.parametrize("period", [24, 25])
+def test_classical_decompose_matches_statsmodels_formula(spark, period):
+    rng = np.random.default_rng(5)
+    n = 24 * 14
+    t = np.arange(n)
+    vals = 0.01 * t + 3 * np.sin(2 * np.pi * t / period) + rng.normal(0, 0.2, n)
+    df = _mk(spark, vals)
+    out = analysis.classical_decompose(df, ["key"], "ts", "value", period)
+    pdf = out.orderBy("ts").toPandas()
+    trend, seasonal, resid = _classical_oracle(vals, period)
+    np.testing.assert_allclose(pdf["trend"].to_numpy(dtype=float), trend, rtol=1e-10)
+    np.testing.assert_allclose(pdf["seasonal"].to_numpy(dtype=float), seasonal, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(pdf["residual"].to_numpy(dtype=float), resid, rtol=1e-8, atol=1e-10)
+    # identity where trend exists
+    nn = pdf["trend"].notna()
+    np.testing.assert_allclose(
+        (pdf["trend"] + pdf["seasonal"] + pdf["residual"])[nn],
+        pdf["value"][nn], rtol=1e-10,
+    )
+    strength = analysis.seasonality_strength(out, ["key"]).collect()[0][1]
+    assert strength > 0.9  # strongly seasonal signal
+
+
+def test_harmonic_coefficients_match_rfft(spark):
+    """On a gapless series whose length is a multiple of the period, the
+    distributed DFT sums equal numpy's rfft bins exactly (no window)."""
+    rng = np.random.default_rng(2)
+    period, reps = 24, 10
+    n = period * reps
+    t = np.arange(n)
+    vals = (2.5 * np.cos(2 * np.pi * t / period + 0.7)
+            + 1.0 * np.cos(2 * np.pi * 2 * t / period - 1.2)
+            + rng.normal(0, 0.1, n))
+    df = _mk(spark, vals)
+    got = analysis.harmonic_coefficients(df, ["key"], "ts", "value",
+                                         period=period, n_harmonics=3)
+    got = got.orderBy("harmonic").toPandas()
+    fft = np.fft.rfft(vals) / n
+    for k in range(1, 4):
+        b = k * reps  # FFT bin of harmonic k
+        np.testing.assert_allclose(got["amplitude"][k - 1], 2 * np.abs(fft[b]), rtol=1e-9)
+        np.testing.assert_allclose(got["phase"][k - 1], np.angle(fft[b]), rtol=1e-7, atol=1e-9)
+    # planted amplitudes recovered
+    np.testing.assert_allclose(got["amplitude"][0], 2.5, atol=0.05)
+    np.testing.assert_allclose(got["amplitude"][1], 1.0, atol=0.05)
+
+
+def test_detect_seasonality_finds_planted_period(spark):
+    rng = np.random.default_rng(3)
+    t = np.arange(24 * 30)
+    vals = 4 * np.sin(2 * np.pi * t / 24) + rng.normal(0, 0.5, len(t))
+    out = analysis.detect_seasonality(_mk(spark, vals), ["key"], "ts", "value")
+    row = out.collect()[0]
+    assert row["primary_period"] == 24
+    assert row["strength"] > 0.5
+    assert 24 in row["top_periods"]
+
+
+def test_f_sf_against_closed_form():
+    """For d1=2 the F survival function has the closed form
+    (1 + 2 f / d2)^(-d2/2) — checks the incomplete-beta implementation."""
+    for f_stat in (0.5, 1.0, 3.2, 10.0):
+        for d2 in (5, 20, 100):
+            expect = (1 + 2 * f_stat / d2) ** (-d2 / 2)
+            np.testing.assert_allclose(analysis.f_sf(f_stat, 2, d2), expect, rtol=1e-10)
+    # monotone decreasing in f
+    assert analysis.f_sf(1.0, 3, 30) > analysis.f_sf(2.0, 3, 30) > analysis.f_sf(5.0, 3, 30)
+
+
+def test_granger_causality_matches_lstsq_oracle(spark):
+    """x drives y at lag 2: p tiny for lag >= 2; F-stat matches a numpy
+    lstsq OLS oracle implementing the same ssr_ftest."""
+    rng = np.random.default_rng(7)
+    n = 400
+    x = rng.normal(0, 1, n)
+    y = np.zeros(n)
+    for t in range(2, n):
+        y[t] = 0.4 * y[t - 1] + 0.9 * x[t - 2] + rng.normal(0, 0.3)
+    ts = pd.date_range("2024-01-01", periods=n, freq="30min")
+    df = spark.createDataFrame(pd.DataFrame({"key": "s1", "ts": ts, "x": x, "y": y}))
+    got = analysis.granger_causality(df, ["key"], "ts", "x", "y", max_lag=3)
+    got = got.set_index("lag")
+
+    def oracle_f(L):
+        rows = n - L
+        Y = y[L:]
+        ylags = np.column_stack([y[L - i:n - i] for i in range(1, L + 1)])
+        xlags = np.column_stack([x[L - i:n - i] for i in range(1, L + 1)])
+        const = np.ones((rows, 1))
+        Xr = np.hstack([const, ylags])
+        Xu = np.hstack([const, ylags, xlags])
+        rss_r = np.sum((Y - Xr @ np.linalg.lstsq(Xr, Y, rcond=None)[0]) ** 2)
+        rss_u = np.sum((Y - Xu @ np.linalg.lstsq(Xu, Y, rcond=None)[0]) ** 2)
+        return ((rss_r - rss_u) / L) / (rss_u / (rows - 2 * L - 1))
+
+    for L in (1, 2, 3):
+        np.testing.assert_allclose(got.loc[L, "f_stat"], oracle_f(L), rtol=1e-7)
+    assert got.loc[2, "p_value"] < 1e-6 and got.loc[3, "p_value"] < 1e-6
+    assert analysis.significant_lag(got.reset_index()) in (1, 2)
+    # reverse direction: y should NOT cause x
+    rev = analysis.granger_causality(df, ["key"], "ts", "y", "x", max_lag=2)
+    assert (rev["p_value"] > 0.01).all()
+
+
+def test_find_optimum_range(spark):
+    rng = np.random.default_rng(11)
+    n = 5000
+    x = rng.uniform(0, 10, n)
+    y = -((x - 5.0) ** 2) + rng.normal(0, 0.5, n)
+    ts = pd.to_datetime("2023-01-01") + pd.to_timedelta(
+        rng.integers(0, 2 * 365 * 24, n), unit="h")
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "x": x, "y": y}))
+    res = analysis.find_optimum_range(df, "x", "y", n_bins=50, ts_col="ts")
+    assert res["optimum_xstart"] < 5.0 < res["optimum_xend"]
+    assert res["optimum_xend"] - res["optimum_xstart"] < 4.0  # tight around peak
+    assert res["is_optimum_prominent"]
+    counts = res["vals_in_optimum_range_df"]
+    assert set(counts["year"]) == {2023, 2024}
+    assert (counts["vals_belowoptimum"] + counts["vals_inoptimum"]
+            + counts["vals_aboveoptimum"] == counts["vals_total"]).all()
+    # min-optimum mirror
+    res_min = analysis.find_optimum_range(df.withColumn("y2", -F.col("y")),
+                                          "x", "y2", n_bins=50,
+                                          define_optimum="min")
+    assert res_min["optimum_xstart"] < 5.0 < res_min["optimum_xend"]
