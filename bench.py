@@ -86,6 +86,13 @@ def main() -> None:
     timings["gorilla_pack_1m"] = round(el, 3)
     extras["compression_ratio"] = round(stats["raw"] / stats["packed"], 3)
     extras["packed_points_per_sec"] = round(stats["pts"] / el)
+
+    # --- Gorilla read-back (decode) throughput ------------------------------
+    t0 = time.time()
+    n_back = gorilla.unpack_blocks(packed, ["source"]).count()
+    el = time.time() - t0
+    timings["gorilla_unpack_1m"] = round(el, 3)
+    extras["unpacked_points_per_sec"] = round(n_back / el)
     packed.unpersist()
     t1m.unpersist()
     t1h.unpersist()

@@ -182,6 +182,27 @@ def split_write(
     )
 
 
+def save_diive_csv(
+    df: DataFrame, path: str, ts_col: str = "TIMESTAMP_MIDDLE",
+    units: dict | None = None,
+) -> None:
+    """Export to the reference's .diive.csv format (DIIVE-CSV-30MIN dialect:
+    names row, units row, data rows; see configs/exampledata/*.diive.csv).
+
+    The reference writes ONE file via pandas — a driver-side operation by
+    definition; here rows stream through toLocalIterator (bounded driver
+    memory, one partition in flight). For bulk data use split_write/parquet;
+    this is the interchange-format exporter."""
+    units = units or {}
+    cols = [ts_col] + [c for c in df.columns if c != ts_col]
+    ordered = df.select(*cols).orderBy(ts_col)
+    with open(path, "w") as f:
+        f.write(",".join(cols) + "\n")
+        f.write(",".join("-" if c == ts_col else units.get(c, "-") for c in cols) + "\n")
+        for row in ordered.toLocalIterator():
+            f.write(",".join("" if row[c] is None else str(row[c]) for c in cols) + "\n")
+
+
 # ---------------------------------------------------------------------------
 # high-frequency (20Hz) + zipped dialects
 # ---------------------------------------------------------------------------

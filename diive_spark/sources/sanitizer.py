@@ -42,6 +42,32 @@ class FrequencyResult:
     # timedelta / start_end_chunks (DetectFrequency, times.py:372-470)
 
 
+def to_diive_format(
+    df: DataFrame, ts_col: str, timestamp_name: str | None = None,
+    level_sep: str = "::",
+) -> tuple[DataFrame, dict]:
+    """Coerce a frame to the diive convention (files.py:18-55): flatten
+    two-level column names ``NAME<sep>UNITS`` to their top level — the Spark
+    stand-in for the reference's pandas MultiIndex flatten — returning the
+    stripped units as a metadata dict, and validate (optionally rename) the
+    timestamp column to one of the allowed convention names."""
+    units: dict[str, str] = {}
+    for c in list(df.columns):
+        if level_sep in c:
+            top, unit = c.split(level_sep, 1)
+            units[top] = unit
+            df = df.withColumnRenamed(c, top)
+            if c == ts_col:
+                ts_col = top
+    if timestamp_name is not None:
+        validate_timestamp_column_name(timestamp_name)
+        if ts_col != timestamp_name:
+            df = df.withColumnRenamed(ts_col, timestamp_name)
+            ts_col = timestamp_name
+    validate_timestamp_column_name(ts_col)
+    return df, units
+
+
 def validate_timestamp_column_name(name: str) -> None:
     """times.py:1654-1680 — the timestamp column name is load-bearing
     metadata declaring which point of the interval it marks."""

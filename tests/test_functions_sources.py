@@ -354,3 +354,30 @@ def test_detect_frequency_three_method_vote(spark):
     assert p.detection_method in ("start_end_chunks", "timedelta")
     if p.detection_method == "start_end_chunks":
         assert (p.freq_seconds, p.confidence) == (10, 0.70)
+
+
+def test_to_diive_format_flatten_and_export_roundtrip(spark, tmp_path):
+    """to_diive_format (files.py:18): two-level NAME::UNITS columns flatten
+    to the top level with units captured; save_diive_csv -> read_filetype
+    round-trips values and units."""
+    ts = pd.date_range("2024-01-01 00:15", periods=10, freq="30min")
+    pdf = pd.DataFrame({
+        "ts::-": ts, "TA::degC": np.arange(10.0), "SW_IN::W m-2": np.arange(10.0) * 2,
+    })
+    df = spark.createDataFrame(pdf)
+    out, units = sanitizer.to_diive_format(df, "ts::-",
+                                           timestamp_name="TIMESTAMP_MIDDLE")
+    assert set(out.columns) == {"TIMESTAMP_MIDDLE", "TA", "SW_IN"}
+    assert units == {"ts": "-", "TA": "degC", "SW_IN": "W m-2"}
+    with pytest.raises(sanitizer.TimestampError):
+        sanitizer.to_diive_format(df, "ts::-", timestamp_name="NOT_A_NAME")
+
+    p = str(tmp_path / "export.diive.csv")
+    csvsrc.save_diive_csv(out, p, "TIMESTAMP_MIDDLE",
+                          units={"TA": "degC", "SW_IN": "W m-2"})
+    back, meta = csvsrc.read_filetype(spark, p, "DIIVE-CSV-30MIN")
+    assert meta["units"]["TA"] == "degC"
+    got = back.orderBy("TIMESTAMP_MIDDLE").toPandas()
+    assert len(got) == 10
+    np.testing.assert_allclose(got["TA"], np.arange(10.0))
+    assert pd.DatetimeIndex(got["TIMESTAMP_MIDDLE"]).equals(pd.DatetimeIndex(ts))
