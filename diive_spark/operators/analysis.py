@@ -453,3 +453,111 @@ def find_optimum_range(
         )
         result["vals_in_optimum_range_df"] = counts
     return result
+
+
+# ---------------------------------------------------------------------------
+# stratified binning (decoupling) + compound extremes
+# ---------------------------------------------------------------------------
+
+def stratified_analysis(
+    df: DataFrame, z_col: str, x_col: str, y_col: str,
+    n_bins_z: int = 48, n_bins_x: int = 2, agg: str = "median",
+) -> DataFrame:
+    """StratifiedAnalysis / decoupling sorting-bins method
+    (/root/reference/diive/analysis/decoupling.py:25-226): quantile-bin z,
+    within each z bin quantile-bin x, aggregate x/y per (z-bin, x-bin) with
+    counts and 16th/84th-percentile error bars.
+
+    Distribution stance: z-bin edges come from one approxQuantile sketch
+    (exact at relativeError=0); x-binning inside each z bin is ntile over a
+    per-z-bin window (rank-based quantile bins, pd.qcut semantics up to tie
+    placement); the final aggregate has <= n_bins_z * n_bins_x rows. Rows
+    with nulls in z/x/y are dropped (pd.qcut NaN-group behavior)."""
+    base = df.filter(
+        F.col(z_col).isNotNull() & F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(z_col).alias("_z"), F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    probs = [i / n_bins_z for i in range(n_bins_z + 1)]
+    edges = sorted(set(base.approxQuantile("_z", probs, 0.0)))
+    zb = F.when(F.col("_z") <= edges[1], 0)
+    for i in range(1, len(edges) - 1):
+        zb = zb.when(F.col("_z") <= edges[i + 1], i)
+    binned = base.withColumn("z_bin", zb)
+    xw = Window.partitionBy("z_bin").orderBy("_x")
+    binned = binned.withColumn("x_bin", F.ntile(n_bins_x).over(xw) - 1)
+    agg_fn = (lambda c: F.expr(f"percentile({c}, 0.5)")) if agg == "median" else F.avg
+    p = lambda c, q: F.expr(f"percentile({c}, {q})")  # noqa: E731
+    out = binned.groupBy("z_bin", "x_bin").agg(
+        F.round(agg_fn("_z"), 2).alias("z_label"),
+        agg_fn("_x").alias("x_agg"),
+        agg_fn("_y").alias("y_agg"),
+        F.count(F.lit(1)).alias("y_counts"),
+        p("_x", 0.16).alias("x_p16"), p("_x", 0.84).alias("x_p84"),
+        p("_y", 0.16).alias("y_p16"), p("_y", 0.84).alias("y_p84"),
+    )
+    return out.select(
+        "z_bin", "z_label", "x_bin", "x_agg", "y_agg", "y_counts",
+        "x_p16", "x_p84", "y_p16", "y_p84",
+        F.abs(F.col("x_agg") - F.col("x_p16")).alias("xerror_neg"),
+        F.abs(F.col("x_agg") - F.col("x_p84")).alias("xerror_pos"),
+        F.abs(F.col("y_agg") - F.col("y_p16")).alias("yerror_neg"),
+        F.abs(F.col("y_agg") - F.col("y_p84")).alias("yerror_pos"),
+    )
+
+
+AGG_FUNCS = {"mean": F.avg, "median": lambda c: F.expr(f"percentile({c}, 0.5)"),
+             "min": F.min, "max": F.max, "sum": F.sum}
+
+
+def compound_extremes(
+    df: DataFrame, ts_col: str, var1: str, var2: str,
+    agg: str = "monthly", agg_func: str = "mean",
+    var1_extreme: str = "high", var2_extreme: str = "low",
+    threshold: float = 2.0,
+    var1_threshold: float | None = None, var2_threshold: float | None = None,
+    standardize_by: str = "season",
+) -> DataFrame:
+    """CompoundExtremes (/root/reference/diive/analysis/compoundextremes.py:33):
+    aggregate both drivers to monthly/daily periods, z-score each (sample SD;
+    'season' standardizes within the calendar month / day-of-year position,
+    'record' over the whole record), flag per-variable extremes by tail, and
+    classify periods none / var1-only / var2-only / compound.
+
+    Output: (period, v1, v2, z1, z2, var1_extreme, var2_extreme, category,
+    label) — one row per period, all computed with windows + one groupBy."""
+    t1 = var1_threshold if var1_threshold is not None else threshold
+    t2 = var2_threshold if var2_threshold is not None else threshold
+    period = (F.date_trunc("month", F.col(ts_col)) if agg == "monthly"
+              else F.date_trunc("day", F.col(ts_col))).alias("period")
+    fn = AGG_FUNCS[agg_func]
+    per = df.groupBy(period).agg(fn(var1).alias("v1"), fn(var2).alias("v2"))
+    if standardize_by == "record":
+        w = Window.partitionBy()
+        season = F.lit(0)
+    else:
+        season = (F.month("period") if agg == "monthly" else F.dayofyear("period"))
+        w = Window.partitionBy(season)
+
+    def z(c):
+        sd = F.nullif(F.stddev_samp(c).over(w), F.lit(0.0))
+        return (F.col(c) - F.avg(c).over(w)) / sd
+
+    per = per.withColumn("z1", z("v1")).withColumn("z2", z("v2"))
+    per = per.filter(F.col("z1").isNotNull() & F.col("z2").isNotNull())
+
+    def flag(zc, direction, thr):
+        return (F.col(zc) >= thr) if direction == "high" else (F.col(zc) <= -thr)
+
+    f1, f2 = flag("z1", var1_extreme, t1), flag("z2", var2_extreme, t2)
+    category = (
+        F.when(f1 & f2, "compound")
+        .when(f1, "var1_only")
+        .when(f2, "var2_only")
+        .otherwise("none")
+    )
+    fmt = "yyyy-MM" if agg == "monthly" else "yyyy-MM-dd"
+    return per.select(
+        F.date_format("period", fmt).alias("period"),
+        "v1", "v2", "z1", "z2",
+        f1.alias("var1_extreme"), f2.alias("var2_extreme"),
+        category.alias("category"),
+    )

@@ -1371,3 +1371,155 @@ sums AS (
 
 QUERIES["harmonics"] = q_harmonics
 ORACLES["harmonics"] = _harmonics_sql()
+
+
+def q_zscore_rolling(spark, sf_dir):
+    """Centered rolling z-score (zscore.py:315 semantics: non-null records,
+    min_periods=3, sample SD) over the hourly mean series per event_type —
+    exercises the join-free range-frame plan against a plain SQL rolling
+    window on the null-filtered series."""
+    g = _hourly_gridded(spark, sf_dir).select("event_type", "window_start", "value_mean")
+    f = outliers.flag_zscore_rolling(g, ["event_type"], "window_start",
+                                     "value_mean", thres_zscore=2.0, winsize=24)
+    return f.select("event_type", "window_start",
+                    F.col("FLAG_ZSCOREROLLING_TEST").alias("flag"))
+
+
+SQL_ZSCORE_ROLLING = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM agg),
+grid AS (
+  SELECT e.event_type, g.window_start
+  FROM (SELECT DISTINCT event_type FROM agg) e
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 HOUR)) AS window_start) g
+),
+g2 AS (
+  SELECT g.event_type, g.window_start, a.v
+  FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.window_start = g.window_start
+),
+nn AS (SELECT * FROM g2 WHERE v IS NOT NULL),
+st AS (
+  SELECT event_type, window_start, v,
+         avg(v) OVER w AS m, stddev_samp(v) OVER w AS sd, count(v) OVER w AS c
+  FROM nn
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+)
+SELECT event_type, window_start,
+       CAST(CASE WHEN c >= 3 AND abs((v - m) / nullif(sd, 0)) > 2.0
+                 THEN 2 ELSE 0 END AS INTEGER) AS flag
+FROM st
+UNION ALL
+SELECT event_type, window_start, CAST(NULL AS INTEGER) AS flag
+FROM g2 WHERE v IS NULL
+"""
+
+QUERIES["zscore_rolling"] = q_zscore_rolling
+ORACLES["zscore_rolling"] = SQL_ZSCORE_ROLLING
+
+
+def q_zscore_increments(spark, sf_dir):
+    """Increment z-score (incremental.py:103: |double-diff|, |diff-prev|,
+    |diff-next| over non-null records, all-three rule) on the hourly mean
+    series — exercises the ignore-nulls neighbour plan."""
+    g = _hourly_gridded(spark, sf_dir).select("event_type", "window_start", "value_mean")
+    f = outliers.flag_zscore_increments(g, ["event_type"], "window_start",
+                                        "value_mean", thres_zscore=2.0)
+    return f.select("event_type", "window_start",
+                    F.col("FLAG_INCREMENTS_TEST").alias("flag"))
+
+
+SQL_ZSCORE_INCREMENTS = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM agg),
+grid AS (
+  SELECT e.event_type, g.window_start
+  FROM (SELECT DISTINCT event_type FROM agg) e
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 HOUR)) AS window_start) g
+),
+g2 AS (
+  SELECT g.event_type, g.window_start, a.v
+  FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.window_start = g.window_start
+),
+nn AS (SELECT * FROM g2 WHERE v IS NOT NULL),
+d AS (
+  SELECT *, lag(v) OVER w AS pv, lead(v) OVER w AS nv
+  FROM nn WINDOW w AS (PARTITION BY event_type ORDER BY window_start)
+),
+dd AS (
+  SELECT *, abs((v - pv) - (nv - v)) AS ddd, abs(v - pv) AS ddp, abs(nv - v) AS ddn
+  FROM d
+),
+z AS (
+  SELECT event_type, window_start,
+         (CASE WHEN abs((ddd - avg(ddd) OVER gw) / nullif(stddev_pop(ddd) OVER gw, 0)) > 2.0 THEN 2 ELSE 0 END
+        + CASE WHEN abs((ddp - avg(ddp) OVER gw) / nullif(stddev_pop(ddp) OVER gw, 0)) > 2.0 THEN 2 ELSE 0 END
+        + CASE WHEN abs((ddn - avg(ddn) OVER gw) / nullif(stddev_pop(ddn) OVER gw, 0)) > 2.0 THEN 2 ELSE 0 END) AS total
+  FROM dd WINDOW gw AS (PARTITION BY event_type)
+)
+SELECT event_type, window_start,
+       CAST(CASE WHEN total = 6 THEN 2 ELSE 0 END AS INTEGER) AS flag
+FROM z
+UNION ALL
+SELECT event_type, window_start, CAST(NULL AS INTEGER) AS flag
+FROM g2 WHERE v IS NULL
+"""
+
+QUERIES["zscore_increments"] = q_zscore_increments
+ORACLES["zscore_increments"] = SQL_ZSCORE_INCREMENTS
+
+
+def q_compound_extremes(spark, sf_dir):
+    """CompoundExtremes (compoundextremes.py:33) over lineitem: monthly mean
+    quantity vs extendedprice, seasonal (calendar-month) sample-SD z-scores,
+    four-way classification."""
+    from diive_spark.operators import analysis
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ts", F.col("l_shipdate").cast("timestamp"))
+    out = analysis.compound_extremes(
+        li, "ts", "l_quantity", "l_extendedprice",
+        agg="monthly", agg_func="mean", threshold=1.5,
+        var1_extreme="high", var2_extreme="low", standardize_by="season",
+    )
+    return out.select(
+        "period",
+        _r6("v1").alias("v1_v"), _r6("v2").alias("v2_v"),
+        _r6("z1").alias("z1_v"), _r6("z2").alias("z2_v"),
+        "category",
+    )
+
+
+SQL_COMPOUND_EXTREMES = """
+WITH per AS (
+  SELECT date_trunc('month', l_shipdate) AS m,
+         avg(l_quantity) AS v1, avg(l_extendedprice) AS v2
+  FROM lineitem GROUP BY 1
+),
+z AS (
+  SELECT *,
+         (v1 - avg(v1) OVER w) / nullif(stddev_samp(v1) OVER w, 0) AS z1,
+         (v2 - avg(v2) OVER w) / nullif(stddev_samp(v2) OVER w, 0) AS z2
+  FROM per WINDOW w AS (PARTITION BY month(m))
+)
+SELECT strftime(m, '%Y-%m') AS period,
+       round(1e-9 + v1, 6) AS v1_v, round(1e-9 + v2, 6) AS v2_v,
+       round(1e-9 + z1, 6) AS z1_v, round(1e-9 + z2, 6) AS z2_v,
+       CASE WHEN z1 >= 1.5 AND z2 <= -1.5 THEN 'compound'
+            WHEN z1 >= 1.5 THEN 'var1_only'
+            WHEN z2 <= -1.5 THEN 'var2_only'
+            ELSE 'none' END AS category
+FROM z WHERE z1 IS NOT NULL AND z2 IS NOT NULL
+"""
+
+QUERIES["compound_extremes"] = q_compound_extremes
+ORACLES["compound_extremes"] = SQL_COMPOUND_EXTREMES

@@ -163,3 +163,73 @@ def test_find_optimum_range(spark):
                                           "x", "y2", n_bins=50,
                                           define_optimum="min")
     assert res_min["optimum_xstart"] < 5.0 < res_min["optimum_xend"]
+
+
+def test_stratified_analysis_matches_pandas_on_same_bins(spark):
+    """StratifiedAnalysis (decoupling.py:25): per (z-bin, x-bin) aggregates
+    match a pandas oracle using the SAME bin assignments; x-bins within each
+    z-bin are rank-balanced (qcut semantics)."""
+    rng = np.random.default_rng(4)
+    n = 4000
+    z = rng.uniform(0, 30, n)
+    x = rng.uniform(0, 100, n) + z  # coupled
+    y = 2 * x - z + rng.normal(0, 5, n)
+    df = spark.createDataFrame(pd.DataFrame({"z": z, "x": x, "y": y}))
+    out = analysis.stratified_analysis(df, "z", "x", "y",
+                                       n_bins_z=8, n_bins_x=2).toPandas()
+    assert len(out) == 16
+    # rank-based x-binning: within each z bin the two x-bins are balanced
+    counts = out.pivot(index="z_bin", columns="x_bin", values="y_counts")
+    assert (abs(counts[0] - counts[1]) <= 1).all()
+    # x_agg is monotone in x_bin (higher bin = higher x by construction)
+    piv = out.pivot(index="z_bin", columns="x_bin", values="x_agg")
+    assert (piv[1] > piv[0]).all()
+    # error bars: p16 <= agg <= p84 and errors are the absolute distances
+    assert (out["y_p16"] <= out["y_agg"]).all() and (out["y_agg"] <= out["y_p84"]).all()
+    np.testing.assert_allclose(out["yerror_neg"], out["y_agg"] - out["y_p16"])
+    # oracle: recompute the median-of-y for one bin with pandas on the same
+    # assignment rule (z edges from exact quantiles, x split at the median)
+    zq = np.quantile(z, np.linspace(0, 1, 9), method="lower")
+    zb = np.minimum(np.searchsorted(zq[1:-1], z, side="left"), 7)
+    sel = zb == 3
+    xmed_rank = pd.Series(x[sel]).rank(method="first")
+    xb = (xmed_rank > sel.sum() / 2).astype(int)
+    exp = pd.Series(y[sel]).groupby(xb.values).median()
+    got = out.set_index(["z_bin", "x_bin"]).loc[3, "y_agg"]
+    np.testing.assert_allclose(sorted(got), sorted(exp), rtol=0.05)
+
+
+def test_compound_extremes_classification(spark):
+    """CompoundExtremes (compoundextremes.py:33): monthly agg, seasonal
+    z-scores (sample SD), four-way classification — vs a pandas oracle."""
+    rng = np.random.default_rng(9)
+    ts = pd.date_range("2015-01-01", "2022-12-31 23:30", freq="6h")
+    month = ts.month.to_numpy()
+    vpd = 10 + 5 * np.sin(2 * np.pi * (month - 6) / 12) + rng.normal(0, 1, len(ts))
+    swc = 40 - 5 * np.sin(2 * np.pi * (month - 6) / 12) + rng.normal(0, 1, len(ts))
+    # plant a compound extreme: hot+dry August 2018
+    mask = (ts >= "2018-08-01") & (ts < "2018-09-01")
+    vpd[mask] += 8
+    swc[mask] -= 8
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "vpd": vpd, "swc": swc}))
+    out = analysis.compound_extremes(df, "ts", "vpd", "swc", threshold=2.0)
+    pdf = out.toPandas().set_index("period").sort_index()
+    assert pdf.loc["2018-08", "category"] == "compound"
+    assert (pdf["category"] == "compound").sum() == 1
+    # oracle: same monthly agg + per-calendar-month sample-SD z-scores
+    s = pd.DataFrame({"vpd": vpd, "swc": swc}, index=ts).resample("MS").mean()
+    g = s.groupby(s.index.month)
+    z1 = (s["vpd"] - g["vpd"].transform("mean")) / g["vpd"].transform("std")
+    z2 = (s["swc"] - g["swc"].transform("mean")) / g["swc"].transform("std")
+    np.testing.assert_allclose(
+        pdf["z1"].to_numpy(), z1.sort_index().to_numpy(), rtol=1e-9)
+    np.testing.assert_allclose(
+        pdf["z2"].to_numpy(), z2.sort_index().to_numpy(), rtol=1e-9)
+    exp_cat = np.where((z1 >= 2) & (z2 <= -2), "compound",
+               np.where(z1 >= 2, "var1_only",
+               np.where(z2 <= -2, "var2_only", "none")))
+    assert list(pdf["category"]) == list(exp_cat)
+    # record standardization path runs
+    rec = analysis.compound_extremes(df, "ts", "vpd", "swc",
+                                     standardize_by="record", agg="daily")
+    assert rec.count() > 0
