@@ -180,8 +180,11 @@ def minhash_lsh_pairs(
     sh_full = word_shingles(df, id_col, text_col, n).cache()
     sh = cap_shingle_doc_freq(sh_full, max_doc_freq) if max_doc_freq is not None else sh_full
     sig = _signatures_from_shingles(sh, id_col, k, seed)
+    # band hash from md5 over the comma-joined row values (not xxhash64) so a
+    # SQL engine can reproduce the exact bucketing — makes the whole LSH
+    # pipeline oracle-checkable end to end
     band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
+        h32(F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])).alias(f"band_{b}")
         for b in range(bands)
     ]
     banded = sig.select(id_col, *band_cols)

@@ -59,16 +59,19 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -
     orderBy().limit(n) executes as a distributed TakeOrderedAndProject —
     every partition contributes its local top-n, the driver merges n rows —
     unlike a global no-partitionBy Window, which would pull the whole corpus
-    through one task."""
+    through one task. The hash is md5-derived (not xxhash64) so a SQL oracle
+    can reproduce the selection exactly."""
+    from diive_spark.operators.dedup import h32
+
     ranked = (
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cent"))
-        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
-        .orderBy("_h")
+        .withColumn("_h", h32(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
         .limit(n_centroids)
     )
     # assign 0..n-1 ids on the (tiny) limited set; safe because it is at most
     # n_centroids rows, coalesced to one partition
-    w = Window.orderBy("_h")
+    w = Window.orderBy("_h", id_col)
     return (
         ranked.coalesce(1)
         .withColumn("centroid_id", F.row_number().over(w) - 1)
@@ -89,7 +92,9 @@ def cosine_topk_ivf(
     c = corpus.select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
-    assign_w = Window.partitionBy("nbr_id").orderBy(F.desc("csim"))
+    # centroid_id tie-break: deterministic (and SQL-reproducible) when two
+    # cells score identically
+    assign_w = Window.partitionBy("nbr_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
     assigned = (
         c.crossJoin(F.broadcast(cents))
         .withColumn("csim", cosine_expr(F.col("cv"), F.col("cent")))
@@ -100,7 +105,7 @@ def cosine_topk_ivf(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("csim"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
     probes = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("csim", cosine_expr(F.col("qv"), F.col("cent")))

@@ -761,17 +761,21 @@ WHERE list_dot_product(a.e, b.e) /
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash LSH near-dup pairs — probabilistic candidate generation, so no
-    SQL oracle (driver records a rows-only check); exactness of the verify
-    step is covered by tests/test_dedup_similarity.py."""
+    """MinHash LSH near-dup pairs. The banding is probabilistic but
+    DETERMINISTIC (md5-derived band hashes), so the SQL oracle reproduces the
+    entire pipeline — signatures, bucketing, exact-Jaccard verify — and the
+    gate is a full value check, not rows-only. Recall properties are covered
+    by tests/test_dedup_similarity.py."""
     from diive_spark.operators import dedup
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.02)
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k — approximate by design, no SQL oracle; recall
-    vs brute force covered by tests/test_dedup_similarity.py."""
+    """IVF approximate top-k. Approximate vs brute force by design, but the
+    quantizer is deterministic (md5-ordered centroid pick, tie-broken cell
+    assignment), so the SQL oracle replays the exact IVF plan; recall vs
+    brute force covered by tests/test_dedup_similarity.py."""
     from diive_spark.operators import similarity
     embs = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_ivf(
@@ -1523,3 +1527,108 @@ FROM z WHERE z1 IS NOT NULL AND z2 IS NOT NULL
 
 QUERIES["compound_extremes"] = q_compound_extremes
 ORACLES["compound_extremes"] = SQL_COMPOUND_EXTREMES
+
+
+def _minhash_lsh_sql(threshold=0.02, k=16, bands=4, seed=42):
+    """Full MinHash-LSH pipeline in SQL: signatures -> md5 band hashes ->
+    bucket-join candidates -> exact-Jaccard verify. Reproduces the Spark
+    plan's bucketing exactly (band hash = md5 of the comma-joined row
+    values), so the gated query is fully oracled, not rows-only."""
+    import random
+    rng = random.Random(seed)
+    p = (1 << 31) - 1
+    perms = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(k)]
+    perm_rows = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(perms))
+    rows = k // bands
+    mh_cols = ",\n       ".join(
+        f"max(CASE WHEN perm = {i} THEN mh END) AS mh_{i}" for i in range(k)
+    )
+    band_cases = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr=" || ',' || ".join(f"mh_{b * rows + r}::VARCHAR" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) g
+  WHERE i + 2 <= len(words)
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM sh),
+perms(perm, a, b) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT doc_id, perm, min((a * hv + b) % {p}) AS mh
+  FROM h CROSS JOIN perms GROUP BY 1, 2
+),
+wide AS (SELECT doc_id, {mh_cols} FROM sig GROUP BY doc_id),
+bandlong AS (
+  SELECT doc_id, b.band,
+         ('0x' || substr(md5(CASE b.band {band_cases} END), 1, 8))::BIGINT AS bh
+  FROM wide, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+  FROM bandlong a JOIN bandlong c ON a.band = c.band AND a.bh = c.bh
+  WHERE a.doc_id < c.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT cand.id1, cand.id2, count(*) AS n_int
+  FROM cands cand
+  JOIN sh s1 ON s1.doc_id = cand.id1
+  JOIN sh s2 ON s2.doc_id = cand.id2 AND s2.shingle = s1.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id1, i.id2,
+       round(1e-9 + n_int / (z1.n_sh + z2.n_sh - n_int), 6) AS jaccard
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.id1
+JOIN sizes z2 ON z2.doc_id = i.id2
+WHERE round(1e-9 + n_int / (z1.n_sh + z2.n_sh - n_int), 6) >= {threshold}
+"""
+
+
+ORACLES["minhash_lsh"] = _minhash_lsh_sql()
+
+
+SQL_ANN_IVF = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+hashed AS (
+  SELECT vec_id, e, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM v
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS centroid_id, e AS cent
+  FROM (SELECT * FROM hashed ORDER BY h, vec_id LIMIT 8)
+),
+assign AS (
+  SELECT vec_id, e, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rk
+  FROM (
+    SELECT v.vec_id, v.e, c.centroid_id,
+           list_dot_product(v.e, c.cent)
+           / nullif(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cent, c.cent)), 0) AS csim
+    FROM v CROSS JOIN cents c
+  )
+),
+assigned AS (SELECT vec_id AS nbr_id, e AS cv, centroid_id FROM assign WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, e AS qv, centroid_id
+  FROM assign WHERE vec_id < 10 AND rk <= 4
+),
+scored AS (
+  SELECT p.query_id, a.nbr_id,
+         round(1e-9 + list_dot_product(a.cv, p.qv)
+               / nullif(sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(p.qv, p.qv)), 0), 6) AS sim
+  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE p.query_id != a.nbr_id
+)
+SELECT query_id, nbr_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= 5
+"""
+
+ORACLES["ann_ivf"] = SQL_ANN_IVF

@@ -121,3 +121,35 @@ def test_stateful_gap_monitor(spark, tmp_path):
     assert row["is_gap_alert"]                      # ~3.25h silence > 1h
     assert row["total_events"] == 15                # state carried over
     assert row["gap_seconds"] > 3600
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingest guard: duplicates within the
+    horizon are collapsed to the first arrival; row set matches batch exact
+    dedup on the same files."""
+    import pandas as pd
+
+    from diive_spark.streaming.dedup_stream import streaming_dedup
+
+    src = str(tmp_path / "src")
+    ts = pd.date_range("2024-01-01", periods=100, freq="1min")
+    pdf = pd.DataFrame({"doc_id": list(range(100)), "ts": ts, "v": range(100)})
+    dup = pdf.iloc[10:30].copy()  # 20 duplicate keys, same payload
+    spark.createDataFrame(pd.concat([pdf, dup])).write.mode("overwrite").parquet(src)
+
+    out = []
+
+    def sink(df, _):
+        out.append(df.toPandas())
+
+    stream = streaming_dedup(
+        spark, src, "doc_id bigint, ts timestamp, v bigint",
+        ts_col="ts", key_cols=["doc_id"], watermark="2 hours",
+    )
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = pd.concat(out)
+    assert len(got) == 100
+    assert sorted(got["doc_id"]) == list(range(100))
