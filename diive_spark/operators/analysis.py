@@ -530,18 +530,22 @@ def compound_extremes(
               else F.date_trunc("day", F.col(ts_col))).alias("period")
     fn = AGG_FUNCS[agg_func]
     per = df.groupBy(period).agg(fn(var1).alias("v1"), fn(var2).alias("v2"))
+    # materialize the season key as a real column so both z windows share
+    # ONE exchange (per-expression window keys would shuffle twice)
     if standardize_by == "record":
-        w = Window.partitionBy()
-        season = F.lit(0)
+        per = per.withColumn("_season", F.lit(0))
     else:
-        season = (F.month("period") if agg == "monthly" else F.dayofyear("period"))
-        w = Window.partitionBy(season)
+        per = per.withColumn(
+            "_season",
+            F.month("period") if agg == "monthly" else F.dayofyear("period"),
+        )
+    w = Window.partitionBy("_season")
 
     def z(c):
         sd = F.nullif(F.stddev_samp(c).over(w), F.lit(0.0))
         return (F.col(c) - F.avg(c).over(w)) / sd
 
-    per = per.withColumn("z1", z("v1")).withColumn("z2", z("v2"))
+    per = per.withColumn("z1", z("v1")).withColumn("z2", z("v2")).drop("_season")
     per = per.filter(F.col("z1").isNotNull() & F.col("z2").isNotNull())
 
     def flag(zc, direction, thr):

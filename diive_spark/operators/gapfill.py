@@ -25,6 +25,8 @@ sort is ever needed.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -336,3 +338,133 @@ def gapfill_scores(
     return agg.withColumn("r2", 1 - F.col("_sse") / F.nullif(sstot, F.lit(0.0))).drop(
         "_sse", "_st2", "_st", "_n"
     )
+
+
+FLAG_MODEL = 4
+
+
+def linear_model_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    feature_cols: list[str] | None = None,
+    add_timestamp_features: bool = True,
+    min_train: int = 24,
+    ridge: float = 1e-8,
+    filled_col: str = "filled",
+    flag_col: str = "fill_flag",
+    granular_col: str = "fill_granular",
+) -> DataFrame:
+    """Model-based gap fill — the distributed closed-form analogue of the
+    reference's RandomForestTS / MlRegressor fills
+    (/root/reference/diive/core/ml/common.py: fit on observed rows with
+    driver + timestamp features, predict the gaps, flag filled values).
+
+    Per key, an OLS model (tiny ridge for rank safety) of value on
+    ``feature_cols`` plus (optionally) cyclic timestamp features
+    (sin/cos hour-of-day, sin/cos day-of-year — the reference's
+    .timestamp-features set, common.py:1175) is fit via DISTRIBUTED
+    cross-product sums: X'X and X'y are plain JVM aggregations (one shuffle
+    on the key), the (k+1)x(k+1) normal equations solve on the driver, and
+    predictions are pure column expressions with the per-key coefficients
+    broadcast back. No per-row Python anywhere; scales as one groupBy.
+
+    Only still-missing slots (null ``filled_col`` if present, else null
+    value) with all features present and >= min_train observed training rows
+    get filled; flag 4, granular 4000 + min(n_train, 999). Observed and
+    previously-filled values are never overwritten.
+    """
+    import numpy as np
+
+    feature_cols = list(feature_cols or [])
+    feats: list = [F.col(c).cast("double").alias(f"_f_{c}") for c in feature_cols]
+    if add_timestamp_features:
+        hour = F.hour(ts_col) + F.minute(ts_col) / 60.0
+        doy = F.dayofyear(ts_col).cast("double")
+        feats += [
+            F.sin(2 * math.pi * hour / 24.0).alias("_f_hsin"),
+            F.cos(2 * math.pi * hour / 24.0).alias("_f_hcos"),
+            F.sin(2 * math.pi * doy / 365.25).alias("_f_dsin"),
+            F.cos(2 * math.pi * doy / 365.25).alias("_f_dcos"),
+        ]
+    if not feats:
+        raise ValueError("no features: pass feature_cols or enable timestamp features")
+    fnames = [f"_f_{c}" for c in feature_cols]
+    if add_timestamp_features:
+        fnames += ["_f_hsin", "_f_hcos", "_f_dsin", "_f_dcos"]
+
+    work = df.select("*", *feats)
+    v = F.col(value_col)
+    all_feats_nn = None
+    for n in fnames:
+        c = F.col(n).isNotNull()
+        all_feats_nn = c if all_feats_nn is None else (all_feats_nn & c)
+
+    train = work.filter(v.isNotNull() & all_feats_nn)
+    terms = ["_one", *fnames]
+    train = train.withColumn("_one", F.lit(1.0))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, a in enumerate(terms):
+        aggs.append(F.sum(F.col(a) * v).alias(f"xy_{i}"))
+        for j in range(i, len(terms)):
+            aggs.append(F.sum(F.col(a) * F.col(terms[j])).alias(f"xx_{i}_{j}"))
+    stats = train.groupBy(*key_cols).agg(*aggs).collect()
+
+    k = len(terms)
+    coef_rows = []
+    for r in stats:
+        if int(r["_n"]) < min_train:
+            continue
+        A = np.empty((k, k))
+        b = np.empty(k)
+        for i in range(k):
+            b[i] = r[f"xy_{i}"]
+            for j in range(i, k):
+                A[i, j] = A[j, i] = r[f"xx_{i}_{j}"]
+        A += ridge * np.eye(k) * max(float(A.trace()) / k, 1.0)
+        beta = np.linalg.solve(A, b)
+        coef_rows.append(
+            {**{c: r[c] for c in key_cols},
+             **{f"_b{i}": float(beta[i]) for i in range(k)},
+             "_n_train": int(r["_n"])}
+        )
+    if not coef_rows:
+        # nothing trainable: return with fill columns untouched/created
+        base_filled = F.col(filled_col) if filled_col in df.columns else v
+        base_flag = (F.col(flag_col) if flag_col in df.columns
+                     else F.when(v.isNotNull(), F.lit(FLAG_OBSERVED)).cast("int"))
+        return (
+            work.withColumn(filled_col, base_filled)
+            .withColumn(flag_col, base_flag)
+            .drop(*fnames)
+        )
+    spark = df.sparkSession
+    coefs = spark.createDataFrame(coef_rows)
+
+    out = work.join(F.broadcast(coefs), on=key_cols, how="left")
+    pred = F.col("_b0")
+    for i, n in enumerate(fnames, start=1):
+        pred = pred + F.col(f"_b{i}") * F.col(n)
+
+    still_missing = F.col(filled_col).isNull() if filled_col in df.columns else v.isNull()
+    # materialize eligibility BEFORE mutating filled_col (lazy withColumn)
+    out = out.withColumn(
+        "_elig",
+        still_missing & all_feats_nn & F.col("_b0").isNotNull(),
+    )
+    eligible = F.col("_elig")
+    base_filled = F.col(filled_col) if filled_col in df.columns else v
+    base_flag = (F.col(flag_col) if flag_col in df.columns
+                 else F.when(v.isNotNull(), F.lit(FLAG_OBSERVED)))
+    granular = F.lit(FLAG_MODEL * 1000) + F.least(F.col("_n_train"), F.lit(999))
+    base_granular = F.col(granular_col) if granular_col in df.columns else F.lit(None)
+    out = (
+        out.withColumn(flag_col,
+                       F.when(eligible, F.lit(FLAG_MODEL)).otherwise(base_flag).cast("int"))
+        .withColumn(granular_col,
+                    F.when(eligible, granular).otherwise(base_granular).cast("int"))
+        .withColumn(filled_col, F.when(eligible, pred).otherwise(base_filled))
+    )
+    drop = [*fnames, "_elig", "_n_train"] + [f"_b{i}" for i in range(k)]
+    return out.drop(*drop)

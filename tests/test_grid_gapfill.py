@@ -203,3 +203,61 @@ def test_gap_stats_by_period_matches_pandas(hourly):
     lg = grid.long_gaps(gaps, long_gap_records=3).toPandas()
     assert (lg["gap_length"] >= 3).all()
     assert (lg["gap_length"].values == np.sort(lg["gap_length"].values)[::-1]).all()
+
+
+def test_linear_model_fill_matches_lstsq_oracle(spark):
+    """linear_model_fill (RandomForestTS closed-form analogue): per-key OLS
+    on driver + cyclic timestamp features via distributed cross-product sums
+    must equal a numpy lstsq fit on the same training rows; gaps get flag 4,
+    observed rows are untouched."""
+    rng = np.random.default_rng(21)
+    n = 24 * 60  # 60 days hourly
+    ts = pd.date_range("2024-01-01", periods=n, freq="1h")
+    hour = ts.hour.to_numpy().astype(float)
+    doy = ts.dayofyear.to_numpy().astype(float)
+    driver = rng.normal(10, 2, n)
+    truth = (3.0 + 0.8 * driver + 2.0 * np.sin(2 * np.pi * hour / 24)
+             - 1.0 * np.cos(2 * np.pi * doy / 365.25) + rng.normal(0, 0.1, n))
+    vals = truth.copy()
+    gaps = rng.choice(n, 200, replace=False)
+    vals[gaps] = np.nan
+    pdf = pd.DataFrame({"key": "a", "ts": ts, "value": vals, "driver": driver})
+    df = spark.createDataFrame(pdf)
+    out = gapfill.linear_model_fill(
+        df, ["key"], "ts", "value", feature_cols=["driver"], ridge=0.0,
+    ).orderBy("ts").toPandas()
+
+    # oracle: numpy lstsq on the same features/training rows
+    hsin, hcos = np.sin(2 * np.pi * hour / 24), np.cos(2 * np.pi * hour / 24)
+    dsin, dcos = np.sin(2 * np.pi * doy / 365.25), np.cos(2 * np.pi * doy / 365.25)
+    X = np.column_stack([np.ones(n), driver, hsin, hcos, dsin, dcos])
+    obs = ~np.isnan(vals)
+    beta = np.linalg.lstsq(X[obs], vals[obs], rcond=None)[0]
+    pred = X @ beta
+
+    filled = out["filled"].to_numpy(dtype=float)
+    np.testing.assert_allclose(filled[gaps], pred[gaps], rtol=1e-8)
+    # model is good: fills close to hidden truth
+    assert np.abs(filled[gaps] - truth[gaps]).mean() < 0.2
+    # observed rows untouched, flags correct
+    np.testing.assert_allclose(filled[obs], vals[obs])
+    flags = out["fill_flag"].to_numpy(dtype=float)
+    assert (flags[gaps] == 4).all() and (flags[obs] == 0).all()
+    gran = out["fill_granular"].to_numpy(dtype=float)
+    assert (gran[gaps] == 4000 + min(obs.sum(), 999)).all()
+
+
+def test_linear_model_fill_respects_prior_fills_and_min_train(spark):
+    ts = pd.date_range("2024-01-01", periods=30, freq="1h")
+    vals = [1.0] * 10 + [None] * 10 + [2.0] * 10  # interior 10-slot gap
+    pdf = pd.DataFrame({"key": "a", "ts": ts, "value": vals})
+    df = spark.createDataFrame(pdf)
+    # min_train > observed -> nothing fills, frame passes through with flags
+    out = gapfill.linear_model_fill(df, ["key"], "ts", "value",
+                                    min_train=50).toPandas()
+    assert out["filled"].isna().sum() == 10
+    # chained after interpolation: already-filled slots are never overwritten
+    g = gapfill.linear_interpolation(df, ["key"], "ts", "value", limit=30)
+    chained = gapfill.linear_model_fill(g, ["key"], "ts", "value",
+                                        min_train=5).orderBy("ts").toPandas()
+    assert (chained["fill_flag"][10:20] == 1).all()  # interp won, model skipped
