@@ -1632,3 +1632,65 @@ FROM scored QUALIFY rnk <= 5
 """
 
 ORACLES["ann_ivf"] = SQL_ANN_IVF
+
+
+def q_rank_drivers(spark, sf_dir):
+    """rank_drivers (correlation.py:18-105): rank candidate driver series by
+    max |Pearson r| against the click series over lags -2..2, on the hourly
+    pivot of per-type mean values."""
+    from diive_spark.operators import features
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .pivot("event_type", ["click", "view", "error", "purchase"])
+        .agg(F.avg("value"))
+    )
+    out = features.rank_drivers(hourly, "h", "click",
+                                ["view", "error", "purchase"], max_lag=2)
+    return out.select(
+        "feature",
+        _r6("max_abs_corr").alias("max_abs_corr_v"),
+        F.col("best_lag").cast("int").alias("best_lag"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def _rank_drivers_sql(feats=("view", "error", "purchase"), max_lag=2):
+    shifted, rows = [], []
+    for f in feats:
+        for lag in range(-max_lag, max_lag + 1):
+            name = f"{f}_l{lag + max_lag}"
+            if lag > 0:
+                expr = f"lag({f}, {lag}) OVER (ORDER BY h)"
+            elif lag < 0:
+                expr = f"lead({f}, {-lag}) OVER (ORDER BY h)"
+            else:
+                expr = f
+            shifted.append(f"{expr} AS {name}")
+            rows.append(f"SELECT '{f}' AS feature, {lag} AS lag, "
+                        f"abs(corr(click, {name})) AS abs_corr FROM l")
+    cases = ",\n         ".join(
+        f"avg(CASE WHEN event_type = '{t}' THEN value END) AS {t}"
+        for t in ("click", *feats)
+    )
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS h,
+         {cases}
+  FROM events GROUP BY 1
+),
+l AS (SELECT *, {", ".join(shifted)} FROM h),
+stacked AS ({" UNION ALL ".join(rows)}),
+best AS (
+  SELECT feature, max(abs_corr) AS max_corr, arg_max(lag, abs_corr) AS best_lag
+  FROM stacked GROUP BY 1
+)
+SELECT feature, round(1e-9 + max_corr, 6) AS max_abs_corr_v,
+       CAST(best_lag AS INTEGER) AS best_lag,
+       CAST(dense_rank() OVER (ORDER BY max_corr DESC) AS BIGINT) AS rank
+FROM best
+"""
+
+
+QUERIES["rank_drivers"] = q_rank_drivers
+ORACLES["rank_drivers"] = _rank_drivers_sql()
