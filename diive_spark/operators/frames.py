@@ -174,6 +174,18 @@ def add_continuous_record_number(
     return df.withColumn(out_col, F.row_number().over(w))
 
 
+def yearmonth_matrix_to_longform(
+    df: DataFrame, year_col: str = "year", month_cols: list[str] | None = None,
+) -> DataFrame:
+    """Wide year x month matrix -> long (year, month, value)
+    (transform_yearmonth_matrix_to_longform, frames.py:584): stack()."""
+    month_cols = month_cols or [c for c in df.columns if c != year_col]
+    pairs = ", ".join(f"'{c}', `{c}`" for c in month_cols)
+    return df.selectExpr(
+        year_col, f"stack({len(month_cols)}, {pairs}) AS (month, value)"
+    )
+
+
 def detect_new_columns(df: DataFrame, other: DataFrame) -> list[str]:
     """Schema diff (frames.py:240)."""
     return [c for c in df.columns if c not in set(other.columns)]

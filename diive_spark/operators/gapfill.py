@@ -468,3 +468,34 @@ def linear_model_fill(
     )
     drop = [*fnames, "_elig", "_n_train"] + [f"_b{i}" for i in range(k)]
     return out.drop(*drop)
+
+
+def longterm_model_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    feature_cols: list[str] | None = None,
+    n_neighbors: int = 1,
+    **model_kwargs,
+) -> DataFrame:
+    """LongTermGapFilling analogue
+    (/root/reference/diive/gapfilling/longterm.py:24-371 +
+    core/times/neighbors.py:8): each year is filled by a model trained on
+    that year +- n_neighbors pool, and the per-year results are collected
+    into one series — local models track drift across long records.
+
+    Distributed as ONE plan: every row is exploded to the target years whose
+    pool contains it (its own year +- n_neighbors), linear_model_fill trains
+    one model per (key..., target_year) group through the same cross-product
+    sums, and each row keeps the fill from its OWN year's model. Input rows
+    are duplicated (2*n_neighbors + 1)x into the training aggregation —
+    the price of per-year locality, linear and shuffle-friendly."""
+    yr = F.year(ts_col)
+    pool_targets = F.array(*[yr + d for d in range(-n_neighbors, n_neighbors + 1)])
+    pooled = df.withColumn("_ty", F.explode(pool_targets))
+    filled = linear_model_fill(
+        pooled, [*key_cols, "_ty"], ts_col, value_col,
+        feature_cols=feature_cols, **model_kwargs,
+    )
+    return filled.filter(F.col("_ty") == F.year(ts_col)).drop("_ty")

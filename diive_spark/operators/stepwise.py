@@ -86,6 +86,33 @@ class StepwiseScreening:
         )
         return self
 
+    def flag_local_sd(self, winsize: int | list[int] = 480,
+                      n_sd: float | list[float] = 7.0,
+                      constant_sd: bool = False) -> "StepwiseScreening":
+        """LocalSD; a winsize LIST runs multiple passes (localsd.py:46
+        winsize-list semantics), each pass testing the series with the
+        previous passes' rejects nulled."""
+        sizes = winsize if isinstance(winsize, list) else [winsize]
+        nsds = n_sd if isinstance(n_sd, list) else [n_sd] * len(sizes)
+        work = self.value_col
+        for i, (w_, s_) in enumerate(zip(sizes, nsds)):
+            name = self._name("LOCALSD")
+            self.df = outliers.flag_local_sd(
+                self.df, self.key_cols, self.ts_col, work,
+                self.tier_seconds, w_, s_, constant_sd, flag_col=name,
+            )
+            if i < len(sizes) - 1:
+                nxt = f"_lsd_work_{i}"
+                self.df = self.df.withColumn(
+                    nxt,
+                    F.when(F.col(name) == 2, F.lit(None)).otherwise(F.col(work)),
+                )
+                work = nxt
+        drop = [c for c in self.df.columns if c.startswith("_lsd_work_")]
+        if drop:
+            self.df = self.df.drop(*drop)
+        return self
+
     def flag_lof(self, n_neighbors: int = 20, contamination: float | str = 0.01,
                  daytime_col: str | None = None, repeat: bool = False) -> "StepwiseScreening":
         from diive_spark.operators import lof as lof_mod

@@ -261,3 +261,70 @@ def test_linear_model_fill_respects_prior_fills_and_min_train(spark):
     chained = gapfill.linear_model_fill(g, ["key"], "ts", "value",
                                         min_train=5).orderBy("ts").toPandas()
     assert (chained["fill_flag"][10:20] == 1).all()  # interp won, model skipped
+
+
+def test_longterm_model_fill_uses_year_local_models(spark):
+    """LongTermGapFilling analogue: a drifting relationship (slope changes
+    per year) is tracked by per-year pools where a single global model
+    cannot — and each row keeps its own year's fill."""
+    rng = np.random.default_rng(33)
+    frames = []
+    for i, year in enumerate([2019, 2020, 2021, 2022]):
+        n = 24 * 40
+        ts = pd.date_range(f"{year}-03-01", periods=n, freq="1h")
+        driver = rng.normal(10, 2, n)
+        slope = [1.0, 2.0, 4.0, 8.0][i]  # strong drift
+        vals = slope * driver + rng.normal(0, 0.05, n)
+        frames.append(pd.DataFrame({"key": "a", "ts": ts,
+                                    "value": vals, "driver": driver}))
+    pdf = pd.concat(frames).reset_index(drop=True)
+    truth = pdf["value"].copy()
+    gaps = rng.choice(len(pdf), 300, replace=False)
+    pdf.loc[gaps, "value"] = np.nan
+    df = spark.createDataFrame(pdf)
+
+    lt = gapfill.longterm_model_fill(
+        df, ["key"], "ts", "value", feature_cols=["driver"],
+        add_timestamp_features=False, n_neighbors=1,
+    ).orderBy("ts").toPandas()
+    glob = gapfill.linear_model_fill(
+        df, ["key"], "ts", "value", feature_cols=["driver"],
+        add_timestamp_features=False,
+    ).orderBy("ts").toPandas()
+
+    lt0 = gapfill.longterm_model_fill(
+        df, ["key"], "ts", "value", feature_cols=["driver"],
+        add_timestamp_features=False, n_neighbors=0,
+    ).orderBy("ts").toPandas()
+
+    t = truth.to_numpy()[np.sort(gaps)]
+    lt_err = np.abs(lt["filled"].to_numpy()[np.sort(gaps)] - t).mean()
+    lt0_err = np.abs(lt0["filled"].to_numpy()[np.sort(gaps)] - t).mean()
+    glob_err = np.abs(glob["filled"].to_numpy()[np.sort(gaps)] - t).mean()
+    # year +- 1 pools average neighbouring slopes: much better than global
+    assert lt_err < glob_err / 2
+    # pure per-year models recover each year's relationship near-exactly
+    assert lt0_err < 0.1
+    assert len(lt) == len(pdf)  # one row per input row, own-year fill kept
+    assert (lt["fill_flag"].to_numpy()[np.sort(gaps)] == 4).all()
+
+
+def test_stepwise_local_sd_multipass(spark):
+    from diive_spark.operators.stepwise import StepwiseScreening
+
+    rng = np.random.default_rng(8)
+    ts = pd.date_range("2024-01-01", periods=600, freq="30min")
+    vals = 10 + np.sin(np.linspace(0, 20, 600)) + rng.normal(0, 0.3, 600)
+    vals[[100, 300]] = [40.0, -25.0]   # huge spikes: caught by pass 1
+    vals[200] = vals[200] + 4.0        # subtler: needs the tighter pass 2
+    df = spark.createDataFrame(pd.DataFrame({"key": "a", "ts": ts, "value": vals}))
+    out = (
+        StepwiseScreening(df, ["key"], "ts", "value")
+        .flag_local_sd(winsize=[96, 48], n_sd=[5.0, 3.0])
+        .finalize()
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+    flag_cols = [c for c in out.columns if "LOCALSD" in c]
+    assert len(flag_cols) == 2
+    assert out.loc[100, "FLAG_QCF"] == 2 and out.loc[300, "FLAG_QCF"] == 2
+    assert out.loc[200, "FLAG_QCF"] == 2
+    assert (out["FLAG_QCF"] == 2).sum() <= 10
