@@ -146,3 +146,18 @@ def test_quantile_bucket_ignores_nulls(spark):
     nn = out.dropna(subset=["v"]).sort_values("v")
     assert list(nn["b"]) == [0, 1, 2, 3]
     assert out.loc[out["v"].isna(), "b"].isna().all()
+
+
+def test_yearmonth_matrix_to_longform(spark):
+    import pandas as pd
+
+    from diive_spark.operators import frames
+
+    wide = spark.createDataFrame(pd.DataFrame({
+        "year": [2023, 2024], "1": [10.0, 20.0], "2": [11.0, 21.0],
+    }))
+    long = frames.yearmonth_matrix_to_longform(wide, "year").toPandas()
+    assert len(long) == 4
+    assert set(long.columns) == {"year", "month", "value"}
+    got = long.set_index(["year", "month"])["value"]
+    assert got.loc[(2024, "2")] == 21.0
