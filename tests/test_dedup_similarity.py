@@ -210,3 +210,34 @@ def test_shingle_doc_freq_cap_shrinks_candidates(spark):
     # minhash path: cap redefines the shingle universe but still finds the pair
     mh = dedup.minhash_lsh_pairs(df, "doc_id", threshold=0.5, max_doc_freq=5).toPandas()
     assert (0, 1) in set(zip(mh["id1"], mh["id2"]))
+
+
+def test_audio_feature_plumbing(spark):
+    """Audio multimodal path: fake PCM decodes, features are deterministic,
+    zero-crossing rate tracks the planted tone frequency; real codecs raise
+    the documented stub error."""
+    audio = multimodal.synth_audio_table(spark, 16)
+    feats = multimodal.extract_audio_features(audio).toPandas()
+    assert len(feats) == 16
+    assert (feats["duration_sec"] > 0.2).all() and (feats["duration_sec"] <= 1.01).all()
+    assert (feats["rms"] > 1000).all()       # ~3000-amplitude tone
+    assert (feats["peak"] <= 32767).all()
+    # zcr of a tone ~ 2 * f0 / sr, f0 in [100, 1000] -> zcr in ~[0.01, 0.27]
+    assert feats["zero_cross_rate"].between(0.005, 0.3).all()
+    again = multimodal.extract_audio_features(audio).toPandas()
+    assert (feats.sort_values("doc_id")["rms"].to_numpy()
+            == again.sort_values("doc_id")["rms"].to_numpy()).all()
+    bad = audio.withColumn("media_type", F.lit("audio/mp3"))
+    with pytest.raises(Exception, match="no decoder"):
+        multimodal.extract_audio_features(bad).collect()
+
+
+def test_detect_new_columns(spark):
+    import pandas as pd
+
+    from diive_spark.operators import frames
+
+    a = spark.createDataFrame(pd.DataFrame({"x": [1], "y": [2], "z": [3]}))
+    b = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    assert frames.detect_new_columns(a, b) == ["y", "z"]
+    assert frames.detect_new_columns(b, a) == []
