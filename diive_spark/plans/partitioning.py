@@ -38,17 +38,20 @@ def salt_counts_from_profile(profile, target_rows_per_bucket: int) -> dict[str, 
 
 
 def with_salt(df: DataFrame, key_col: str, salt_counts: dict[str, int],
-              salt_col: str = "salt") -> DataFrame:
+              salt_col: str = "salt", id_cols: list[str] | None = None) -> DataFrame:
     """Deterministic salt: xxhash64(doc-level identity) mod n_salts(key) —
     reproducible across runs (no rand()), so replays land in the same
-    buckets. Falls back to 1 salt for unseen keys."""
+    buckets. Falls back to 1 salt for unseen keys. ``id_cols`` names the
+    identity columns to hash (default: every non-salt column — correct but
+    wasteful when the row carries a wide tokens array; pass the id)."""
     mapping = F.create_map(*[
         x for k, v in salt_counts.items() for x in (F.lit(k), F.lit(v))
     ])
     n = F.coalesce(mapping[F.col(key_col)], F.lit(1))
+    hash_cols = id_cols or [c for c in df.columns if c != salt_col]
     return df.withColumn(
         salt_col,
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns if c != salt_col]), n).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), n).cast("int"),
     )
 
 
@@ -62,7 +65,7 @@ def salted_repartition(
     profile = key_skew_profile(df, key_col)
     salt_counts = salt_counts_from_profile(profile, target_rows_per_bucket)
     total_buckets = sum(salt_counts.values())
-    salted = with_salt(df, key_col, salt_counts)
+    salted = with_salt(df, key_col, salt_counts, id_cols=id_cols)
     return salted.repartition(max(total_buckets, 1), key_col, "salt")
 
 
