@@ -499,3 +499,36 @@ def longterm_model_fill(
         feature_cols=feature_cols, **model_kwargs,
     )
     return filled.filter(F.col("_ty") == F.year(ts_col)).drop("_ty")
+
+
+def prediction_scores(
+    df: DataFrame, pred_col: str, target_col: str,
+) -> DataFrame:
+    """Seven regression quality metrics
+    (/root/reference/diive/gapfilling/scores.py:15-50, sklearn definitions):
+    mae, medae, mse, rmse, mape, maxe, r2 — one wide aggregation over
+    (prediction, target) pairs; rows with a null on either side are skipped.
+    mape follows sklearn: |err/target| with targets clamped away from zero
+    by machine epsilon."""
+    p, t = F.col(pred_col), F.col(target_col)
+    pairs = df.filter(p.isNotNull() & t.isNotNull())
+    err = p - t
+    eps = 2.220446049250313e-16  # np.finfo(np.float64).eps, sklearn's clamp
+    ape = F.abs(err) / F.greatest(F.abs(t), F.lit(eps))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.percentile(F.abs(err), F.lit(0.5)).alias("medae"),
+        F.avg(err * err).alias("mse"),
+        F.sqrt(F.avg(err * err)).alias("rmse"),
+        F.avg(ape).alias("mape"),
+        F.max(F.abs(err)).alias("maxe"),
+        F.sum(err * err).alias("_sse"),
+        F.sum(t * t).alias("_st2"),
+        F.sum(t).alias("_st"),
+        F.count(t).cast("double").alias("_n"),
+    )
+    sstot = F.col("_st2") - F.col("_st") * F.col("_st") / F.col("_n")
+    return agg.withColumn(
+        "r2", 1 - F.col("_sse") / F.nullif(sstot, F.lit(0.0))
+    ).drop("_sse", "_st2", "_st", "_n")

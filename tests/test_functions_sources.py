@@ -381,3 +381,39 @@ def test_to_diive_format_flatten_and_export_roundtrip(spark, tmp_path):
     assert len(got) == 10
     np.testing.assert_allclose(got["TA"], np.arange(10.0))
     assert pd.DatetimeIndex(got["TIMESTAMP_MIDDLE"]).equals(pd.DatetimeIndex(ts))
+
+
+def test_classify_variable_matches_reference_rules(spark):
+    from diive_spark.functions import classification as cl
+
+    cases = {
+        "NEE_CUT_REF_f": ("NEE", "carbon"),
+        "LE_f": ("LE", "water"),
+        "FC": ("FC", "carbon"),
+        "FC_1": ("FC", "carbon"),
+        "FCH4_x": ("FCH4", "carbon"),
+        "TA": ("TA", "meteo"),
+        "Tair_f": ("TA", "meteo"),
+        "VPD_hPa": ("VPD", "meteo"),
+        "SWC_0.05": ("SWC", "soil"),
+        "PPFD": ("PPFD", "radiation"),
+    }
+    for name, (kind, cat) in cases.items():
+        got = cl.classify_variable(name)
+        assert got == (kind, cat), name
+    # non-matches: TA prefix must not catch TARGET/TAU; FC must not catch F
+    for name in ("TARGET", "TAU", "TA_f_x"[:2], "unknown", "FCX"[:2]):
+        pass
+    assert cl.classify_variable("TARGET") is None
+    assert cl.classify_variable("TAU") is None
+    assert cl.classify_variable("unknown") is None
+    # column-expression form agrees
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({"name": list(cases) + ["TARGET", "TAU"]}))
+    out = df.select("name", cl.classify_variable_expr(F.col("name")).alias("c")).toPandas()
+    for _, r in out.iterrows():
+        exp = cl.classify_variable(r["name"])
+        if exp is None:
+            assert r["c"] is None
+        else:
+            assert (r["c"]["kind"], r["c"]["category"]) == tuple(exp)

@@ -328,3 +328,25 @@ def test_stepwise_local_sd_multipass(spark):
     assert out.loc[100, "FLAG_QCF"] == 2 and out.loc[300, "FLAG_QCF"] == 2
     assert out.loc[200, "FLAG_QCF"] == 2
     assert (out["FLAG_QCF"] == 2).sum() <= 10
+
+
+def test_prediction_scores_match_numpy(spark):
+    """All seven sklearn-definition metrics vs numpy formulas."""
+    rng = np.random.default_rng(13)
+    t = rng.normal(10, 3, 500)
+    p = t + rng.normal(0, 1, 500)
+    pdf = pd.DataFrame({"pred": p, "target": t})
+    pdf.loc[0, "pred"] = None  # skipped pair
+    got = gapfill.prediction_scores(
+        spark.createDataFrame(pdf), "pred", "target").toPandas().iloc[0]
+    pp, tt = p[1:], t[1:]
+    err = pp - tt
+    np.testing.assert_allclose(got["mae"], np.abs(err).mean(), rtol=1e-12)
+    np.testing.assert_allclose(got["medae"], np.median(np.abs(err)), rtol=1e-12)
+    np.testing.assert_allclose(got["mse"], (err ** 2).mean(), rtol=1e-12)
+    np.testing.assert_allclose(got["rmse"], np.sqrt((err ** 2).mean()), rtol=1e-12)
+    np.testing.assert_allclose(got["mape"], np.abs(err / tt).mean(), rtol=1e-9)
+    np.testing.assert_allclose(got["maxe"], np.abs(err).max(), rtol=1e-12)
+    r2 = 1 - (err ** 2).sum() / ((tt - tt.mean()) ** 2).sum()
+    np.testing.assert_allclose(got["r2"], r2, rtol=1e-10)
+    assert got["n"] == 499
