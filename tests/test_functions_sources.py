@@ -401,9 +401,7 @@ def test_classify_variable_matches_reference_rules(spark):
     for name, (kind, cat) in cases.items():
         got = cl.classify_variable(name)
         assert got == (kind, cat), name
-    # non-matches: TA prefix must not catch TARGET/TAU; FC must not catch F
-    for name in ("TARGET", "TAU", "TA_f_x"[:2], "unknown", "FCX"[:2]):
-        pass
+    # non-matches: TA prefix must not catch TARGET/TAU
     assert cl.classify_variable("TARGET") is None
     assert cl.classify_variable("TAU") is None
     assert cl.classify_variable("unknown") is None
