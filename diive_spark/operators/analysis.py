@@ -356,6 +356,7 @@ def find_optimum_range(
     define_optimum: str = "max", threshold: float = 0.95,
     prominence_threshold: float = 1.0,
     ts_col: str | None = None,
+    relative_error: float = 0.0,
 ) -> dict:
     """FindOptimumRange (optimumrange.py:26-245): quantile-bin x, aggregate
     y per bin, smooth with a centered rolling window, walk outward from the
@@ -368,8 +369,10 @@ def find_optimum_range(
     curve — at any corpus size the driver sees n_bins numbers, never rows.
     ``ts_col`` adds the per-year in/below/above-optimum counts
     (optimumrange.py:146-163), computed distributed."""
+    # relative_error=0.0 computes exact quantiles (full pass); at web scale
+    # pass e.g. 1e-4 for the Greenwald-Khanna sketch (single-digit-MB state)
     probs = [i / n_bins for i in range(n_bins + 1)]
-    edges = df.filter(F.col(x_col).isNotNull()).approxQuantile(x_col, probs, 0.0)
+    edges = df.filter(F.col(x_col).isNotNull()).approxQuantile(x_col, probs, relative_error)
     edges = sorted(set(edges))  # duplicates='drop' (pd.qcut contract)
     if len(edges) < 3:
         raise ValueError("not enough distinct x values to form bins")
@@ -462,6 +465,7 @@ def find_optimum_range(
 def stratified_analysis(
     df: DataFrame, z_col: str, x_col: str, y_col: str,
     n_bins_z: int = 48, n_bins_x: int = 2, agg: str = "median",
+    relative_error: float = 0.0,
 ) -> DataFrame:
     """StratifiedAnalysis / decoupling sorting-bins method
     (/root/reference/diive/analysis/decoupling.py:25-226): quantile-bin z,
@@ -476,8 +480,9 @@ def stratified_analysis(
     base = df.filter(
         F.col(z_col).isNotNull() & F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(F.col(z_col).alias("_z"), F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    # relative_error: 0.0 = exact quantile edges; raise for sketch mode at scale
     probs = [i / n_bins_z for i in range(n_bins_z + 1)]
-    edges = sorted(set(base.approxQuantile("_z", probs, 0.0)))
+    edges = sorted(set(base.approxQuantile("_z", probs, relative_error)))
     zb = F.when(F.col("_z") <= edges[1], 0)
     for i in range(1, len(edges) - 1):
         zb = zb.when(F.col("_z") <= edges[i + 1], i)
