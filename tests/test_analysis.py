@@ -233,3 +233,76 @@ def test_compound_extremes_classification(spark):
     rec = analysis.compound_extremes(df, "ts", "vpd", "swc",
                                      standardize_by="record", agg="daily")
     assert rec.count() > 0
+
+
+def test_stl_decomposes_planted_signal(spark):
+    """STL (Cleveland 1990): recovers a planted trend + seasonal pattern and
+    satisfies the additive identity; components agree with classical
+    decomposition on a well-behaved series."""
+    from diive_spark.operators import analysis as ana
+    from diive_spark.operators import stl
+
+    rng = np.random.default_rng(6)
+    p, n = 24, 24 * 20
+    t = np.arange(n)
+    true_trend = 5.0 + 0.01 * t
+    true_seas = 3.0 * np.sin(2 * np.pi * t / p)
+    vals = true_trend + true_seas + rng.normal(0, 0.3, n)
+    df = _mk(spark, vals)
+    out = stl.stl_decompose(df, ["key"], "ts", "value", period=p).orderBy("ts").toPandas()
+    T = out["trend"].to_numpy(dtype=float)
+    S = out["seasonal"].to_numpy(dtype=float)
+    R = out["residual"].to_numpy(dtype=float)
+    np.testing.assert_allclose(T + S + R, vals, rtol=1e-10)  # identity
+    # trend tracks the line, seasonal tracks the sine (skip edge cycles)
+    mid = slice(2 * p, n - 2 * p)
+    assert np.abs(T[mid] - true_trend[mid]).mean() < 0.25
+    assert np.abs(S[mid] - true_seas[mid]).mean() < 0.25
+    assert np.corrcoef(S[mid], true_seas[mid])[0, 1] > 0.99
+    assert R[mid].std() < 0.5
+    # agrees with the classical path where both are defined
+    cl = ana.classical_decompose(df, ["key"], "ts", "value", p).orderBy("ts").toPandas()
+    both = cl["trend"].notna().to_numpy() & ~np.isnan(T)
+    assert np.corrcoef(T[both], cl["trend"].to_numpy(dtype=float)[both])[0, 1] > 0.99
+
+
+def test_stl_robust_downweights_outliers(spark):
+    from diive_spark.operators import stl
+
+    rng = np.random.default_rng(14)
+    p, n = 24, 24 * 15
+    t = np.arange(n)
+    vals = 10 + 2 * np.sin(2 * np.pi * t / p) + rng.normal(0, 0.2, n)
+    spikes = [100, 180, 260]
+    vals[spikes] += 30.0
+    df = _mk(spark, vals)
+    plain = stl.stl_decompose(df, ["key"], "ts", "value", period=p).orderBy("ts").toPandas()
+    robust = stl.stl_decompose(df, ["key"], "ts", "value", period=p,
+                               robust=True, n_outer=5).orderBy("ts").toPandas()
+    # near the spikes, the robust trend stays close to the true level 10
+    near = np.unique(np.concatenate([np.arange(s - 3, s + 4) for s in spikes]))
+    plain_dev = np.abs(plain["trend"].to_numpy(dtype=float)[near] - 10).max()
+    robust_dev = np.abs(robust["trend"].to_numpy(dtype=float)[near] - 10).max()
+    assert robust_dev < plain_dev
+    assert robust_dev < 1.0
+    # spike lands in the residual, not the seasonal
+    assert robust["residual"].to_numpy(dtype=float)[spikes].min() > 20
+
+
+def test_stl_nulls_and_short_series(spark):
+    from diive_spark.operators import stl
+
+    # nulls: components null at gaps, identity elsewhere
+    vals = list(10 + 2 * np.sin(2 * np.pi * np.arange(24 * 6) / 24))
+    vals[30] = None
+    df = _mk(spark, vals)
+    out = stl.stl_decompose(df, ["key"], "ts", "value", period=24).orderBy("ts").toPandas()
+    assert pd.isna(out.loc[30, "trend"])
+    nn = out["value"].notna()
+    np.testing.assert_allclose(
+        (out["trend"] + out["seasonal"] + out["residual"])[nn],
+        out["value"][nn], rtol=1e-10)
+    # too-short series: all-null components, no crash
+    short = _mk(spark, list(np.arange(10.0)))
+    s_out = stl.stl_decompose(short, ["key"], "ts", "value", period=24).toPandas()
+    assert s_out["trend"].isna().all()
