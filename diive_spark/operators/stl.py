@@ -85,6 +85,7 @@ def stl_kernel(
     y: np.ndarray, period: int,
     seasonal: int = 7, trend: int | None = None, lowpass: int | None = None,
     n_inner: int = 2, n_outer: int = 0,
+    base_weights: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """STL on a dense float array (no NaNs). Returns (trend, seasonal,
     residual). Parameter defaults follow the paper/statsmodels:
@@ -97,7 +98,10 @@ def stl_kernel(
     n_l = lowpass if lowpass is not None else _odd_at_least(p)
     T = np.zeros(n)
     S = np.zeros(n)
-    rho = np.ones(n)
+    base = np.ones(n) if base_weights is None else np.clip(base_weights, 0.0, 1.0)
+    if not base.any():
+        base = np.ones(n)  # all-zero quality -> uniform (reference contract)
+    rho = base.copy()
     for _outer in range(n_outer + 1):
         for _inner in range(n_inner):
             D = y - T
@@ -118,10 +122,10 @@ def stl_kernel(
             r = np.abs(y - T - S)
             h = 6.0 * np.median(r)
             if h <= 0:
-                rho = np.ones(n)
+                rho = base.copy()
             else:
                 u = np.minimum(r / h, 1.0)
-                rho = (1.0 - u ** 2) ** 2
+                rho = base * (1.0 - u ** 2) ** 2
     return T, S, y - T - S
 
 
@@ -130,13 +134,17 @@ def stl_decompose(
     period: int,
     seasonal: int = 7, trend: int | None = None, lowpass: int | None = None,
     robust: bool = False, n_inner: int | None = None, n_outer: int | None = None,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """STL per series key (SeasonalTrend method='stl'). Adds trend /
     seasonal / residual columns; null values get null components (they are
     positionally compressed out before the decomposition, like the gapless
     input statsmodels requires). robust=True enables the bisquare outer
     loop (statsmodels defaults: inner=1, outer=15 robust; inner=2, outer=0
-    otherwise)."""
+    otherwise). ``quality_col`` enables quality-weighted fitting
+    (quality_weighted_decompose, decomposition_utils.py:318): 0-1 weights,
+    clipped, multiplied into every loess fit — low-quality values keep their
+    output rows but influence the trend/seasonal less."""
     if n_inner is None:
         n_inner = 1 if robust else 2
     if n_outer is None:
@@ -154,8 +162,12 @@ def stl_decompose(
         S = np.full(len(v), np.nan)
         R = np.full(len(v), np.nan)
         if nn.sum() >= 2 * period + 1:
+            bw = None
+            if quality_col is not None:
+                bw = out[quality_col].to_numpy(dtype=np.float64)[nn]
+                bw = np.where(np.isnan(bw), 0.0, bw)
             t, s, r = stl_kernel(v[nn], period, seasonal, trend, lowpass,
-                                 n_inner, n_outer)
+                                 n_inner, n_outer, base_weights=bw)
             T[nn], S[nn], R[nn] = t, s, r
         out["trend"] = T
         out["seasonal"] = S

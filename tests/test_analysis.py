@@ -306,3 +306,31 @@ def test_stl_nulls_and_short_series(spark):
     short = _mk(spark, list(np.arange(10.0)))
     s_out = stl.stl_decompose(short, ["key"], "ts", "value", period=24).toPandas()
     assert s_out["trend"].isna().all()
+
+
+def test_stl_quality_weighted(spark):
+    """quality_weighted_decompose (decomposition_utils.py:318): low-quality
+    outliers influence the fit less than in the unweighted run."""
+    from diive_spark.operators import stl
+
+    rng = np.random.default_rng(15)
+    p, n = 24, 24 * 12
+    t = np.arange(n)
+    vals = 10 + 2 * np.sin(2 * np.pi * t / p) + rng.normal(0, 0.2, n)
+    quality = np.ones(n)
+    spikes = [120, 150]
+    vals[spikes] += 25.0
+    quality[spikes] = 0.0  # flagged bad
+    ts = pd.date_range("2024-01-01", periods=n, freq="1h")
+    df = spark.createDataFrame(pd.DataFrame(
+        {"key": "a", "ts": ts, "value": vals, "q": quality}))
+    plain = stl.stl_decompose(df, ["key"], "ts", "value", period=p).orderBy("ts").toPandas()
+    qw = stl.stl_decompose(df, ["key"], "ts", "value", period=p,
+                           quality_col="q").orderBy("ts").toPandas()
+    near = np.arange(115, 156)
+    plain_dev = np.abs(plain["trend"].to_numpy(dtype=float)[near] - 10).max()
+    qw_dev = np.abs(qw["trend"].to_numpy(dtype=float)[near] - 10).max()
+    assert qw_dev < plain_dev
+    assert qw_dev < 0.6
+    # the outliers land in the residual, preserved in output rows
+    assert qw["residual"].to_numpy(dtype=float)[spikes].min() > 18
