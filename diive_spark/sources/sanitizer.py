@@ -170,8 +170,12 @@ def detect_frequency(df: DataFrame, ts_col: str) -> FrequencyResult:
 
 def dedup_keep_last(df: DataFrame, ts_col: str, order_col: str | None = None) -> DataFrame:
     """Duplicate timestamps keep the LAST occurrence (times.py:1409-1457).
-    'Last' means arrival order: pass ``order_col`` (e.g. a file/row sequence)
-    or a monotonic ingest id is materialized."""
+    'Last' means arrival order: pass ``order_col`` (e.g. a file/row sequence —
+    the CSV readers pass their source order). The monotonic-id fallback is
+    best-effort only: it is used purely as an ORDERING within the dedup
+    window (never as a join key), so a shuffle-retry can at worst change
+    WHICH duplicate wins — the same ambiguity the reference has when files
+    carry no sequence column — and can never mis-attach data across rows."""
     if order_col is None:
         df = df.withColumn("_ord", F.monotonically_increasing_id())
         order_col = "_ord"
