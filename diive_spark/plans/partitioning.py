@@ -83,3 +83,22 @@ def write_partitioned(
         .partitionBy("event_date")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_cols: list[str], n_buckets: int,
+    sort_cols: list[str] | None = None, mode: str = "overwrite",
+) -> None:
+    """Bucketed table write — the co-located-join layout (SURVEY.md §4.3.1:
+    hash bucketing on doc_id so joins/groupBys on the bucket key read
+    pre-partitioned data and skip their shuffle entirely).
+
+    Spark bucketing requires a managed/catalog table (saveAsTable); two
+    tables bucketed the same way join with NO exchange on either side —
+    at 100 TB that is the difference between a full-corpus shuffle and a
+    purely local merge (verified by plan assertion in
+    tests/test_partitioning.py)."""
+    w = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode(mode).format("parquet").saveAsTable(table_name)

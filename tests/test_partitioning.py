@@ -49,3 +49,32 @@ def test_write_partitioned_layout(spark, tokens, tmp_path):
     assert "event_date" in plan
     one_day = back.filter(F.col("event_date") == "2024-01-05").count()
     assert 0 < one_day < 20_000 / 10
+
+
+def test_bucketed_join_has_no_shuffle(spark, tokens, tmp_path):
+    """Two tables bucketed on the same key join WITHOUT exchanges: the
+    bucketed scan satisfies the join's distribution requirement."""
+    from diive_spark.plans import partitioning as pt
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = tokens.select("doc_id", "source", "n_tok")
+        right = tokens.select("doc_id", (F.col("n_tok") * 2).alias("m"))
+        pt.write_bucketed(left, "bk_left", ["doc_id"], 8, sort_cols=["doc_id"])
+        pt.write_bucketed(right, "bk_right", ["doc_id"], 8, sort_cols=["doc_id"])
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucketing ate the shuffle
+        assert joined.count() == left.count()
+        # contrast: the same join on unbucketed parquet shuffles both sides
+        p1, p2 = str(tmp_path / "l"), str(tmp_path / "r")
+        left.write.parquet(p1)
+        right.write.parquet(p2)
+        plain = spark.read.parquet(p1).join(spark.read.parquet(p2), "doc_id")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plain_plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
