@@ -334,3 +334,39 @@ def test_stl_quality_weighted(spark):
     assert qw_dev < 0.6
     # the outliers land in the residual, preserved in output rows
     assert qw["residual"].to_numpy(dtype=float)[spikes].min() > 18
+
+
+def test_granger_multiple_keys_and_variants(spark):
+    """Multi-key Granger: per-key results independent; stratified/compound
+    median-agg paths run."""
+    rng = np.random.default_rng(17)
+    n = 300
+    frames = []
+    for key, lagged in (("a", True), ("b", False)):
+        x = rng.normal(0, 1, n)
+        y = np.zeros(n)
+        for t in range(2, n):
+            y[t] = 0.3 * y[t - 1] + (0.9 * x[t - 1] if lagged else 0.0) \
+                + rng.normal(0, 0.3)
+        ts = pd.date_range("2024-01-01", periods=n, freq="30min")
+        frames.append(pd.DataFrame({"key": key, "ts": ts, "x": x, "y": y}))
+    df = spark.createDataFrame(pd.concat(frames))
+    got = analysis.granger_causality(df, ["key"], "ts", "x", "y", max_lag=2)
+    a = got[got["key"] == "a"].set_index("lag")
+    b = got[got["key"] == "b"].set_index("lag")
+    assert a.loc[1, "p_value"] < 1e-6      # x drives y for key a
+    assert b["p_value"].min() > 0.01       # no relationship for key b
+
+    # median-agg variants execute and produce sane shapes
+    z = rng.uniform(0, 10, 2000)
+    x2 = rng.uniform(0, 10, 2000)
+    y2 = x2 + z + rng.normal(0, 1, 2000)
+    sdf = spark.createDataFrame(pd.DataFrame({"z": z, "x": x2, "y": y2}))
+    out = analysis.stratified_analysis(sdf, "z", "x", "y", n_bins_z=4,
+                                       n_bins_x=2, agg="mean").toPandas()
+    assert len(out) == 8 and out["y_counts"].sum() == 2000
+    ts = pd.date_range("2020-01-01", periods=2000, freq="6h")
+    cdf = spark.createDataFrame(pd.DataFrame({"ts": ts, "a": y2, "b": x2}))
+    ce = analysis.compound_extremes(cdf, "ts", "a", "b", agg="monthly",
+                                    agg_func="median", threshold=1.0)
+    assert ce.count() > 0
