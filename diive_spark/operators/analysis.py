@@ -157,8 +157,9 @@ def detect_seasonality(
     (decomposition_utils.py:425-530): numpy rfft per series in an
     applyInPandas task; returns primary_period (records), its power fraction
     ``strength`` and the top-n (period, power) alternatives as arrays."""
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     schema = ", ".join(
-        [f"`{c}` string" for c in key_cols]
+        [f"`{c}` {types[c]}" for c in key_cols]
         + ["primary_period int", "strength double",
            "top_periods array<int>", "top_power array<double>"]
     )
@@ -283,7 +284,7 @@ def granger_causality(
         F.col(y_col).alias("_y"),
         *[F.lag(y_col, L).over(w).alias(f"_yl{L}") for L in range(1, max_lag + 1)],
         *[F.lag(x_col, L).over(w).alias(f"_xl{L}") for L in range(1, max_lag + 1)],
-    )
+    ).cache()  # one scan + window pass feeds all max_lag aggregations
     results = []
     for L in range(1, max_lag + 1):
         feats = [f"_yl{i}" for i in range(1, L + 1)] + [f"_xl{i}" for i in range(1, L + 1)]
@@ -324,18 +325,25 @@ def granger_causality(
 
             yy = r["p__y__y"]
             rss = {}
-            for name, cols in (("r", feats[:L]), ("u", feats)):
-                A, bvec = xtx_xty(cols)
-                beta = np.linalg.solve(A, bvec)
-                rss[name] = float(yy - beta @ bvec)
-            d2 = n - 2 * L - 1
-            denom = rss["u"] / d2 if d2 > 0 else float("nan")
-            f_stat = ((rss["r"] - rss["u"]) / L) / denom if denom and denom > 0 else float("nan")
+            try:
+                for name, cols in (("r", feats[:L]), ("u", feats)):
+                    A, bvec = xtx_xty(cols)
+                    beta = np.linalg.solve(A, bvec)
+                    rss[name] = float(yy - beta @ bvec)
+                d2 = n - 2 * L - 1
+                denom = rss["u"] / d2 if d2 > 0 else float("nan")
+                f_stat = (((rss["r"] - rss["u"]) / L) / denom
+                          if denom and denom > 0 else float("nan"))
+            except np.linalg.LinAlgError:
+                # a degenerate key (constant series -> singular X'X) must not
+                # abort the other keys; it simply has no defined F-test
+                f_stat, d2 = float("nan"), n - 2 * L - 1
             p = f_sf(f_stat, L, d2) if math.isfinite(f_stat) else float("nan")
             results.append(
                 {**{c: r[c] for c in key_cols}, "lag": L, "f_stat": f_stat,
                  "p_value": p, "n_obs": n}
             )
+    lagged.unpersist()
     return pd.DataFrame(results)
 
 
@@ -483,6 +491,8 @@ def stratified_analysis(
     # relative_error: 0.0 = exact quantile edges; raise for sketch mode at scale
     probs = [i / n_bins_z for i in range(n_bins_z + 1)]
     edges = sorted(set(base.approxQuantile("_z", probs, relative_error)))
+    if len(edges) < 3:
+        raise ValueError("not enough distinct z values to form bins")
     zb = F.when(F.col("_z") <= edges[1], 0)
     for i in range(1, len(edges) - 1):
         zb = zb.when(F.col("_z") <= edges[i + 1], i)

@@ -430,13 +430,18 @@ def linear_model_fill(
              "_n_train": int(r["_n"])}
         )
     if not coef_rows:
-        # nothing trainable: return with fill columns untouched/created
+        # nothing trainable: return with the SAME output schema as the
+        # trained path (filled/flag/granular all present) so downstream
+        # selects/writes never see a data-dependent schema
         base_filled = F.col(filled_col) if filled_col in df.columns else v
         base_flag = (F.col(flag_col) if flag_col in df.columns
                      else F.when(v.isNotNull(), F.lit(FLAG_OBSERVED)).cast("int"))
+        base_granular = (F.col(granular_col) if granular_col in df.columns
+                         else F.lit(None).cast("int"))
         return (
             work.withColumn(filled_col, base_filled)
             .withColumn(flag_col, base_flag)
+            .withColumn(granular_col, base_granular)
             .drop(*fnames)
         )
     spark = df.sparkSession

@@ -94,6 +94,11 @@ class StepwiseScreening:
         previous passes' rejects nulled."""
         sizes = winsize if isinstance(winsize, list) else [winsize]
         nsds = n_sd if isinstance(n_sd, list) else [n_sd] * len(sizes)
+        if len(nsds) != len(sizes):
+            raise ValueError(
+                f"winsize ({len(sizes)} passes) and n_sd ({len(nsds)}) "
+                "lists must have equal length"
+            )
         work = self.value_col
         for i, (w_, s_) in enumerate(zip(sizes, nsds)):
             name = self._name("LOCALSD")

@@ -736,15 +736,16 @@ QUALIFY rnk <= 5
 
 def q_embedding_near_dups(spark, sf_dir):
     """Bucketed hyperplane-LSH plan (no O(n^2) BroadcastNestedLoopJoin); the
-    verify step makes precision exact, and the banding s-curve is tuned for
-    recall >= 1-1e-4 at the gated threshold: per-pair miss prob is
-    (1 - p^planes)^tables with p = 1 - acos(0.35)/pi = 0.614, so 2 planes x 24
-    tables -> 0.623^24 ~= 1.2e-5. The all-pairs SQL below is therefore an
+    verify step makes precision exact, and the banding s-curve is tuned so
+    the expected missed-pair count stays << 1 at any gated scale: per-pair
+    miss prob is (1 - p^planes)^tables with p = 1 - acos(0.35)/pi = 0.614,
+    so 2 planes x 32 tables -> 0.623^32 ~= 2.7e-7 (even 10^5 qualifying
+    pairs expect ~0.03 misses). The all-pairs SQL below is therefore an
     exact oracle (verified: 0 missed pairs at sf0.001 and sf0.01). The naive
     all-pairs dedup.embedding_near_dups remains as the test-only baseline."""
     from diive_spark.operators import similarity
     embs = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_lsh_pairs(embs, threshold=0.35, n_planes=2, n_tables=24)
+    return similarity.cosine_lsh_pairs(embs, threshold=0.35, n_planes=2, n_tables=32)
 
 
 SQL_EMBEDDING_NEAR_DUPS = """

@@ -39,6 +39,7 @@ class FileType:
     nominal_freq_seconds: int | None = None
     timestamp_index: int | None = None  # position-based ts column (generic
     # NS dialects declare INDEX_COLUMN: [0] instead of a fixed name)
+    nominal_freq_ms: int | None = None  # high-frequency dialects (20Hz = 50)
 
 
 # Registry mirroring the reference dialect catalogue (SURVEY.md §2.1); the
@@ -68,26 +69,21 @@ FILETYPES = {
         # timestamp-less 20Hz dialects (ETH-MERCURY-CSV-20HZ.yml,
         # ETH-SONICREAD-BICO-MOD-CSV-20HZ.yml): 1-row header, timestamps are
         # reconstructed from the file-start pattern + 50ms nominal rate
-        FileType("ETH-MERCURY-CSV-20HZ", timestamp_col=None),
-        FileType("ETH-SONICREAD-BICO-MOD-CSV-20HZ", timestamp_col=None),
+        FileType("ETH-MERCURY-CSV-20HZ", timestamp_col=None, nominal_freq_ms=50),
+        FileType("ETH-SONICREAD-BICO-MOD-CSV-20HZ", timestamp_col=None,
+                 nominal_freq_ms=50),
         # 3-row header (names, units, 1 ignored row), gzip, no timestamp
         # (ETH-SONICREAD-BICO-CSVGZ-20HZ.yml)
         FileType("ETH-SONICREAD-BICO-CSVGZ-20HZ", header_rows=3, units_row=1,
-                 compression="gzip", timestamp_col=None),
+                 compression="gzip", timestamp_col=None, nominal_freq_ms=50),
         # nanosecond-resolution full timestamps in positional column 0
         # (GENERIC-CSV-HEADER-1ROW-TS-{END,MIDDLE}-FULL-NS-20HZ.yml)
         FileType("GENERIC-CSV-HEADER-1ROW-TS-END-FULL-NS-20HZ",
-                 timestamp_col=None, timestamp_index=0),
+                 timestamp_col=None, timestamp_index=0, nominal_freq_ms=50),
         FileType("GENERIC-CSV-HEADER-1ROW-TS-MIDDLE-FULL-NS-20HZ",
-                 timestamp_col=None, timestamp_index=0),
+                 timestamp_col=None, timestamp_index=0, nominal_freq_ms=50),
     ]
 }
-
-for _ft in ("ETH-MERCURY-CSV-20HZ", "ETH-SONICREAD-BICO-MOD-CSV-20HZ",
-            "ETH-SONICREAD-BICO-CSVGZ-20HZ",
-            "GENERIC-CSV-HEADER-1ROW-TS-END-FULL-NS-20HZ",
-            "GENERIC-CSV-HEADER-1ROW-TS-MIDDLE-FULL-NS-20HZ"):
-    FILETYPES[_ft].nominal_freq_ms = 50
 
 
 def _parse_header(spark: SparkSession, path: str, ft: FileType) -> tuple[list[str], dict]:
@@ -133,6 +129,19 @@ def read_filetype(
             if fmt else F.try_to_timestamp(F.col(f"`{ft_ts_col}`"))
         )
         df = df.withColumn(ft_ts_col, ts).filter(ts.isNotNull())
+    if not has_ts:
+        # no timestamp to key the header-skip on. A header/units line is a
+        # GARBAGE row: some raw cell is non-null, not an NA sentinel, and
+        # still fails the numeric cast. Keying on that (instead of
+        # "all columns null after cleaning") preserves genuine all-NA data
+        # records — dropping those would silently shift every subsequent
+        # reconstructed 20Hz timestamp.
+        garbage = None
+        for c in df.columns:
+            qc = F.col(f"`{c}`")
+            g = qc.isNotNull() & ~qc.isin(*ft.na_values) & qc.try_cast("double").isNull()
+            garbage = g if garbage is None else (garbage | g)
+        df = df.filter(~garbage)
     # NA sentinels -> null, then coerce value columns numeric — the reference
     # 'all-float64' data model (convert_data_to_numeric, frames.py:361)
     for c in df.columns:
@@ -141,14 +150,6 @@ def read_filetype(
         qc = F.col(f"`{c}`")  # backticks: raw names may contain dots
         cleaned = F.when(qc.isin(*ft.na_values), None).otherwise(qc)
         df = df.withColumn(c, cleaned.try_cast("double"))
-    if not has_ts:
-        # no timestamp to key the header-skip on: header/units lines coerce
-        # to all-null rows — drop them
-        any_value = None
-        for c in df.columns:
-            cond = F.col(f"`{c}`").isNotNull()
-            any_value = cond if any_value is None else (any_value | cond)
-        df = df.filter(any_value)
     return df, {"units": units, "filetype": ft.name}
 
 
@@ -193,14 +194,18 @@ def save_diive_csv(
     definition; here rows stream through toLocalIterator (bounded driver
     memory, one partition in flight). For bulk data use split_write/parquet;
     this is the interchange-format exporter."""
+    import csv as _csv
+
     units = units or {}
     cols = [ts_col] + [c for c in df.columns if c != ts_col]
     ordered = df.select(*cols).orderBy(ts_col)
-    with open(path, "w") as f:
-        f.write(",".join(cols) + "\n")
-        f.write(",".join("-" if c == ts_col else units.get(c, "-") for c in cols) + "\n")
+    with open(path, "w", newline="") as f:
+        wr = _csv.writer(f)  # proper quoting: commas/newlines in string
+        # values must not corrupt the dialect
+        wr.writerow(cols)
+        wr.writerow(["-" if c == ts_col else units.get(c, "-") for c in cols])
         for row in ordered.toLocalIterator():
-            f.write(",".join("" if row[c] is None else str(row[c]) for c in cols) + "\n")
+            wr.writerow(["" if row[c] is None else row[c] for c in cols])
 
 
 # ---------------------------------------------------------------------------
@@ -210,8 +215,8 @@ def save_diive_csv(
 FILETYPES["ETH-RECORD-TOA5-CSVGZ-20HZ"] = FileType(
     "ETH-RECORD-TOA5-CSVGZ-20HZ", skip_rows=1, header_rows=3, units_row=1,
     compression="gzip", timestamp_col=None, nominal_freq_seconds=None,
+    nominal_freq_ms=50,
 )
-FILETYPES["ETH-RECORD-TOA5-CSVGZ-20HZ"].nominal_freq_ms = 50
 FILETYPES["ICOS-H2R-CSVZIP-10S"] = FileType(
     "ICOS-H2R-CSVZIP-10S", header_rows=2, units_row=1, compression="zip",
     timestamp_col="TIMESTAMP", timestamp_format="yyyyMMddHHmmss",

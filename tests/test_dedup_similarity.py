@@ -151,7 +151,7 @@ def test_gated_embedding_query_plan_is_bucketed(spark, embs):
     BroadcastNestedLoopJoin / CartesianProduct anywhere in the physical plan,
     and (at the tuned 2-planes x 24-tables s-curve) results identical to the
     exact all-pairs baseline."""
-    out = similarity.cosine_lsh_pairs(embs, threshold=0.35, n_planes=2, n_tables=24)
+    out = similarity.cosine_lsh_pairs(embs, threshold=0.35, n_planes=2, n_tables=32)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -159,7 +159,7 @@ def test_gated_embedding_query_plan_is_bucketed(spark, embs):
     got = out.toPandas()
     e = set(zip(exact["id1"], exact["id2"]))
     g = set(zip(got["id1"], got["id2"]))
-    assert g == e  # miss prob per pair ~(1 - 0.614^2)^24 ~= 1e-5
+    assert g == e  # miss prob per pair ~(1 - 0.614^2)^32 ~= 3e-7
 
 
 def test_ivf_centroids_no_single_task_stage(spark, embs):

@@ -415,3 +415,26 @@ def test_classify_variable_matches_reference_rules(spark):
             assert r["c"] is None
         else:
             assert (r["c"]["kind"], r["c"]["category"]) == tuple(exp)
+
+
+def test_timestampless_dialect_keeps_all_na_records(spark, tmp_path):
+    """Review regression: an all-NA-sentinel data record in a timestamp-less
+    20Hz file must SURVIVE the header drop — removing it would shift every
+    subsequent reconstructed timestamp by one slot."""
+    p = str(tmp_path / "mercury_20240101-0000.csv")
+    with open(p, "w") as f:
+        f.write("U,V,W\n")                 # header (garbage under cast)
+        f.write("1.0,2.0,3.0\n")
+        f.write("-9999,-9999,-9999\n")     # sensor dropout: all NA sentinels
+        f.write("4.0,5.0,6.0\n")
+    df, _ = csvsrc.read_filetype(spark, p, "ETH-MERCURY-CSV-20HZ")
+    assert df.count() == 3  # dropout record kept as an all-null row
+    ts = csvsrc.create_timestamp_from_file_start(
+        df, r"_(\d{8}-\d{4})\.csv", "yyyyMMdd-HHmm", nominal_freq_ms=50
+    ).orderBy("TIMESTAMP_END").toPandas()
+    # third record sits at +100ms, NOT +50ms (the dropout held its slot)
+    assert ts["TIMESTAMP_END"].iloc[2] == pd.Timestamp("2024-01-01 00:00:00.100")
+    assert ts["U"].isna().iloc[1] and ts["U"].iloc[2] == 4.0
+    # nominal_freq_ms is now a declared field on every dialect
+    assert csvsrc.FILETYPES["ETH-MERCURY-CSV-20HZ"].nominal_freq_ms == 50
+    assert csvsrc.FILETYPES["DIIVE-CSV-30MIN"].nominal_freq_ms is None
