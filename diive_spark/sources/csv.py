@@ -130,14 +130,32 @@ def read_filetype(
         )
         df = df.withColumn(ft_ts_col, ts).filter(ts.isNotNull())
     if not has_ts:
-        # no timestamp to key the header-skip on. A header/units line is a
-        # GARBAGE row: some raw cell is non-null, not an NA sentinel, and
-        # still fails the numeric cast. Keying on that (instead of
-        # "all columns null after cleaning") preserves genuine all-NA data
-        # records — dropping those would silently shift every subsequent
-        # reconstructed 20Hz timestamp.
+        # no timestamp to key the header-skip on. Drop EXACTLY the known
+        # leading header-block rows per file (skip_rows + header_rows, by
+        # in-file position — same order guarantee create_timestamp_from_
+        # file_start relies on), NOT rows that look empty: a genuine all-NA
+        # sensor-dropout record must keep its slot or every subsequent
+        # reconstructed 20Hz timestamp shifts. A content rule stays as a
+        # second guard against stray mid-file text lines.
+        from pyspark.sql import Window
+
+        # _file/_pos are RETAINED: input_file_name() is only valid before a
+        # shuffle, and the positional window IS a shuffle — downstream
+        # timestamp reconstruction (create_timestamp_from_file_start) reuses
+        # these columns instead of re-tagging, and drops them.
+        n_head = ft.skip_rows + ft.header_rows
+        wpos = Window.partitionBy("_file").orderBy("_mid")
+        df = (
+            df.withColumn("_file", F.input_file_name())
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .withColumn("_pos", F.row_number().over(wpos))
+            .filter(F.col("_pos") > n_head)
+            .drop("_mid")
+        )
         garbage = None
         for c in df.columns:
+            if c in ("_file", "_pos"):
+                continue
             qc = F.col(f"`{c}`")
             g = qc.isNotNull() & ~qc.isin(*ft.na_values) & qc.try_cast("double").isNull()
             garbage = g if garbage is None else (garbage | g)
@@ -145,7 +163,7 @@ def read_filetype(
     # NA sentinels -> null, then coerce value columns numeric — the reference
     # 'all-float64' data model (convert_data_to_numeric, frames.py:361)
     for c in df.columns:
-        if c == ft_ts_col:
+        if c == ft_ts_col or c in ("_file", "_pos"):
             continue
         qc = F.col(f"`{c}`")  # backticks: raw names may contain dots
         cleaned = F.when(qc.isin(*ft.na_values), None).otherwise(qc)
@@ -238,15 +256,22 @@ def create_timestamp_from_file_start(
 
     Row order within a file is the gzip read order (gzip is unsplittable, so
     one task reads each file sequentially and monotonically_increasing_id is
-    order-preserving within it).
+    order-preserving within it). Frames from read_filetype's timestamp-less
+    path already carry ``_file``/``_pos`` captured BEFORE any shuffle
+    (input_file_name() is empty after one); those are reused and consumed.
     """
     from pyspark.sql import Window
 
-    tagged = (
-        df.withColumn("_file", F.input_file_name())
-        .withColumn("_mid", F.monotonically_increasing_id())
-    )
-    w = Window.partitionBy("_file").orderBy("_mid")
+    if "_file" in df.columns and "_pos" in df.columns:
+        tagged = df
+        order_col = "_pos"
+    else:
+        tagged = (
+            df.withColumn("_file", F.input_file_name())
+            .withColumn("_pos", F.monotonically_increasing_id())
+        )
+        order_col = "_pos"
+    w = Window.partitionBy("_file").orderBy(order_col)
     start = F.to_timestamp(
         F.regexp_extract(F.col("_file"), file_start_pattern, 1), file_start_format
     )
@@ -258,7 +283,7 @@ def create_timestamp_from_file_start(
                 F.unix_millis(start) + F.col("_rn") * F.lit(nominal_freq_ms)
             ),
         )
-        .drop("_file", "_mid", "_rn")
+        .drop("_file", "_pos", "_rn")
     )
 
 
