@@ -155,10 +155,14 @@ def doy_mean_cumulative(df: DataFrame, ts_col: str, value_col: str) -> DataFrame
 
 
 def quadrature_cumulative(df: DataFrame, key_cols: list[str], ts_col: str,
-                          value_col: str, out_col: str = "cum_quadrature") -> DataFrame:
-    """sqrt(cumsum(x^2)) — uncertainty propagation cumulative (SURVEY §2.4)."""
+                          value_col: str, out_col: str = "cum_quadrature",
+                          tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """sqrt(cumsum(x^2)) — uncertainty propagation cumulative (SURVEY §2.4).
+    ``tiebreak_cols`` make the running order deterministic when timestamps
+    collide within a key."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = (
-        Window.partitionBy(*key_cols).orderBy(ts_col)
+        Window.partitionBy(*key_cols).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return df.withColumn(out_col, F.sqrt(F.sum(F.col(value_col) ** 2).over(w)))

@@ -1695,3 +1695,73 @@ FROM best
 
 QUERIES["rank_drivers"] = q_rank_drivers
 ORACLES["rank_drivers"] = _rank_drivers_sql()
+
+
+def q_quadrature_cumulative(spark, sf_dir):
+    """Uncertainty-propagation cumulative sqrt(cumsum(x^2)) per event_type
+    (SURVEY §2.4; diive CLAUDE.md uncertainty idiom), event_id tie-break."""
+    from diive_spark.operators import features
+    ev = _t(spark, sf_dir, "events")
+    out = features.quadrature_cumulative(ev, ["event_type"], "ts", "value",
+                                         tiebreak_cols=["event_id"])
+    return out.select("event_id", "event_type",
+                      _r6("cum_quadrature").alias("cumq_v"))
+
+
+SQL_QUADRATURE_CUMULATIVE = """
+SELECT event_id, event_type,
+       round(1e-9 + sqrt(sum(value * value) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING)), 6) AS cumq_v
+FROM events
+"""
+
+QUERIES["quadrature_cumulative"] = q_quadrature_cumulative
+ORACLES["quadrature_cumulative"] = SQL_QUADRATURE_CUMULATIVE
+
+
+def q_histogram_fd(spark, sf_dir):
+    """Freedman-Diaconis histogram (histogram.py:19-130 'fd' method:
+    bin width = 2*IQR/n^(1/3)) over the events values."""
+    from diive_spark.operators import sstats as ss
+    ev = _t(spark, sf_dir, "events")
+    out = ss.histogram(ev, "value", method="fd")
+    return out.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("counts").cast("bigint").alias("counts"),
+        _r6("bin_start").alias("bin_start_v"),
+    )
+
+
+SQL_HISTOGRAM_FD = """
+WITH st AS (
+  SELECT min(value) AS lo, max(value) AS hi, count(value) AS n,
+         quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+  FROM events
+),
+params AS (
+  SELECT lo, hi, n,
+         CASE WHEN 2 * iqr / pow(n, 1.0/3.0) > 0
+              THEN greatest(1, CAST(floor((hi - lo) / (2 * iqr / pow(n, 1.0/3.0))) AS INTEGER))
+              ELSE 1 END AS n_bins
+  FROM st
+),
+binned AS (
+  SELECT least(CAST(floor((value - p.lo) / ((p.hi - p.lo) / p.n_bins)) AS INTEGER),
+               p.n_bins - 1) AS bin
+  FROM events, params p
+  WHERE value IS NOT NULL
+),
+bins AS (
+  SELECT CAST(unnest(generate_series(0, (SELECT n_bins FROM params) - 1)) AS INTEGER) AS bin
+)
+SELECT b.bin,
+       CAST(coalesce(count(x.bin), 0) AS BIGINT) AS counts,
+       round(1e-9 + (SELECT lo FROM params)
+             + b.bin * ((SELECT (hi - lo) / n_bins FROM params)), 6) AS bin_start_v
+FROM bins b LEFT JOIN binned x ON x.bin = b.bin
+GROUP BY b.bin
+"""
+
+QUERIES["histogram_fd"] = q_histogram_fd
+ORACLES["histogram_fd"] = SQL_HISTOGRAM_FD
