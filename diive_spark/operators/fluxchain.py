@@ -1,0 +1,237 @@
+"""Flux processing chain L2 -> L4.2 — the level-function orchestrator.
+
+Reference: ``run_chain`` (/root/reference/diive/flux/fluxprocessingchain/
+run_chain.py:51) over the per-level functions (levels/level2.py:85,
+level31.py:52, level32.py:88, level33.py:43, level41.py:125, level42.py:177).
+The engine mirrors the chain's STRUCTURAL contracts (SURVEY.md §2.11):
+
+- each level is a pure DataFrame -> DataFrame function;
+- scenario/level columns are APPENDED, never replaced (``NEE`` ->
+  ``NEE_L31`` -> ``NEE_L31_L33_CUT_50`` -> ``..._L41``; the reference's
+  dotted level names ('NEE_L3.1') become underscore names — a dot is
+  struct-access syntax in Spark column references);
+- quality accumulates as FLAG_*_TEST columns re-aggregated into a QCF per
+  level (outliers.flag_qcf);
+- observed values are never overwritten by fills.
+
+Domain simplifications (documented, not hidden): L2 runs the always-on
+missing test plus caller-supplied flag columns (EddyPro's SSITC etc. arrive
+as data columns) and optional absolute limits; L3.2 uses the engine's Hampel
+with the chain's Papale-2006 defaults; L3.3 applies constant USTAR
+thresholds (the bootstrap detector is out of scope with the ML stack);
+L4.1 fills with the engine's cascade + closed-form model fill in place of
+RF/XGBoost (same fill pipeline shape, see gapfill.linear_model_fill).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from diive_spark.operators import features, gapfill, outliers
+
+
+def run_level2(
+    df: DataFrame, key_cols: list[str], ts_col: str, flux_col: str,
+    flag_cols: list[str] | None = None,
+    abs_limits: tuple[float, float] | None = None,
+    qcf_col: str = "FLAG_L2_QCF",
+) -> DataFrame:
+    """Level-2 quality flags: always-on missing-values test + caller flag
+    columns (values 0/1/2, e.g. EddyPro SSITC_TEST) + optional absolute
+    limits, re-aggregated into a QCF (level2.py:85)."""
+    out = df.withColumn(
+        f"FLAG_L2_MISSING_{flux_col}_TEST",
+        F.when(F.col(flux_col).isNull(), F.lit(2)).otherwise(F.lit(0)).cast("int"),
+    )
+    tests = [f"FLAG_L2_MISSING_{flux_col}_TEST"]
+    for c in flag_cols or []:
+        name = f"FLAG_L2_{c}_TEST"
+        out = out.withColumn(name, F.col(c).cast("int"))
+        tests.append(name)
+    if abs_limits is not None:
+        name = f"FLAG_L2_ABSLIM_{flux_col}_TEST"
+        out = outliers.flag_absolute_limits(out, flux_col, *abs_limits, flag_col=name)
+        tests.append(name)
+    return outliers.flag_qcf(out, tests, qcf_col=qcf_col)
+
+
+def run_level31(
+    df: DataFrame, key_cols: list[str], ts_col: str, flux_col: str,
+    strg_col: str | None = None,
+    set_storage_to_zero: bool = False,
+    gapfill_storage_term: bool = True,
+    tier_seconds: int = 1800,
+) -> DataFrame:
+    """Level-3.1 single-point storage correction (level31.py:52):
+    ``{flux}_L31 = flux + storage``; a gappy storage term is filled with a
+    rolling median first (informational ISFILLED flag, deliberately NOT a
+    _TEST column — provenance, not quality)."""
+    out_col = f"{flux_col}_L31"
+    if strg_col is None or set_storage_to_zero:
+        return df.withColumn(out_col, F.col(flux_col)).withColumn(
+            f"FLAG_{strg_col or 'STRG'}_ISFILLED", F.lit(0)
+        )
+    work = df
+    strg_use = strg_col
+    if gapfill_storage_term:
+        filled = gapfill.rolling_median_fill(
+            work.withColumn("filled", F.col(strg_col))
+            .withColumn("fill_flag", F.when(F.col(strg_col).isNotNull(), F.lit(0)).cast("int"))
+            .withColumn("fill_granular", F.lit(None).cast("int")),
+            key_cols, ts_col, strg_col, tier_seconds=tier_seconds,
+        )
+        work = (
+            filled.withColumn(f"FLAG_{strg_col}_ISFILLED",
+                              F.when(F.col(strg_col).isNull()
+                                     & F.col("filled").isNotNull(), 1).otherwise(0))
+            .withColumn("_strg_filled", F.col("filled"))
+            .drop("filled", "fill_flag", "fill_granular")
+        )
+        strg_use = "_strg_filled"
+    out = work.withColumn(out_col, F.col(flux_col) + F.col(strg_use))
+    return out.drop("_strg_filled") if "_strg_filled" in out.columns else out
+
+
+def run_level32(
+    df: DataFrame, key_cols: list[str], ts_col: str, flux_col: str,
+    tier_seconds: int = 1800,
+    window_length: int = 48 * 13, n_sigma: float = 5.5,
+    daytime_col: str | None = None,
+    qcf_col: str = "FLAG_L32_QCF",
+) -> DataFrame:
+    """Level-3.2 outlier detection — unconditional in the chain
+    (run_chain.py docstring): Hampel with the Papale-2006 defaults
+    (window 48*13 records, double-differencing, sigma 5.5, day/night when a
+    daytime flag is available)."""
+    name = f"FLAG_L32_HAMPEL_{flux_col}_TEST"
+    kwargs = dict(flag_col=name, use_differencing=True)
+    if daytime_col is not None:
+        kwargs.update(daytime_col=daytime_col, n_sigma_daytime=n_sigma,
+                      n_sigma_nighttime=n_sigma)
+    else:
+        kwargs.update(n_sigma=n_sigma)
+    out = outliers.flag_hampel(
+        df, key_cols, ts_col, flux_col, tier_seconds, window_length, **kwargs
+    )
+    return outliers.flag_qcf(out, [name], qcf_col=qcf_col)
+
+
+def run_level33_constant_ustar(
+    df: DataFrame, flux_col: str, ustar_col: str,
+    thresholds: dict[str, float],
+    nighttime_col: str | None = None,
+) -> DataFrame:
+    """Level-3.3 USTAR filtering with pre-computed constant thresholds
+    (level33.py:43): one SCENARIO per threshold (CUT_16/CUT_50/CUT_84
+    convention) — each appends a flag column and a filtered series column
+    ``{flux}_L33_{scenario}``; low-turbulence rejection applies at night
+    when a nighttime flag is given (USTAR filtering is a nighttime
+    phenomenon), everywhere otherwise."""
+    out = df
+    for scenario, thr in thresholds.items():
+        low = F.col(ustar_col) < F.lit(thr)
+        if nighttime_col is not None:
+            low = low & (F.col(nighttime_col) == 1)
+        flag = f"FLAG_L33_USTAR_{scenario}_TEST"
+        out = out.withColumn(
+            flag,
+            F.when(F.col(flux_col).isNull(), F.lit(None))
+            .when(low, F.lit(2)).otherwise(F.lit(0)).cast("int"),
+        ).withColumn(
+            f"{flux_col}_L33_{scenario}",
+            F.when(F.col(flag) < 2, F.col(flux_col)),
+        )
+    return out
+
+
+def run_level41(
+    df: DataFrame, key_cols: list[str], ts_col: str,
+    scenario_cols: list[str],
+    tier_seconds: int = 1800,
+    interp_limit: int = 3,
+    window_tiers: list[int] = (5, 13, 49),
+    model_features: list[str] | None = None,
+) -> DataFrame:
+    """Level-4.1 gap-filling per scenario (level41.py:125): cascade
+    (interp + rolling-median tiers) then the closed-form model fill on
+    timestamp features [+ drivers] for what remains — the engine's stand-in
+    for MDS/RF (same flag model, observed never overwritten). Appends
+    ``{scenario}_L41`` plus per-scenario flag columns."""
+    out = df
+    for sc in scenario_cols:
+        filled = gapfill.gapfill_cascade(
+            out, key_cols, ts_col, sc, tier_seconds=tier_seconds,
+            interp_limit=interp_limit, window_tiers=list(window_tiers),
+        )
+        filled = gapfill.linear_model_fill(
+            filled, key_cols, ts_col, sc, feature_cols=model_features,
+        )
+        out = (
+            filled.withColumnRenamed("filled", f"{sc}_L41")
+            .withColumnRenamed("fill_flag", f"FLAG_L41_{sc}_FILL")
+            .withColumnRenamed("fill_granular", f"FLAG_L41_{sc}_FILL_GRANULAR")
+        )
+    return out
+
+
+def run_level42(
+    df: DataFrame, key_cols: list[str], ts_col: str, filled_cols: list[str],
+) -> DataFrame:
+    """Level-4.2 cumulatives + uncertainty (level42.py:177 shape): per-year
+    running sum (doy cumulative, times.py:1948 semantics, keeping every
+    chain column) and quadrature cumulative per filled scenario."""
+    from pyspark.sql import Window
+
+    out = df
+    for c in filled_cols:
+        w = (
+            Window.partitionBy(*key_cols, F.year(ts_col))
+            .orderBy(F.dayofyear(ts_col), ts_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = out.withColumn(f"{c}_CUMSUM_YEAR", F.sum(c).over(w))
+        out = features.quadrature_cumulative(
+            out, key_cols, ts_col, c, out_col=f"{c}_CUMQUAD"
+        )
+    return out
+
+
+def run_chain(
+    df: DataFrame, key_cols: list[str], ts_col: str, flux_col: str,
+    strg_col: str | None = None,
+    ustar_col: str | None = None,
+    ustar_thresholds: dict[str, float] | None = None,
+    flag_cols: list[str] | None = None,
+    abs_limits: tuple[float, float] | None = None,
+    nighttime_col: str | None = None,
+    daytime_col: str | None = None,
+    tier_seconds: int = 1800,
+    model_features: list[str] | None = None,
+) -> DataFrame:
+    """L2 -> L3.1 -> L3.2 -> L3.3 -> L4.1 -> L4.2 convenience driver
+    (run_chain.py:51 contract: fixed sensible defaults; use the per-level
+    functions for full control). Lazily composes ONE Spark plan."""
+    out = run_level2(df, key_cols, ts_col, flux_col, flag_cols, abs_limits)
+    # reject L2-failed records before correction (qcf.py filtered-series step)
+    out = out.withColumn(
+        flux_col, F.when(F.col("FLAG_L2_QCF") < 2, F.col(flux_col))
+    )
+    out = run_level31(out, key_cols, ts_col, flux_col, strg_col,
+                      tier_seconds=tier_seconds)
+    corrected = f"{flux_col}_L31"
+    out = run_level32(out, key_cols, ts_col, corrected,
+                      tier_seconds=tier_seconds, daytime_col=daytime_col)
+    out = out.withColumn(
+        corrected, F.when(F.col("FLAG_L32_QCF") < 2, F.col(corrected))
+    )
+    scenarios = []
+    if ustar_col is not None and ustar_thresholds:
+        out = run_level33_constant_ustar(out, corrected, ustar_col,
+                                         ustar_thresholds, nighttime_col)
+        scenarios = [f"{corrected}_L33_{s}" for s in ustar_thresholds]
+    else:
+        scenarios = [corrected]
+    out = run_level41(out, key_cols, ts_col, scenarios,
+                      tier_seconds=tier_seconds, model_features=model_features)
+    return run_level42(out, key_cols, ts_col, [f"{s}_L41" for s in scenarios])
