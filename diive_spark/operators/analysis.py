@@ -386,10 +386,14 @@ def find_optimum_range(
         raise ValueError("not enough distinct x values to form bins")
 
     # interval (edges[i], edges[i+1]] with the first interval closed on the
-    # left — pd.qcut semantics
+    # left — pd.qcut semantics. The .otherwise clamps values ABOVE the top
+    # edge into the last bin: with relative_error > 0 the sketch's top edge
+    # can sit below the true max, and an unhandled row would get a NULL bin
+    # (crashing the int() below).
     bucket = F.when(F.col(x_col) <= edges[1], 0)
     for i in range(1, len(edges) - 1):
         bucket = bucket.when(F.col(x_col) <= edges[i + 1], i)
+    bucket = bucket.otherwise(len(edges) - 2)
 
     agg_fn = F.expr(f"percentile({y_col}, 0.5)") if bins_agg == "median" else F.avg(y_col)
     per_bin = (
@@ -496,6 +500,9 @@ def stratified_analysis(
     zb = F.when(F.col("_z") <= edges[1], 0)
     for i in range(1, len(edges) - 1):
         zb = zb.when(F.col("_z") <= edges[i + 1], i)
+    # clamp above-top-edge rows into the last bin (sketch mode can report a
+    # top edge below the true max; without this they'd group under NULL)
+    zb = zb.otherwise(len(edges) - 2)
     binned = base.withColumn("z_bin", zb)
     xw = Window.partitionBy("z_bin").orderBy("_x")
     binned = binned.withColumn("x_bin", F.ntile(n_bins_x).over(xw) - 1)

@@ -1,9 +1,9 @@
 """2-D grid aggregation (diive GridAggregator,
 /root/reference/diive/analysis/gridaggregator.py:19-459).
 
-Bin (x, y) by quantile (pd.qcut ≙ ntile) / equal-width (pd.cut ≙ floor
-formula) / custom edges, aggregate z per cell, mask cells under a min count,
-emit long form (and optionally pivot wide on the x bin).
+Bin (x, y) by quantile (pd.qcut ≙ percentile edges + CASE) / equal-width
+(pd.cut ≙ floor formula) / custom edges, aggregate z per cell, mask cells
+under a min count, emit long form (and optionally pivot wide on the x bin).
 """
 
 from __future__ import annotations
@@ -33,19 +33,43 @@ def custom_edges_bucket(col: Column, edges: list[float]) -> Column:
     return expr.cast("int")
 
 
-def quantile_bucket(df: DataFrame, value_col: str, n_bins: int, out_col: str) -> DataFrame:
-    """pd.qcut-equivalent: ntile over the value ordering (equal-count bins).
-    Nulls are excluded BEFORE tiling (pd.qcut drops NaN first — tiling over
-    a window that includes nulls would shift every non-null bucket)."""
-    from pyspark.sql import Window
+def quantile_edges(
+    df: DataFrame, value_col: str, n_bins: int, relative_error: float = 0.0,
+) -> list[float]:
+    """Quantile bin edges (pd.qcut semantics: linear-interpolated percentiles
+    at i/n_bins, duplicate edges dropped). ``relative_error=0.0`` uses the
+    exact interpolating ``percentile`` aggregate (one distributed pass, same
+    definition as np.percentile / DuckDB quantile_cont); a positive value
+    switches to the approxQuantile Greenwald-Khanna sketch for web scale.
+    Nulls never contribute (percentile skips them)."""
+    probs = [i / n_bins for i in range(n_bins + 1)]
+    nn = df.filter(F.col(value_col).isNotNull())
+    if relative_error > 0.0:
+        edges = nn.approxQuantile(value_col, probs, relative_error)
+    else:
+        edges = nn.agg(
+            F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs]))
+        ).collect()[0][0]
+    return sorted(set(edges))
 
-    base = df.withColumn("_qb_rowid", F.monotonically_increasing_id())
-    nn = base.filter(F.col(value_col).isNotNull())
-    w = Window.orderBy(value_col)
-    tiled = nn.select(
-        "_qb_rowid", (F.ntile(n_bins).over(w) - 1).cast("int").alias(out_col)
-    )
-    return base.join(tiled, "_qb_rowid", "left").drop("_qb_rowid")
+
+def quantile_bucket(
+    df: DataFrame, value_col: str, n_bins: int, out_col: str,
+    relative_error: float = 0.0,
+) -> DataFrame:
+    """pd.qcut-equivalent bucketing via quantile EDGES + CASE bucketing.
+
+    Scale note: the previous implementation tiled with a no-partition
+    ``ntile`` window (every row through ONE task) and joined back on
+    ``monotonically_increasing_id`` — a nondeterministic join key under stage
+    retry. Edges are a bounded aggregate (n_bins+1 doubles to the driver) and
+    the bucketing is a pure column expression — no window, no rowid join, one
+    extra pass. Rank ties at an edge all land in the lower bin (pd.qcut
+    places ties by value, not rank — identical values always share a bin)."""
+    edges = quantile_edges(df, value_col, n_bins, relative_error)
+    if len(edges) < 2:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    return df.withColumn(out_col, custom_edges_bucket(F.col(value_col), edges))
 
 
 AGGS = {
@@ -67,6 +91,7 @@ def grid_aggregate(
     aggfunc: str = "mean",
     min_n_vals_per_bin: int = 1,
     pivot_wide: bool = False,
+    relative_error: float = 0.0,
 ) -> DataFrame:
     """GridAggregator core (gridaggregator.py:290-422): returns long form
     (xbin, ybin, n_vals, agg_value) with undersized cells masked null
@@ -86,8 +111,8 @@ def grid_aggregate(
             "xbin", custom_edges_bucket(F.col(x_col), custom_x_edges)
         ).withColumn("ybin", custom_edges_bucket(F.col(y_col), custom_y_edges))
     elif binning_type == "quantile":
-        binned = quantile_bucket(df, x_col, n_bins_x, "xbin")
-        binned = quantile_bucket(binned, y_col, n_bins_y, "ybin")
+        binned = quantile_bucket(df, x_col, n_bins_x, "xbin", relative_error)
+        binned = quantile_bucket(binned, y_col, n_bins_y, "ybin", relative_error)
     else:
         raise ValueError(binning_type)
 

@@ -842,6 +842,48 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_grid_agg_2d_quantile(spark, sf_dir):
+    """GridAggregator quantile path (pd.qcut ≙): bin edges are exact
+    interpolating percentiles (one distributed aggregate — verified
+    bit-identical to DuckDB quantile_cont), bucketing is a pure CASE
+    expression. No global window, no rowid join (the round-2 scale-killer);
+    plan contains no Window at all (asserted in tests/test_analytics.py)."""
+    from diive_spark.operators import gridagg
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("value").alias("x"),
+        # decorrelated continuous second axis: sub-second microseconds
+        (F.unix_micros(F.col("ts").cast("timestamp")) % 1000000 / F.lit(10000.0)).alias("y"),
+    )
+    out = gridagg.grid_aggregate(
+        ev, "x", "y", "x", "quantile",
+        n_bins_x=4, n_bins_y=4, aggfunc="mean", min_n_vals_per_bin=3,
+    )
+    return out.select("xbin", "ybin", "n_vals", _r6("agg_value").alias("mean_z"))
+
+
+SQL_GRID_AGG_2D_QUANTILE = """
+WITH src AS (
+  SELECT value AS x, (epoch_us(ts) % 1000000) / 10000.0 AS y FROM events
+),
+e AS (
+  SELECT quantile_cont(x, [0.25, 0.5, 0.75]) AS xe,
+         quantile_cont(y, [0.25, 0.5, 0.75]) AS ye
+  FROM src
+),
+b AS (
+  SELECT CASE WHEN x <= xe[1] THEN 0 WHEN x <= xe[2] THEN 1
+              WHEN x <= xe[3] THEN 2 ELSE 3 END AS xbin,
+         CASE WHEN y <= ye[1] THEN 0 WHEN y <= ye[2] THEN 1
+              WHEN y <= ye[3] THEN 2 ELSE 3 END AS ybin,
+         x
+  FROM src, e
+)
+SELECT xbin, ybin, count(x) AS n_vals,
+       CASE WHEN count(x) >= 3 THEN round(1e-9 + avg(x), 6) END AS mean_z
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_doy_cumulative(spark, sf_dir):
     from diive_spark.operators import features
     ev = _t(spark, sf_dir, "events")
@@ -892,12 +934,14 @@ FROM events
 
 QUERIES.update({
     "grid_agg_2d": q_grid_agg_2d,
+    "grid_agg_2d_quantile": q_grid_agg_2d_quantile,
     "doy_cumulative": q_doy_cumulative,
     "agg_as_hires": q_agg_as_hires,
     "keep_records_where": q_keep_records_where,
 })
 ORACLES.update({
     "grid_agg_2d": SQL_GRID_AGG_2D,
+    "grid_agg_2d_quantile": SQL_GRID_AGG_2D_QUANTILE,
     "doy_cumulative": SQL_DOY_CUMULATIVE,
     "agg_as_hires": SQL_AGG_AS_HIRES,
     "keep_records_where": SQL_KEEP_RECORDS_WHERE,

@@ -139,6 +139,30 @@ def test_doy_cumulatives_and_quadrature(spark):
     np.testing.assert_allclose(quad["cum_quadrature"], [3.0, 5.0, 5.0, 13.0])
 
 
+def test_quantile_bucket_matches_pd_qcut(spark):
+    # edges+CASE bucketing must reproduce pd.qcut (duplicates='drop'),
+    # including tie placement (equal values always share a bin)
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"i": np.arange(500),
+                        "v": np.round(rng.uniform(0, 10, 500), 2)})
+    out = (gridagg.quantile_bucket(spark.createDataFrame(pdf), "v", 7, "b")
+           .toPandas().sort_values("i"))
+    expect = pd.qcut(pdf["v"], 7, labels=False, duplicates="drop")
+    np.testing.assert_array_equal(out["b"].to_numpy(), expect.to_numpy())
+
+
+def test_quantile_grid_plan_has_no_window(spark, xyz):
+    # the round-2 scale-killer: a no-partition ntile Window + rowid join.
+    # The edges+CASE plan must contain neither.
+    df, _ = xyz
+    out = gridagg.grid_aggregate(df, "x", "y", "z", "quantile",
+                                 n_bins_x=4, n_bins_y=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "_qb_rowid" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_quantile_bucket_ignores_nulls(spark):
     # review regression: nulls must not consume ntiles
     pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0, None, None, None, None]})
