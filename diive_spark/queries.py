@@ -569,9 +569,17 @@ FROM documents
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    """CERTIFIES THE CAPPED CANDIDATE PLAN (the one that survives web scale):
+    shingles in more than ``max_doc_freq`` documents are excluded from
+    candidate generation, bounding every shared-shingle bucket to
+    max_doc_freq^2/2 pairs; Jaccard for surviving candidates is still exact
+    over the FULL shingle sets (see dedup.ngram_jaccard_pairs). The cap is
+    active on the gate corpus (drops the head stop-shingles) and the oracle
+    reproduces it with the matching HAVING filter."""
     from diive_spark.operators import dedup
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.02)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.02,
+                                     max_doc_freq=5)
 
 
 SQL_NGRAM_JACCARD = """
@@ -581,10 +589,18 @@ sh AS (
   FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) g
   WHERE i + 2 <= len(words)
 ),
+keep AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 5),
+capped AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.id1, c.id2, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT id1, id2, round(1e-9 + inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 6) AS jaccard
@@ -766,10 +782,17 @@ def q_minhash_lsh(spark, sf_dir):
     DETERMINISTIC (md5-derived band hashes), so the SQL oracle reproduces the
     entire pipeline — signatures, bucketing, exact-Jaccard verify — and the
     gate is a full value check, not rows-only. Recall properties are covered
-    by tests/test_dedup_similarity.py."""
+    by tests/test_dedup_similarity.py.
+
+    CERTIFIES THE CAPPED PLAN: shingles in more than ``max_doc_freq``
+    documents are dropped BEFORE signatures and verification (the standard
+    stop-shingle preprocessing; Jaccard is then defined over the capped
+    universe), so the certified bucketing is the one whose buckets stay
+    bounded at web scale."""
     from diive_spark.operators import dedup
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.02)
+    return dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.02,
+                                   max_doc_freq=5)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1574,11 +1597,14 @@ QUERIES["compound_extremes"] = q_compound_extremes
 ORACLES["compound_extremes"] = SQL_COMPOUND_EXTREMES
 
 
-def _minhash_lsh_sql(threshold=0.02, k=16, bands=4, seed=42):
+def _minhash_lsh_sql(threshold=0.02, k=16, bands=4, seed=42, max_doc_freq=5):
     """Full MinHash-LSH pipeline in SQL: signatures -> md5 band hashes ->
     bucket-join candidates -> exact-Jaccard verify. Reproduces the Spark
     plan's bucketing exactly (band hash = md5 of the comma-joined row
-    values), so the gated query is fully oracled, not rows-only."""
+    values), so the gated query is fully oracled, not rows-only. The
+    ``max_doc_freq`` HAVING filter mirrors dedup.cap_shingle_doc_freq:
+    signatures, candidate buckets AND the Jaccard verify all run on the
+    capped shingle universe."""
     import random
     rng = random.Random(seed)
     p = (1 << 31) - 1
@@ -1597,11 +1623,13 @@ def _minhash_lsh_sql(threshold=0.02, k=16, bands=4, seed=42):
     )
     return f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-sh AS (
+sh_raw AS (
   SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
   FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) g
   WHERE i + 2 <= len(words)
 ),
+keep AS (SELECT shingle FROM sh_raw GROUP BY 1 HAVING count(*) <= {max_doc_freq}),
+sh AS (SELECT sh_raw.* FROM sh_raw JOIN keep USING (shingle)),
 h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hv FROM sh),
 perms(perm, a, b) AS (VALUES {perm_rows}),
 sig AS (
