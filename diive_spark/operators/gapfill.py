@@ -366,9 +366,13 @@ def linear_model_fill(
     (sin/cos hour-of-day, sin/cos day-of-year — the reference's
     .timestamp-features set, common.py:1175) is fit via DISTRIBUTED
     cross-product sums: X'X and X'y are plain JVM aggregations (one shuffle
-    on the key), the (k+1)x(k+1) normal equations solve on the driver, and
+    on the key), the (k+1)x(k+1) normal equations are solved INSIDE the
+    cluster by a batched numpy kernel over the per-key stat rows
+    (mapInPandas: one tiny row per key, stacked np.linalg.solve — no
+    ``.collect()``, so millions of series never bottleneck the driver), and
     predictions are pure column expressions with the per-key coefficients
-    broadcast back. No per-row Python anywhere; scales as one groupBy.
+    broadcast back. No per-row Python in the data path; scales as one
+    groupBy.
 
     Only still-missing slots (null ``filled_col`` if present, else null
     value) with all features present and >= min_train observed training rows
@@ -409,43 +413,42 @@ def linear_model_fill(
         aggs.append(F.sum(F.col(a) * v).alias(f"xy_{i}"))
         for j in range(i, len(terms)):
             aggs.append(F.sum(F.col(a) * F.col(terms[j])).alias(f"xx_{i}_{j}"))
-    stats = train.groupBy(*key_cols).agg(*aggs).collect()
+    stats = train.groupBy(*key_cols).agg(*aggs)
 
     k = len(terms)
-    coef_rows = []
-    for r in stats:
-        if int(r["_n"]) < min_train:
-            continue
-        A = np.empty((k, k))
-        b = np.empty(k)
-        for i in range(k):
-            b[i] = r[f"xy_{i}"]
-            for j in range(i, k):
-                A[i, j] = A[j, i] = r[f"xx_{i}_{j}"]
-        A += ridge * np.eye(k) * max(float(A.trace()) / k, 1.0)
-        beta = np.linalg.solve(A, b)
-        coef_rows.append(
-            {**{c: r[c] for c in key_cols},
-             **{f"_b{i}": float(beta[i]) for i in range(k)},
-             "_n_train": int(r["_n"])}
-        )
-    if not coef_rows:
-        # nothing trainable: return with the SAME output schema as the
-        # trained path (filled/flag/granular all present) so downstream
-        # selects/writes never see a data-dependent schema
-        base_filled = F.col(filled_col) if filled_col in df.columns else v
-        base_flag = (F.col(flag_col) if flag_col in df.columns
-                     else F.when(v.isNotNull(), F.lit(FLAG_OBSERVED)).cast("int"))
-        base_granular = (F.col(granular_col) if granular_col in df.columns
-                         else F.lit(None).cast("int"))
-        return (
-            work.withColumn(filled_col, base_filled)
-            .withColumn(flag_col, base_flag)
-            .withColumn(granular_col, base_granular)
-            .drop(*fnames)
-        )
-    spark = df.sparkSession
-    coefs = spark.createDataFrame(coef_rows)
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    key_fields = [f for f in stats.schema.fields if f.name in key_cols]
+    coef_schema = StructType(
+        key_fields
+        + [StructField(f"_b{i}", DoubleType()) for i in range(k)]
+        + [StructField("_n_train", IntegerType())]
+    )
+
+    def _solve(batches):
+        # stacked normal-equation solve: one (k x k) system per key row,
+        # all solved in a single np.linalg.solve call per Arrow batch
+        for pdf in batches:
+            pdf = pdf[pdf["_n"] >= min_train]
+            if pdf.empty:
+                continue
+            m = len(pdf)
+            A = np.empty((m, k, k))
+            bv = np.empty((m, k))
+            for i in range(k):
+                bv[:, i] = pdf[f"xy_{i}"].to_numpy()
+                for j in range(i, k):
+                    A[:, i, j] = A[:, j, i] = pdf[f"xx_{i}_{j}"].to_numpy()
+            tr = np.maximum(np.einsum("mii->m", A) / k, 1.0)
+            A += (ridge * tr)[:, None, None] * np.eye(k)[None, :, :]
+            beta = np.linalg.solve(A, bv)
+            out = pdf[[f.name for f in key_fields]].copy()
+            for i in range(k):
+                out[f"_b{i}"] = beta[:, i]
+            out["_n_train"] = pdf["_n"].astype("int32").to_numpy()
+            yield out
+
+    coefs = stats.mapInPandas(_solve, schema=coef_schema)
 
     out = work.join(F.broadcast(coefs), on=key_cols, how="left")
     pred = F.col("_b0")

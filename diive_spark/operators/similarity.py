@@ -125,18 +125,14 @@ def cosine_topk_ivf(
     )
 
 
-def hyperplane_buckets(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = 8, seed: int = 42, dim: int = 64,
-) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector: bit i = sign of the dot
+def _bucket_expr(v, n_planes: int, seed: int, dim: int):
+    """Bucket id column for ONE hyperplane table: bit i = sign of the dot
     product with seeded random plane i. Cosine-similar vectors collide with
     probability 1 - theta/pi per bit."""
     import random
 
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
-    v = F.col(vec_col).cast("array<double>")
     bucket = None
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(x) for x in p])
@@ -144,7 +140,16 @@ def hyperplane_buckets(
             F.lit(0).cast("bigint")
         )
         bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket)
+    return bucket
+
+
+def hyperplane_buckets(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 8, seed: int = 42, dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (single table)."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn("bucket", _bucket_expr(v, n_planes, seed, dim))
 
 
 def cosine_lsh_pairs(
@@ -157,19 +162,28 @@ def cosine_lsh_pairs(
     Tuning: per-bit collision prob for angle theta is 1 - theta/pi, so bucket
     recall per table is (1 - theta/pi)^n_planes. The defaults (4 planes x 8
     tables) give ~0.7 recall at cos 0.35 and ~1.0 at true near-dup levels
-    (cos >= 0.9); raise n_planes for tighter thresholds to shrink buckets."""
-    cand = None
+    (cos >= 0.9); raise n_planes for tighter thresholds to shrink buckets.
+
+    Single-pass candidate generation: ALL table buckets are computed in one
+    projection, posexploded to (table, bucket) rows, and candidates come from
+    ONE self-join on (table, bucket) — one scan and one candidate Exchange
+    instead of n_tables scans + an n_tables-way union (the round-2 plan)."""
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    for t in range(n_tables):
-        b = hyperplane_buckets(base, id_col, "v", n_planes, seed=42 + 97 * t, dim=dim)
-        a2, b2 = b.alias("a"), b.alias("b")
-        pairs = (
-            a2.join(b2, F.col("a.bucket") == F.col("b.bucket"))
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+    buckets = F.array(*[
+        _bucket_expr(F.col("v"), n_planes, seed=42 + 97 * t, dim=dim)
+        for t in range(n_tables)
+    ])
+    long = base.select(
+        id_col, F.posexplode(buckets).alias("table", "bucket")
+    )
+    a2, b2 = long.alias("a"), long.alias("b")
+    cand = (
+        a2.join(b2, (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
     v1 = base.withColumnRenamed(id_col, "id1").withColumnRenamed("v", "v1")
     v2 = base.withColumnRenamed(id_col, "id2").withColumnRenamed("v", "v2")
     sim = F.round(cosine_expr(F.col("v1"), F.col("v2")) + F.lit(1e-9), 6)

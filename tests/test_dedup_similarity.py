@@ -155,6 +155,11 @@ def test_gated_embedding_query_plan_is_bucketed(spark, embs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # single-pass candidate generation: all 32 table buckets in one
+    # projection + posexplode, ONE candidate self-join — not 32 scans + a
+    # 32-way union (the round-2 plan)
+    assert plan.count("Scan parquet") <= 4
+    assert "Union" not in plan
     exact = dedup.embedding_near_dups(embs, threshold=0.35).toPandas()
     got = out.toPandas()
     e = set(zip(exact["id1"], exact["id2"]))

@@ -247,6 +247,27 @@ def test_linear_model_fill_matches_lstsq_oracle(spark):
     assert (gran[gaps] == 4000 + min(obs.sum(), 999)).all()
 
 
+def test_linear_model_fill_solve_is_in_plan_no_driver_collect(spark):
+    """The normal-equation solve must run inside the cluster (batched numpy
+    over per-key stat rows via mapInPandas), never via a driver collect —
+    the plan of the returned frame therefore CONTAINS the solve stage."""
+    ts = pd.date_range("2024-01-01", periods=200, freq="1h")
+    vals = np.sin(np.arange(200) / 5.0)
+    vals[50:60] = np.nan
+    pdf = pd.DataFrame({"key": "a", "ts": ts, "value": vals})
+    out = gapfill.linear_model_fill(spark.createDataFrame(pdf), ["key"], "ts", "value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # solve is part of the lazy plan
+    # empty-trainable case keeps the same output schema (no data-dependent
+    # schema), coefficients just never match -> base path everywhere
+    empty = gapfill.linear_model_fill(
+        spark.createDataFrame(pdf), ["key"], "ts", "value", min_train=10**6
+    )
+    assert [f.name for f in empty.schema.fields] == [f.name for f in out.schema.fields]
+    got = empty.orderBy("ts").toPandas()
+    assert got["filled"].isna().sum() == 10
+
+
 def test_linear_model_fill_respects_prior_fills_and_min_train(spark):
     ts = pd.date_range("2024-01-01", periods=30, freq="1h")
     vals = [1.0] * 10 + [None] * 10 + [2.0] * 10  # interior 10-slot gap
