@@ -62,14 +62,20 @@ def run_level31(
     set_storage_to_zero: bool = False,
     gapfill_storage_term: bool = True,
     tier_seconds: int = 1800,
+    src_col: str | None = None,
 ) -> DataFrame:
     """Level-3.1 single-point storage correction (level31.py:52):
     ``{flux}_L31 = flux + storage``; a gappy storage term is filled with a
     rolling median first (informational ISFILLED flag, deliberately NOT a
-    _TEST column — provenance, not quality)."""
+    _TEST column — provenance, not quality).
+
+    ``src_col`` lets the chain feed a quality-FILTERED series (e.g. the
+    appended ``{flux}_L2_QCF``) while keeping the reference-style output
+    name ``{flux}_L31`` — the input columns are never overwritten."""
+    src = src_col or flux_col
     out_col = f"{flux_col}_L31"
     if strg_col is None or set_storage_to_zero:
-        return df.withColumn(out_col, F.col(flux_col)).withColumn(
+        return df.withColumn(out_col, F.col(src)).withColumn(
             f"FLAG_{strg_col or 'STRG'}_ISFILLED", F.lit(0)
         )
     work = df
@@ -89,7 +95,7 @@ def run_level31(
             .drop("filled", "fill_flag", "fill_granular")
         )
         strg_use = "_strg_filled"
-    out = work.withColumn(out_col, F.col(flux_col) + F.col(strg_use))
+    out = work.withColumn(out_col, F.col(src) + F.col(strg_use))
     return out.drop("_strg_filled") if "_strg_filled" in out.columns else out
 
 
@@ -121,13 +127,19 @@ def run_level33_constant_ustar(
     df: DataFrame, flux_col: str, ustar_col: str,
     thresholds: dict[str, float],
     nighttime_col: str | None = None,
+    src_col: str | None = None,
 ) -> DataFrame:
     """Level-3.3 USTAR filtering with pre-computed constant thresholds
     (level33.py:43): one SCENARIO per threshold (CUT_16/CUT_50/CUT_84
     convention) — each appends a flag column and a filtered series column
     ``{flux}_L33_{scenario}``; low-turbulence rejection applies at night
     when a nighttime flag is given (USTAR filtering is a nighttime
-    phenomenon), everywhere otherwise."""
+    phenomenon), everywhere otherwise.
+
+    ``src_col`` feeds a quality-filtered series (e.g. ``{flux}_QCF``) while
+    keeping the ``{flux}_L33_{scenario}`` naming; inputs are never
+    overwritten."""
+    src = src_col or flux_col
     out = df
     for scenario, thr in thresholds.items():
         low = F.col(ustar_col) < F.lit(thr)
@@ -136,11 +148,11 @@ def run_level33_constant_ustar(
         flag = f"FLAG_L33_USTAR_{scenario}_TEST"
         out = out.withColumn(
             flag,
-            F.when(F.col(flux_col).isNull(), F.lit(None))
+            F.when(F.col(src).isNull(), F.lit(None))
             .when(low, F.lit(2)).otherwise(F.lit(0)).cast("int"),
         ).withColumn(
             f"{flux_col}_L33_{scenario}",
-            F.when(F.col(flag) < 2, F.col(flux_col)),
+            F.when(F.col(flag) < 2, F.col(src)),
         )
     return out
 
@@ -213,25 +225,31 @@ def run_chain(
     (run_chain.py:51 contract: fixed sensible defaults; use the per-level
     functions for full control). Lazily composes ONE Spark plan."""
     out = run_level2(df, key_cols, ts_col, flux_col, flag_cols, abs_limits)
-    # reject L2-failed records before correction (qcf.py filtered-series step)
+    # qcf.py filtered-series step: the L2-filtered series is APPENDED as
+    # {flux}_L2_QCF — raw observed values stay in {flux} (the reference chain
+    # keeps raw and filtered series as separate columns)
+    l2_qcf = f"{flux_col}_L2_QCF"
     out = out.withColumn(
-        flux_col, F.when(F.col("FLAG_L2_QCF") < 2, F.col(flux_col))
+        l2_qcf, F.when(F.col("FLAG_L2_QCF") < 2, F.col(flux_col))
     )
     out = run_level31(out, key_cols, ts_col, flux_col, strg_col,
-                      tier_seconds=tier_seconds)
+                      tier_seconds=tier_seconds, src_col=l2_qcf)
     corrected = f"{flux_col}_L31"
     out = run_level32(out, key_cols, ts_col, corrected,
                       tier_seconds=tier_seconds, daytime_col=daytime_col)
+    # append the outlier-filtered series; {flux}_L31 keeps its pre-L3.2 values
+    l32_qcf = f"{corrected}_QCF"
     out = out.withColumn(
-        corrected, F.when(F.col("FLAG_L32_QCF") < 2, F.col(corrected))
+        l32_qcf, F.when(F.col("FLAG_L32_QCF") < 2, F.col(corrected))
     )
     scenarios = []
     if ustar_col is not None and ustar_thresholds:
         out = run_level33_constant_ustar(out, corrected, ustar_col,
-                                         ustar_thresholds, nighttime_col)
+                                         ustar_thresholds, nighttime_col,
+                                         src_col=l32_qcf)
         scenarios = [f"{corrected}_L33_{s}" for s in ustar_thresholds]
     else:
-        scenarios = [corrected]
+        scenarios = [l32_qcf]
     out = run_level41(out, key_cols, ts_col, scenarios,
                       tier_seconds=tier_seconds, model_features=model_features)
     return run_level42(out, key_cols, ts_col, [f"{s}_L41" for s in scenarios])

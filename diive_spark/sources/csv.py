@@ -112,7 +112,19 @@ def read_filetype(
     # Spark CSV has no skip-N-lines option; read everything untyped, then
     # drop header/units/malformed rows via try_to_timestamp (this doubles as
     # the sanitizer's drop-NaT step, times.py:263-345 step 3).
-    df = spark.read.option("sep", ft.separator).option("header", False).csv(path)
+    reader = spark.read.option("sep", ft.separator).option("header", False)
+    timestamp_less = ft.timestamp_col is None and ft.timestamp_index is None
+    if timestamp_less:
+        # rows in these dialects are identified purely by in-file POSITION
+        # (the 20Hz timestamp reconstruction depends on it). A splittable
+        # read lets Spark plan a file's splits in size-sorted — not byte
+        # offset — order, which would silently shift every reconstructed
+        # timestamp. multiLine makes CSV non-splittable: exactly one
+        # sequential task per file, so the positional window sees file
+        # order. (gzip inputs were already unsplittable; this extends the
+        # guarantee to plain-CSV 20Hz dialects.)
+        reader = reader.option("multiLine", True)
+    df = reader.csv(path)
     # reconcile header/data column counts (frames.py:166 contract)
     data_cols = df.columns
     if len(names) < len(data_cols):

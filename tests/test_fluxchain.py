@@ -62,6 +62,18 @@ def test_run_chain_end_to_end(spark, fluxdata):
     assert res.loc[ssitc2, "NEE_L31"].isna().all()
     assert np.isnan(res.loc[500, "NEE_L31"])  # 80.0 > abs limit 50
 
+    # append-only contract: raw observed values are NEVER lost — L2-rejected
+    # rows keep their raw NEE, the filtered series lives in NEE_L2_QCF
+    raw_kept = ssitc2 & pdf["NEE"].notna().to_numpy()
+    np.testing.assert_allclose(
+        res.loc[raw_kept, "NEE"], pdf.loc[raw_kept, "NEE"], rtol=0)
+    assert res.loc[raw_kept, "NEE_L2_QCF"].isna().all()
+    # L3.2-rejected rows keep their NEE_L31 value; only NEE_L31_QCF is nulled
+    l32_rej = (res["FLAG_L32_QCF"] == 2) & res["NEE_L31"].notna()
+    assert l32_rej.sum() > 0
+    assert res.loc[l32_rej, "NEE_L31_QCF"].isna().all()
+    assert res.loc[l32_rej, "NEE_L31"].notna().all()
+
     # L3.1: storage-corrected values = NEE + storage where both observed
     ok = (~ssitc2) & pdf["NEE"].notna() & pdf["SC_SINGLE"].notna()
     ok &= pdf["NEE"].abs() <= 50

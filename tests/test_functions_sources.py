@@ -438,3 +438,42 @@ def test_timestampless_dialect_keeps_all_na_records(spark, tmp_path):
     # nominal_freq_ms is now a declared field on every dialect
     assert csvsrc.FILETYPES["ETH-MERCURY-CSV-20HZ"].nominal_freq_ms == 50
     assert csvsrc.FILETYPES["DIIVE-CSV-30MIN"].nominal_freq_ms is None
+
+
+def test_timestampless_plain_csv_is_unsplittable(spark, tmp_path):
+    """Positional timestamp reconstruction requires in-file row ORDER; plain
+    CSV is splittable, and Spark does not scan splits in byte-offset order.
+    The timestamp-less reader must therefore force ONE task per file
+    (multiLine read) — verified by shrinking maxPartitionBytes far below the
+    file size and checking the scan still produces a single partition with
+    correct per-slot timestamps."""
+    p = str(tmp_path / "mercury_20240101-0000.csv")
+    n = 5000
+    with open(p, "w") as f:
+        f.write("U,V,W\n")
+        for i in range(n):
+            f.write(f"{i}.0,1.0,2.0\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        df, _ = csvsrc.read_filetype(spark, p, "ETH-MERCURY-CSV-20HZ")
+        assert df.rdd.getNumPartitions() == 1  # unsplittable read
+        ts = csvsrc.create_timestamp_from_file_start(
+            df, r"_(\d{8}-\d{4})\.csv", "yyyyMMdd-HHmm", nominal_freq_ms=50
+        ).orderBy("TIMESTAMP_END").toPandas()
+        assert len(ts) == n
+        # row k carries value k.0 at slot k*50ms — order survived the read
+        assert ts["U"].iloc[0] == 0.0 and ts["U"].iloc[n - 1] == float(n - 1)
+        assert ts["TIMESTAMP_END"].iloc[1000] == pd.Timestamp(
+            "2024-01-01 00:00:00"
+        ) + pd.Timedelta(milliseconds=50 * 1000)
+        # a timestamped dialect keeps the default splittable scan
+        p2 = str(tmp_path / "generic.csv")
+        with open(p2, "w") as f:
+            f.write("TIMESTAMP_END,V\n")
+            for i in range(2000):
+                f.write(f"2024-01-01 00:{i // 60 % 60:02d}:{i % 60:02d},1.0\n")
+        df2, _ = csvsrc.read_filetype(spark, p2, "GENERIC-CSV-HEADER-1ROW-TS-END-1MIN")
+        assert df2.rdd.getNumPartitions() > 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

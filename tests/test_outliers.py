@@ -34,6 +34,29 @@ def test_absolute_limits(spark):
     assert list(got.fillna(-1)) == [0, 0, -1, 2, 2]
 
 
+def test_manual_removal_ranges_timestamps_and_nulls(spark):
+    """flag_manual_removal (reference ManualRemoval,
+    diive/pkgs/outlierdetection/manualremoval.py): inclusive ranges + exact
+    timestamps flag 2, everything else 0, null values flag null."""
+    df, pdf = _series_df(spark, [1.0, 2.0, None, 4.0, 5.0, 6.0])
+    ts0 = pdf["ts"].iloc[0]
+    fmt = "%Y-%m-%d %H:%M:%S"
+    # range covering rows 1-2 (inclusive both ends) + exact stamp on row 4
+    got = outliers.flag_manual_removal(
+        df, "ts", "value",
+        ranges=[(pdf["ts"].iloc[1].strftime(fmt), pdf["ts"].iloc[2].strftime(fmt))],
+        timestamps=[pdf["ts"].iloc[4].strftime(fmt)],
+    ).orderBy("ts").toPandas()["FLAG_MANUAL_TEST"]
+    # row 2 is in the range but its VALUE is null -> flag null (missing),
+    # matching every other flag family's null contract
+    assert list(got.fillna(-1)) == [0, 2, -1, 0, 2, 0]
+    # no ranges / no timestamps: nothing flagged
+    got2 = outliers.flag_manual_removal(df, "ts", "value").orderBy(
+        "ts").toPandas()["FLAG_MANUAL_TEST"]
+    assert list(got2.fillna(-1)) == [0, 0, -1, 0, 0, 0]
+    assert str(ts0) == str(pdf["ts"].iloc[0])
+
+
 def test_zscore_global_matches_numpy(noisy):
     df, pdf = noisy
     got = (
