@@ -157,6 +157,63 @@ def run_level33_constant_ustar(
     return out
 
 
+def run_level33_detected(
+    df: DataFrame, key_cols: list[str], ts_col: str, flux_col: str,
+    ustar_col: str, ta_col: str, swin_col: str,
+    nighttime_col: str | None = None,
+    src_col: str | None = None,
+    n_boot: int | None = None,
+    seed: int = 42,
+    percentiles: tuple = (16, 50, 84),
+    **detect_kwargs,
+) -> DataFrame:
+    """Level-3.3 with DETECTED thresholds — the reference chain's default
+    (run_chain.py: level33 runs ustarthreshold.py detection, not constants).
+
+    Per key, the Papale-2006 moving-point detector (ustar.py) finds the
+    annual threshold; with ``n_boot`` the seeded bootstrap emits the
+    CUT_16/50/84 percentile scenarios instead (ONEFlux CUT convention).
+    Thresholds are broadcast-joined back (tiny: one row per key) and applied
+    exactly like the constant path. A key with NO detected threshold gets
+    flag 0 everywhere (no rejection — documented, mirrors ONEFlux's
+    threshold-not-found marker).
+
+    Returns (df_with_scenarios, scenario_names)."""
+    from diive_spark.operators import ustar as ustar_ops
+
+    nee_src = src_col or flux_col
+    if n_boot:
+        scen = ustar_ops.ustar_mp_bootstrap(
+            df, key_cols, ts_col, nee_src, ta_col, ustar_col, swin_col,
+            n_boot=n_boot, seed=seed, percentiles=percentiles, **detect_kwargs)
+        names = [f"CUT_{int(p)}" for p in percentiles]
+        wide = scen.groupBy(*key_cols).pivot("scenario", names).agg(
+            F.first("threshold"))
+    else:
+        thr = ustar_ops.ustar_mp_thresholds(
+            df, key_cols, ts_col, nee_src, ta_col, ustar_col, swin_col,
+            **detect_kwargs)
+        names = ["MP"]
+        wide = ustar_ops.ustar_mp_annual(thr, key_cols).withColumnRenamed(
+            "ustar_threshold", "MP")
+    wide = wide.select(*key_cols, *[F.col(n).alias(f"_thr_{n}") for n in names])
+    out = df.join(F.broadcast(wide), on=key_cols, how="left")
+    for scenario in names:
+        low = F.col(ustar_col) < F.col(f"_thr_{scenario}")
+        if nighttime_col is not None:
+            low = low & (F.col(nighttime_col) == 1)
+        flag = f"FLAG_L33_USTAR_{scenario}_TEST"
+        out = out.withColumn(
+            flag,
+            F.when(F.col(nee_src).isNull(), F.lit(None))
+            .when(low, F.lit(2)).otherwise(F.lit(0)).cast("int"),
+        ).withColumn(
+            f"{flux_col}_L33_{scenario}",
+            F.when(F.col(flag) < 2, F.col(nee_src)),
+        )
+    return out.drop(*[f"_thr_{n}" for n in names]), names
+
+
 def run_level41(
     df: DataFrame, key_cols: list[str], ts_col: str,
     scenario_cols: list[str],
@@ -220,10 +277,21 @@ def run_chain(
     daytime_col: str | None = None,
     tier_seconds: int = 1800,
     model_features: list[str] | None = None,
+    ta_col: str | None = None,
+    swin_col: str | None = None,
+    ustar_n_boot: int | None = None,
+    ustar_detect_kwargs: dict | None = None,
 ) -> DataFrame:
     """L2 -> L3.1 -> L3.2 -> L3.3 -> L4.1 -> L4.2 convenience driver
     (run_chain.py:51 contract: fixed sensible defaults; use the per-level
-    functions for full control). Lazily composes ONE Spark plan."""
+    functions for full control). Lazily composes ONE Spark plan (detection,
+    when enabled, adds one bounded per-key grouped-map stage).
+
+    L3.3 threshold source, mirroring the reference chain's precedence:
+    explicit ``ustar_thresholds`` constants win; otherwise, when
+    ``ustar_col`` plus ``ta_col``/``swin_col`` are given, thresholds are
+    DETECTED per key (Papale-2006 MP; with ``ustar_n_boot`` the bootstrap
+    CUT_16/50/84 scenarios — the chain's default in the reference)."""
     out = run_level2(df, key_cols, ts_col, flux_col, flag_cols, abs_limits)
     # qcf.py filtered-series step: the L2-filtered series is APPENDED as
     # {flux}_L2_QCF — raw observed values stay in {flux} (the reference chain
@@ -248,6 +316,12 @@ def run_chain(
                                          ustar_thresholds, nighttime_col,
                                          src_col=l32_qcf)
         scenarios = [f"{corrected}_L33_{s}" for s in ustar_thresholds]
+    elif ustar_col is not None and ta_col is not None and swin_col is not None:
+        out, names = run_level33_detected(
+            out, key_cols, ts_col, corrected, ustar_col, ta_col, swin_col,
+            nighttime_col=nighttime_col, src_col=l32_qcf,
+            n_boot=ustar_n_boot, **(ustar_detect_kwargs or {}))
+        scenarios = [f"{corrected}_L33_{s}" for s in names]
     else:
         scenarios = [l32_qcf]
     out = run_level41(out, key_cols, ts_col, scenarios,

@@ -1707,6 +1707,113 @@ FROM scored QUALIFY rnk <= 5
 ORACLES["ann_ivf"] = SQL_ANN_IVF
 
 
+def q_ustar_mp(spark, sf_dir):
+    """USTAR moving-point threshold detection (Papale 2006 / ONEFlux core)
+    over a deterministic flux-like derivation of the events table: USTAR and
+    TA are decorrelated modular transforms of the microsecond timestamp, NEE
+    saturates at USTAR=0.3 plus md5-seeded jitter, all records nighttime.
+
+    Gate runs ta_classes=1 so the SQL oracle can replay the ENTIRE pipeline
+    (season split incl. the end-of-period month shift, tie-aware equal-count
+    USTAR classes via rank-boundary values, empty-class 0.0 quirk, Fw2
+    forward-mode plateau, first-class and correlation checks, period/season
+    minimums). The full 7-TA-class stratification + bootstrap is covered by
+    tests/test_ustar.py against a positional tie-extension oracle."""
+    from diive_spark.operators import ustar
+    from diive_spark.operators.dedup import h32
+    ev = _t(spark, sf_dir, "events")
+    eu = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = (eu % 79999) / F.lit(100000.0)
+    jitter = h32(F.col("event_id").cast("string")) / F.lit(4294967296.0) - F.lit(0.5)
+    base = ev.select(
+        F.lit("all").alias("k"),
+        F.col("ts"),
+        us.alias("USTAR"),
+        ((eu % 991) / F.lit(991.0) * 20.0).alias("TA"),
+        F.lit(0.0).alias("SW_IN"),
+        (F.least(us, F.lit(0.3)) / F.lit(0.3) * 5.0 + jitter).alias("NEE"),
+    )
+    thr = ustar.ustar_mp_thresholds(
+        base, ["k"], "ts", "NEE", "TA", "USTAR", "SW_IN", ta_classes=1,
+    )
+    return thr.select("season", "n_night", _r6("threshold").alias("threshold"))
+
+
+SQL_USTAR_MP = """
+WITH src AS (
+  SELECT (epoch_us(ts) % 79999) / 100000.0 AS ustar,
+         (epoch_us(ts) % 991) / 991.0 * 20.0 AS ta,
+         least((epoch_us(ts) % 79999) / 100000.0, 0.3) / 0.3 * 5.0
+           + (('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0 - 0.5) AS nee,
+         CASE WHEN day(ts) = 1 AND hour(ts) = 0 AND minute(ts) = 0
+              THEN CASE WHEN month(ts) = 1 THEN 12 ELSE month(ts) - 1 END
+              ELSE month(ts) END AS m
+  FROM events
+),
+seasoned AS (SELECT *, CAST((m - 1) // 3 + 1 AS INTEGER) AS season FROM src),
+tot AS (SELECT count(*) AS n FROM seasoned),
+scount AS (SELECT season, count(*) AS n_night FROM seasoned GROUP BY 1),
+eligible AS (
+  SELECT season FROM scount, tot WHERE n_night >= 100 AND tot.n >= 3000
+),
+cors AS (SELECT season, corr(ta, ustar) AS c FROM seasoned GROUP BY 1),
+ranked AS (
+  SELECT s.*, row_number() OVER (PARTITION BY s.season ORDER BY ustar) AS rn,
+         count(*) OVER (PARTITION BY s.season) AS cnt
+  FROM seasoned s JOIN eligible e ON e.season = s.season
+),
+bvals AS (
+  SELECT season, ustar AS bv FROM ranked
+  WHERE rn % (cnt // 20) = 0 AND rn // (cnt // 20) BETWEEN 1 AND 19
+),
+cls AS (
+  SELECT r.season, r.ustar, r.nee,
+         (SELECT count(*) FROM bvals b
+          WHERE b.season = r.season AND b.bv < r.ustar) AS uc
+  FROM ranked r
+),
+cmeans0 AS (
+  SELECT season, uc, avg(ustar) AS um, avg(nee) AS fm FROM cls GROUP BY 1, 2
+),
+grid AS (
+  SELECT e.season, g.c AS uc
+  FROM eligible e, (SELECT unnest(generate_series(0, 19)) AS c) g
+),
+cmeans AS (
+  SELECT g.season, g.uc, coalesce(m.um, 0.0) AS um, coalesce(m.fm, 0.0) AS fm
+  FROM grid g LEFT JOIN cmeans0 m ON m.season = g.season AND m.uc = g.uc
+),
+fw AS (
+  SELECT season, uc, um, fm,
+         avg(fm) OVER w1 AS m1, count(fm) OVER w1 AS n1,
+         avg(fm) OVER w2 AS m2, count(fm) OVER w2 AS n2,
+         lead(fm) OVER (PARTITION BY season ORDER BY uc) AS fnext
+  FROM cmeans
+  WINDOW w1 AS (PARTITION BY season ORDER BY uc
+                ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING),
+         w2 AS (PARTITION BY season ORDER BY uc
+                ROWS BETWEEN 2 FOLLOWING AND 11 FOLLOWING)
+),
+hits AS (
+  SELECT season, uc, um FROM fw
+  WHERE uc <= 18 AND n1 > 0 AND n2 > 0 AND fm >= m1 AND fnext >= m2
+),
+thr AS (SELECT season, min_by(um, uc) AS threshold FROM hits GROUP BY 1),
+u0 AS (SELECT season, um AS um0 FROM cmeans WHERE uc = 0)
+SELECT CAST(s.season AS INTEGER) AS season,
+       coalesce(sc.n_night, 0) AS n_night,
+       CASE WHEN e.season IS NOT NULL AND abs(co.c) <= 0.5 AND u0.um0 <= 0.2
+            THEN round(1e-9 + t.threshold, 6) END AS threshold
+FROM (SELECT unnest(generate_series(1, 4)) AS season) s
+LEFT JOIN scount sc ON sc.season = s.season
+LEFT JOIN eligible e ON e.season = s.season
+LEFT JOIN cors co ON co.season = s.season
+LEFT JOIN thr t ON t.season = s.season
+LEFT JOIN u0 ON u0.season = s.season
+"""
+
+
 def q_rank_drivers(spark, sf_dir):
     """rank_drivers (correlation.py:18-105): rank candidate driver series by
     max |Pearson r| against the click series over lags -2..2, on the hourly
@@ -1790,6 +1897,9 @@ FROM events
 
 QUERIES["quadrature_cumulative"] = q_quadrature_cumulative
 ORACLES["quadrature_cumulative"] = SQL_QUADRATURE_CUMULATIVE
+
+QUERIES["ustar_mp"] = q_ustar_mp
+ORACLES["ustar_mp"] = SQL_USTAR_MP
 
 
 def q_histogram_fd(spark, sf_dir):
