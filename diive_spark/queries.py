@@ -1722,7 +1722,14 @@ def q_ustar_mp(spark, sf_dir):
     from diive_spark.operators import ustar
     from diive_spark.operators.dedup import h32
     ev = _t(spark, sf_dir, "events")
-    eu = F.unix_micros(F.col("ts").cast("timestamp"))
+    # calendar-derived microsecond position: tz-INDEPENDENT for the NTZ
+    # input (unix_micros(cast) would shift with the session timezone; the
+    # sub-second part alone is invariant, whole-second parts are not)
+    eu = (
+        (F.dayofmonth("ts") * 86400 + F.hour("ts") * 3600
+         + F.minute("ts") * 60 + F.second("ts")).cast("bigint") * 1000000
+        + F.unix_micros(F.col("ts").cast("timestamp")) % 1000000
+    )
     us = (eu % 79999) / F.lit(100000.0)
     jitter = h32(F.col("event_id").cast("string")) / F.lit(4294967296.0) - F.lit(0.5)
     base = ev.select(
@@ -1731,7 +1738,12 @@ def q_ustar_mp(spark, sf_dir):
         us.alias("USTAR"),
         ((eu % 991) / F.lit(991.0) * 20.0).alias("TA"),
         F.lit(0.0).alias("SW_IN"),
-        (F.least(us, F.lit(0.3)) / F.lit(0.3) * 5.0 + jitter).alias("NEE"),
+        # ramp to the knee at USTAR=0.3, then a GENTLE DECLINE: per-class
+        # decrement ~0.08 >> class-mean jitter ~0.006, so the Fw2 plateau
+        # comparisons have robust margins (no cross-engine coin flips) and
+        # detection deterministically fires at the knee
+        (F.least(us, F.lit(0.3)) / F.lit(0.3) * 5.0
+         - F.greatest(us - F.lit(0.3), F.lit(0.0)) * 2.0 + jitter).alias("NEE"),
     )
     thr = ustar.ustar_mp_thresholds(
         base, ["k"], "ts", "NEE", "TA", "USTAR", "SW_IN", ta_classes=1,
@@ -1740,16 +1752,23 @@ def q_ustar_mp(spark, sf_dir):
 
 
 SQL_USTAR_MP = """
-WITH src AS (
-  SELECT (epoch_us(ts) % 79999) / 100000.0 AS ustar,
-         (epoch_us(ts) % 991) / 991.0 * 20.0 AS ta,
-         least((epoch_us(ts) % 79999) / 100000.0, 0.3) / 0.3 * 5.0
+WITH pos AS (
+  SELECT *, (day(ts) * 86400 + hour(ts) * 3600 + minute(ts) * 60
+             + CAST(floor(second(ts)) AS BIGINT)) * 1000000
+            + (epoch_us(ts) % 1000000) AS eu
+  FROM events
+),
+src AS (
+  SELECT (eu % 79999) / 100000.0 AS ustar,
+         (eu % 991) / 991.0 * 20.0 AS ta,
+         least((eu % 79999) / 100000.0, 0.3) / 0.3 * 5.0
+           - greatest((eu % 79999) / 100000.0 - 0.3, 0.0) * 2.0
            + (('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
               / 4294967296.0 - 0.5) AS nee,
          CASE WHEN day(ts) = 1 AND hour(ts) = 0 AND minute(ts) = 0
               THEN CASE WHEN month(ts) = 1 THEN 12 ELSE month(ts) - 1 END
               ELSE month(ts) END AS m
-  FROM events
+  FROM pos
 ),
 seasoned AS (SELECT *, CAST((m - 1) // 3 + 1 AS INTEGER) AS season FROM src),
 tot AS (SELECT count(*) AS n FROM seasoned),
