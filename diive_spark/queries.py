@@ -1921,6 +1921,106 @@ QUERIES["ustar_mp"] = q_ustar_mp
 ORACLES["ustar_mp"] = SQL_USTAR_MP
 
 
+def q_random_uncertainty(spark, sf_dir):
+    """PAS20 random uncertainty, ONEFlux methods 1+2, over an hourly
+    flux-like rollup of events (per event_type series): method 1 = sample SD
+    of measured fluxes in a ±7-day / ±1-hour-of-day meteo-similar window,
+    method 2 = median of method-1 uncertainties of ±20%-similar fluxes in
+    ±14 days. Meteorology (TA/VPD/SWIN) is derived from calendar hour
+    positions (tz-independent, exact in both engines); a deterministic
+    hour%7 mask creates the flux gaps. The engine path is the slab+halo
+    grouped-map kernel; the SQL oracle is the equivalent O(n·window)
+    self-join. Methods 3/4 (diive extensions) are pytest-oracled in
+    tests/test_uncertainty.py."""
+    from diive_spark.operators import uncertainty as un
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hts")
+    ).agg(F.avg("value").alias("gf"))
+    hix = (F.dayofmonth("hts") * 24 + F.hour("hts")).cast("bigint")
+    src = hourly.select(
+        "event_type", F.col("hts").alias("ts"),
+        F.when(F.hour("hts") % 7 == 3, None).otherwise(F.col("gf")).alias("flux"),
+        "gf",
+        ((hix % 83) / 83.0 * 25.0).alias("ta"),
+        ((hix % 59) / 59.0 * 2.0).alias("vpd"),
+        ((hix % 47) / 47.0 * 600.0).alias("swin"),
+    )
+    out = un.random_uncertainty_pas20(
+        src, ["event_type"], "ts", "flux", "gf", "ta", "vpd", "swin",
+        methods=(1, 2),
+    )
+    method = (
+        F.when(F.col("flux_RANDUNC").isNull(), None)
+        .when(F.col("RANDUNC_N_M2").isNull(), 1).otherwise(2)
+    )
+    return out.select(
+        "event_type", "ts",
+        _r6("flux_RANDUNC").alias("randunc"),
+        method.cast("int").alias("method"),
+    )
+
+
+SQL_RANDOM_UNCERTAINTY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hts, avg(value) AS gf,
+         CASE WHEN hour(date_trunc('hour', ts)) % 7 = 3 THEN NULL
+              ELSE avg(value) END AS flux
+  FROM events GROUP BY 1, 2
+),
+src AS (
+  SELECT event_type, hts, flux, gf,
+         ((day(hts) * 24 + hour(hts)) % 83) / 83.0 * 25.0 AS ta,
+         ((day(hts) * 24 + hour(hts)) % 59) / 59.0 * 2.0 * 10.0 AS vpd_hpa,
+         ((day(hts) * 24 + hour(hts)) % 47) / 47.0 * 600.0 AS swin
+  FROM hourly
+),
+m1 AS (
+  SELECT i.event_type, i.hts,
+         count(j.flux) AS n1,
+         CASE WHEN count(j.flux) >= 6 THEN stddev_samp(j.flux) END AS unc1
+  FROM src i LEFT JOIN src j
+    ON j.event_type = i.event_type
+   AND j.flux IS NOT NULL
+   AND abs(epoch(j.hts) - epoch(i.hts)) <= 7 * 86400
+   AND (CASE WHEN (hour(i.hts) + 23) % 24 <= (hour(i.hts) + 1) % 24
+             THEN hour(j.hts) BETWEEN (hour(i.hts) + 23) % 24
+                                  AND (hour(i.hts) + 1) % 24
+             ELSE hour(j.hts) >= (hour(i.hts) + 23) % 24
+                  OR hour(j.hts) <= (hour(i.hts) + 1) % 24 END)
+   AND abs(j.ta - i.ta) < 2.5
+   AND abs(j.vpd_hpa - i.vpd_hpa) < 5.0
+   AND abs(j.swin - i.swin) < least(greatest(i.swin, 20.0), 50.0)
+  WHERE i.flux IS NOT NULL
+  GROUP BY 1, 2
+),
+need AS (
+  SELECT s.*, m1.unc1 FROM src s
+  LEFT JOIN m1 ON m1.event_type = s.event_type AND m1.hts = s.hts
+),
+m2 AS (
+  SELECT i.event_type, i.hts, median(j.unc1) AS unc2
+  FROM need i JOIN need j
+    ON j.event_type = i.event_type
+   AND j.unc1 IS NOT NULL
+   AND abs(epoch(j.hts) - epoch(i.hts)) <= 14 * 86400
+   AND j.gf BETWEEN i.gf - greatest(abs(i.gf) * 0.2, 2.0)
+                AND i.gf + greatest(abs(i.gf) * 0.2, 2.0)
+  WHERE i.unc1 IS NULL
+  GROUP BY 1, 2
+)
+SELECT n.event_type, n.hts AS ts,
+       round(1e-9 + coalesce(n.unc1, m2.unc2), 6) AS randunc,
+       CASE WHEN n.unc1 IS NOT NULL THEN 1
+            WHEN m2.unc2 IS NOT NULL THEN 2 END AS method
+FROM need n
+LEFT JOIN m2 ON m2.event_type = n.event_type AND m2.hts = n.hts
+"""
+
+QUERIES["random_uncertainty"] = q_random_uncertainty
+ORACLES["random_uncertainty"] = SQL_RANDOM_UNCERTAINTY
+
+
 def q_histogram_fd(spark, sf_dir):
     """Freedman-Diaconis histogram (histogram.py:19-130 'fd' method:
     bin width = 2*IQR/n^(1/3)) over the events values."""
