@@ -1937,14 +1937,17 @@ def q_random_uncertainty(spark, sf_dir):
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hts")
     ).agg(F.avg("value").alias("gf"))
-    hix = (F.dayofmonth("hts") * 24 + F.hour("hts")).cast("bigint")
+    # meteorology must be AUTOCORRELATED for similarity windows to match
+    # anything (real TA/VPD persist for days): piecewise-constant blocks,
+    # all integer-derived -> bit-exact in both engines
+    day, hour = F.dayofmonth("hts").cast("bigint"), F.hour("hts").cast("bigint")
     src = hourly.select(
         "event_type", F.col("hts").alias("ts"),
         F.when(F.hour("hts") % 7 == 3, None).otherwise(F.col("gf")).alias("flux"),
         "gf",
-        ((hix % 83) / 83.0 * 25.0).alias("ta"),
-        ((hix % 59) / 59.0 * 2.0).alias("vpd"),
-        ((hix % 47) / 47.0 * 600.0).alias("swin"),
+        ((day / F.lit(5)).cast("bigint") % 4 * 5.0).alias("ta"),
+        ((day / F.lit(3)).cast("bigint") % 5 * 0.04).alias("vpd"),
+        (hour * 25.0).alias("swin"),
     )
     out = un.random_uncertainty_pas20(
         src, ["event_type"], "ts", "flux", "gf", "ta", "vpd", "swin",
@@ -1970,9 +1973,9 @@ WITH hourly AS (
 ),
 src AS (
   SELECT event_type, hts, flux, gf,
-         ((day(hts) * 24 + hour(hts)) % 83) / 83.0 * 25.0 AS ta,
-         ((day(hts) * 24 + hour(hts)) % 59) / 59.0 * 2.0 * 10.0 AS vpd_hpa,
-         ((day(hts) * 24 + hour(hts)) % 47) / 47.0 * 600.0 AS swin
+         (day(hts) // 5 % 4) * 5.0 AS ta,
+         (day(hts) // 3 % 5) * 0.04 * 10.0 AS vpd_hpa,
+         hour(hts) * 25.0 AS swin
   FROM hourly
 ),
 m1 AS (
