@@ -2024,6 +2024,104 @@ QUERIES["random_uncertainty"] = q_random_uncertainty
 ORACLES["random_uncertainty"] = SQL_RANDOM_UNCERTAINTY
 
 
+def q_bin_fit_linear(spark, sf_dir):
+    """BinFitterCP linear path (reference fits/fitter.py:17): equal-width
+    x bins -> per-bin means -> least-squares line -> 95% prediction band
+    (t-quantile formula, fitter.py:92). The fit here is expressed as pure
+    Spark column expressions over the centered bin sums (one tiny broadcast
+    of the 6 sufficient statistics) so the ENTIRE pipeline incl. the band is
+    SQL-oracle-able; tests/test_fits.py proves the operator's lstsq path
+    (bin_fit_cp) equals these closed forms and covers the quadratic/cubic
+    fits + parameter covariance CI. dof is fixed at 12-2=10 (bin occupancy
+    over value in [0,120] verified at both gated SFs); the same t quantile
+    constant is embedded in both engines."""
+    from diive_spark.operators import fits
+    from diive_spark.operators.dedup import h32
+    ev = _t(spark, sf_dir, "events")
+    jit = h32(F.col("event_id").cast("string")) / F.lit(4294967296.0) - F.lit(0.5)
+    src = ev.select(
+        F.col("value").alias("x"),
+        (F.col("value") * 0.3 + jit * 20.0).alias("y"),
+    )
+    bins = fits.bin_aggregate_xy(src, "x", "y", 12, "mean",
+                                 x_range=(0.0, 120.0))
+    stats = bins.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("x_agg").alias("_sx"), F.sum("y_agg").alias("_sy"),
+        F.sum(F.col("x_agg") * F.col("y_agg")).alias("_sxy"),
+        F.sum(F.col("x_agg") * F.col("x_agg")).alias("_sxx"),
+        F.sum(F.col("y_agg") * F.col("y_agg")).alias("_syy"),
+    )
+    j = bins.crossJoin(F.broadcast(stats))
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxx_c = F.col("_sxx") - sx * sx / n
+    sxy_c = F.col("_sxy") - sx * sy / n
+    syy_c = F.col("_syy") - sy * sy / n
+    slope = sxy_c / sxx_c
+    icept = (sy - slope * sx) / n
+    rss = syy_c - slope * sxy_c
+    se = F.sqrt(rss / (n - 2))
+    dx = F.col("x_agg") - sx / n
+    dy = F.lit(fits.t_ppf(0.975, 10)) * se * F.sqrt(1.0 + 1.0 / n + dx * dx / sxx_c)
+    fit_y = slope * F.col("x_agg") + icept
+    return j.select(
+        "bin", "counts",
+        _r6("x_agg").alias("x_mean"), _r6("y_agg").alias("y_mean"),
+        _r6(fit_y).alias("fit_y"),
+        _r6(fit_y - dy).alias("lo_pred"), _r6(fit_y + dy).alias("hi_pred"),
+    )
+
+
+def _bin_fit_linear_sql():
+    from diive_spark.operators.fits import t_ppf
+    q = repr(t_ppf(0.975, 10))
+    return f"""
+WITH src AS (
+  SELECT value AS x,
+         value * 0.3 + (('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) * 20.0 AS y
+  FROM events WHERE value >= 0.0 AND value <= 120.0
+),
+b AS (
+  SELECT CASE WHEN floor(x / 10.0) >= 12 THEN 11
+              ELSE CAST(floor(x / 10.0) AS INTEGER) END AS bin,
+         avg(x) AS x_mean, avg(y) AS y_mean, count(*) AS counts
+  FROM src GROUP BY 1
+),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(x_mean) AS sx, sum(y_mean) AS sy,
+         sum(x_mean * y_mean) AS sxy, sum(x_mean * x_mean) AS sxx,
+         sum(y_mean * y_mean) AS syy
+  FROM b
+),
+f AS (
+  SELECT b.*, n, sx, sy,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+         sxx - sx * sx / n AS sxx_c,
+         (syy - sy * sy / n) - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+           * (sxy - sx * sy / n) AS rss
+  FROM b, st
+)
+SELECT bin, counts,
+       round(1e-9 + x_mean, 6) AS x_mean, round(1e-9 + y_mean, 6) AS y_mean,
+       round(1e-9 + slope * x_mean + (sy - slope * sx) / n, 6) AS fit_y,
+       round(1e-9 + slope * x_mean + (sy - slope * sx) / n
+             - {q} * sqrt(rss / (n - 2))
+               * sqrt(1.0 + 1.0 / n + (x_mean - sx / n) * (x_mean - sx / n)
+                      / sxx_c), 6) AS lo_pred,
+       round(1e-9 + slope * x_mean + (sy - slope * sx) / n
+             + {q} * sqrt(rss / (n - 2))
+               * sqrt(1.0 + 1.0 / n + (x_mean - sx / n) * (x_mean - sx / n)
+                      / sxx_c), 6) AS hi_pred
+FROM f
+"""
+
+
+QUERIES["bin_fit_linear"] = q_bin_fit_linear
+ORACLES["bin_fit_linear"] = _bin_fit_linear_sql()
+
+
 def q_histogram_fd(spark, sf_dir):
     """Freedman-Diaconis histogram (histogram.py:19-130 'fd' method:
     bin width = 2*IQR/n^(1/3)) over the events values."""
