@@ -33,7 +33,15 @@ def _ensure_shipped(spark: SparkSession) -> None:
     try:
         import subprocess
         zip_path = os.path.join(_REPO, "dist", "diive_spark.zip")
-        if not os.path.exists(zip_path):
+        # rebuild when missing OR stale (any package source newer than the
+        # zip): a stale zip would ship old module code to executor workers
+        # while the driver pickles kernels referencing the new one
+        newest_src = max(
+            os.path.getmtime(os.path.join(r, f))
+            for r, _d, fs in os.walk(os.path.join(_REPO, "diive_spark"))
+            for f in fs if f.endswith(".py")
+        )
+        if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
             subprocess.run(
                 [sys.executable, os.path.join(_REPO, "scripts", "make_pyfiles_zip.py")],
                 capture_output=True, timeout=60,
