@@ -1,0 +1,221 @@
+"""Nighttime flux partitioning NEE -> RECO + GPP (Reichstein 2005 /
+REddyProc nighttime method) — closed-form engine analogue.
+
+Reference: /root/reference/diive/flux/partitioning/nighttime_reddyproc.py
+(itself a REddyProc port). Structure mirrored:
+
+1. nighttime records carry pure respiration; the Lloyd & Taylor (1994)
+   model R = Rref * exp(E0 * b), b = 1/(Tref-T0) - 1/(Ta-T0) (Kelvin,
+   Tref = 288.15, T0 = 227.13) is fit to nighttime NEE vs temperature;
+2. ONE temperature sensitivity E0 per key from centered 15-day windows in
+   5-day steps: per window fit, trim the 5/95 residual tails, refit, keep
+   only windows with >6 records, >=5 K temperature range and the ±1-SD
+   interval inside [30, 350]; average the three lowest-SD estimates
+   (fRegrE0fromShortTerm);
+3. with E0 fixed, time-varying Rref from centered 7-day windows in 4-day
+   steps as the through-origin slope of NEE on the Lloyd-Taylor factor
+   (negative slopes dropped), anchored at the window's mean time and
+   linearly interpolated to every record (constant beyond the ends);
+4. RECO = LloydTaylor(Ta, Rref_t, E0); GPP = RECO - NEE.
+
+Engine divergences (documented, deliberate):
+- the per-window E0 fit is the LOG-SPACE linear regression ln(NEE) on b
+  (exactly the model, linear in (ln Rref, E0)) instead of the reference's
+  nonlinear ``leastsq`` — same estimator family, closed-form, distributed
+  as cross-product sums; the residual trim is on log residuals;
+- windows are CALENDAR-day based (the reference uses record-index days,
+  identical on gap-free grids).
+
+Execution shape: every step is groupBy/window algebra — records explode to
+their <=3 covering E0 windows (sequence(), JVM exprs), window fits are one
+aggregation per (key, window), the best-3 selection is a per-key top-k, and
+Rref interpolation is the running last/first-ignorenulls pattern. No
+driver-side data, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TREF_K = 288.15
+T0_K = 227.13
+E0_WINDOW_HALF = 7
+E0_STEP = 5
+E0_MIN_ENTRIES = 6
+E0_TEMP_RANGE = 5.0
+E0_TRIM_PERC = 0.05
+E0_NUM_BEST = 3
+E0_MIN, E0_MAX = 30.0, 350.0
+RREF_WINDOW_HALF = 3   # 7-day centered window
+RREF_STEP = 4
+RREF_MIN_ENTRIES = 2
+
+
+def _lt_b(ta_col) -> F.Column:
+    """Lloyd-Taylor exponent factor b: R = Rref * exp(E0 * b)."""
+    ta_k = ta_col + 273.15
+    return F.lit(1.0 / (TREF_K - T0_K)) - 1.0 / (ta_k - F.lit(T0_K))
+
+
+def _linfit_aggs(x, y):
+    """Sufficient statistics for a simple linear regression of y on x."""
+    return [
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"), F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    ]
+
+
+def _slope_icept():
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxx_c = F.col("_sxx") - sx * sx / n
+    sxy_c = F.col("_sxy") - sx * sy / n
+    slope = sxy_c / F.nullif(sxx_c, F.lit(0.0))
+    icept = (sy - slope * sx) / n
+    # sd(slope) = sqrt(RSS / (n-2) / Sxx_c)
+    syy_c = F.col("_syy") - sy * sy / n
+    rss = syy_c - slope * sxy_c
+    sd = F.sqrt(F.greatest(rss, F.lit(0.0)) / F.nullif(n - 2, F.lit(0.0))
+                / F.nullif(sxx_c, F.lit(0.0)))
+    return slope, icept, sd
+
+
+def estimate_e0(
+    df: DataFrame, key_cols: list[str], ts_col: str,
+    nee_col: str, ta_col: str, night_col: str,
+) -> DataFrame:
+    """One E0 (K) per key (fRegrE0fromShortTerm analogue). Returns
+    (key..., e0, n_windows); e0 NULL when fewer than three windows qualify."""
+    night = df.filter(
+        (F.col(night_col) == 1) & F.col(nee_col).isNotNull()
+        & F.col(ta_col).isNotNull() & (F.col(nee_col) > 0)
+    )
+    kw = Window.partitionBy(*key_cols)
+    day = F.datediff(F.col(ts_col), F.min(F.to_date(ts_col)).over(kw)) + 1
+    night = night.withColumn("_day", day)
+    # centered 15-day windows, 5-day mid steps: record day D is covered by
+    # window k when |mid_k - D| <= half, mid_k = (half+1) + k*step
+    half, step = E0_WINDOW_HALF, E0_STEP
+    k_lo = F.ceil((F.col("_day") - half - (half + 1)) / step).cast("int")
+    k_hi = F.floor((F.col("_day") + half - (half + 1)) / step).cast("int")
+    exploded = night.withColumn(
+        "_win", F.explode(F.sequence(F.greatest(k_lo, F.lit(0)), k_hi))
+    ).withColumn("_b", _lt_b(F.col(ta_col))) \
+     .withColumn("_y", F.log(F.col(nee_col)))
+
+    gcols = [*key_cols, "_win"]
+    pass_a = exploded.groupBy(*gcols).agg(
+        *_linfit_aggs(F.col("_b"), F.col("_y")),
+        (F.max(ta_col) - F.min(ta_col)).alias("_trange"),
+    )
+    s0, i0, _ = _slope_icept()
+    pass_a = pass_a.filter(
+        (F.col("_n") > E0_MIN_ENTRIES) & (F.col("_trange") >= E0_TEMP_RANGE)
+    ).select(*gcols, s0.alias("_e0_0"), i0.alias("_i0"))
+
+    # trim the 5/95 residual tails per window, refit
+    with_fit = exploded.join(pass_a, gcols)
+    resid = F.col("_y") - (F.col("_i0") + F.col("_e0_0") * F.col("_b"))
+    with_fit = with_fit.withColumn("_r", resid)
+    qs = with_fit.groupBy(*gcols).agg(
+        F.percentile("_r", F.lit(E0_TRIM_PERC)).alias("_rlo"),
+        F.percentile("_r", F.lit(1.0 - E0_TRIM_PERC)).alias("_rhi"),
+    )
+    trimmed = with_fit.join(qs, gcols).filter(
+        F.col("_r").between(F.col("_rlo"), F.col("_rhi")))
+    pass_b = trimmed.groupBy(*gcols).agg(*_linfit_aggs(F.col("_b"), F.col("_y")))
+    s1, _, sd1 = _slope_icept()
+    fits = pass_b.select(*gcols, s1.alias("_e0"), sd1.alias("_sd")).filter(
+        F.col("_e0").isNotNull() & F.col("_sd").isNotNull()
+        & (F.col("_e0") - F.col("_sd") > E0_MIN)
+        & (F.col("_e0") + F.col("_sd") < E0_MAX)
+    )
+    best_w = Window.partitionBy(*key_cols).orderBy("_sd", "_win")
+    best = fits.withColumn("_rk", F.row_number().over(best_w)).filter(
+        F.col("_rk") <= E0_NUM_BEST)
+    return best.groupBy(*key_cols).agg(
+        F.when(F.count(F.lit(1)) >= E0_NUM_BEST,
+               F.round(F.avg("_e0"), 2)).alias("e0"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+
+
+def partition_nee_nighttime(
+    df: DataFrame, key_cols: list[str], ts_col: str,
+    nee_col: str, ta_col: str, night_col: str,
+    reco_col: str = "RECO", gpp_col: str = "GPP",
+) -> DataFrame:
+    """Full nighttime partitioning: appends ``RECO`` and ``GPP`` (plus the
+    per-record ``RREF`` anchor interpolation and the key's ``E0``); all
+    NULL for keys whose E0 estimation failed (the reference aborts)."""
+    e0_df = estimate_e0(df, key_cols, ts_col, nee_col, ta_col, night_col)
+    work = df.join(F.broadcast(e0_df.select(*key_cols, "e0")),
+                   on=key_cols, how="left")
+    b = _lt_b(F.col(ta_col))
+    factor = F.exp(F.col("e0") * b)
+    kw = Window.partitionBy(*key_cols)
+    day = F.datediff(F.col(ts_col), F.min(F.to_date(ts_col)).over(kw)) + 1
+    work = work.withColumn("_day", day).withColumn("_f", factor)
+
+    # Rref per centered 7-day window (4-day steps), through-origin slope of
+    # nighttime NEE on the LT factor, anchored at the window's mean time
+    half, step = RREF_WINDOW_HALF, RREF_STEP
+    nt = work.filter(
+        (F.col(night_col) == 1) & F.col(nee_col).isNotNull()
+        & F.col(ta_col).isNotNull() & F.col("e0").isNotNull()
+    )
+    k_lo = F.ceil((F.col("_day") - half - (half + 1)) / step).cast("int")
+    k_hi = F.floor((F.col("_day") + half - (half + 1)) / step).cast("int")
+    expl = nt.withColumn(
+        "_win", F.explode(F.sequence(F.greatest(k_lo, F.lit(0)), k_hi)))
+    anchors = expl.groupBy(*key_cols, "_win").agg(
+        (F.sum(F.col("_f") * F.col(nee_col))
+         / F.nullif(F.sum(F.col("_f") * F.col("_f")), F.lit(0.0))).alias("_rref"),
+        F.count(F.lit(1)).alias("_n"),
+        F.timestamp_seconds(F.avg(F.unix_timestamp(ts_col))).alias("_anchor_ts"),
+    ).filter((F.col("_n") > RREF_MIN_ENTRIES) & (F.col("_rref") >= 0))
+
+    # interpolate Rref anchors to every record: attach anchors as sparse
+    # rows, running last/first ignorenulls, time-weighted line between,
+    # constant beyond the ends (the engine's interpolation idiom)
+    marked = work.withColumn("_rref", F.lit(None).cast("double")) \
+                 .withColumn("_is_anchor", F.lit(0))
+    a_rows = anchors.select(
+        *key_cols, F.col("_anchor_ts").alias(ts_col),
+        F.col("_rref"), F.lit(1).alias("_is_anchor"))
+    union = marked.select(*key_cols, ts_col, "_rref", "_is_anchor").unionByName(
+        a_rows)
+    ord_w = Window.partitionBy(*key_cols).orderBy(ts_col, F.desc("_is_anchor"))
+    fwd = ord_w.rowsBetween(Window.unboundedPreceding, 0)
+    bwd = ord_w.rowsBetween(0, Window.unboundedFollowing)
+    ts_sec = F.unix_timestamp(ts_col).cast("double")
+    union = (
+        union.withColumn("_pv", F.last("_rref", ignorenulls=True).over(fwd))
+        .withColumn("_pt", F.last(F.when(F.col("_rref").isNotNull(), ts_sec),
+                                  ignorenulls=True).over(fwd))
+        .withColumn("_nv", F.first("_rref", ignorenulls=True).over(bwd))
+        .withColumn("_nt", F.first(F.when(F.col("_rref").isNotNull(), ts_sec),
+                                   ignorenulls=True).over(bwd))
+    )
+    frac = (ts_sec - F.col("_pt")) / F.nullif(F.col("_nt") - F.col("_pt"),
+                                              F.lit(0.0))
+    interp = (
+        F.when(F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+               F.col("_pv") + (F.col("_nv") - F.col("_pv")) * F.coalesce(frac, F.lit(0.0)))
+        .otherwise(F.coalesce(F.col("_pv"), F.col("_nv")))
+    )
+    rref_per_record = union.filter(F.col("_is_anchor") == 0).select(
+        *key_cols, ts_col, interp.alias("RREF"))
+
+    out = work.join(rref_per_record, on=[*key_cols, ts_col], how="left")
+    reco = F.col("RREF") * F.col("_f")
+    return (
+        out.withColumn(reco_col, reco)
+        .withColumn(gpp_col, reco - F.col(nee_col))
+        .withColumnRenamed("e0", "E0")
+        .drop("_day", "_f")
+    )
