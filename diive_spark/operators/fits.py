@@ -157,6 +157,7 @@ def bin_fit_cp(
     x_lo, x_hi = float(x.min()), float(x.max())
 
     spark = df.sparkSession
+    n_predictions = max(2, int(n_predictions))  # reference clamp (fitter.py:70)
     step = (x_hi - x_lo) / (n_predictions - 1)
     grid = spark.range(n_predictions).select(
         (F.lit(x_lo) + F.col("id") * F.lit(step)).alias("fit_x"))
@@ -172,8 +173,11 @@ def bin_fit_cp(
             t = F.lit(float(cov[i, j])) * fx ** (pi + pj)
             var = t if var is None else var + t
     std = F.sqrt(var)
-    dy = F.lit(q * se) * F.sqrt(
-        1.0 + F.lit(1.0 / n) + (fx - F.lit(x_mean)) ** 2 / F.lit(sxd))
+    # sxd == 0 (all bins share one x): band undefined -> NULL, not inf
+    dy = (F.lit(q * se) * F.sqrt(
+        1.0 + F.lit(1.0 / n)
+        + (fx - F.lit(x_mean)) ** 2 / F.nullif(F.lit(sxd), F.lit(0.0)))
+        if sxd > 0.0 else F.lit(None).cast("double"))
     fit_df = (
         grid.withColumn("nom", nom).withColumn("std", std)
         .withColumn("nom_lower_ci95", F.col("nom") - 1.96 * F.col("std"))

@@ -17,8 +17,9 @@ The engine mirrors the chain's STRUCTURAL contracts (SURVEY.md §2.11):
 Domain simplifications (documented, not hidden): L2 runs the always-on
 missing test plus caller-supplied flag columns (EddyPro's SSITC etc. arrive
 as data columns) and optional absolute limits; L3.2 uses the engine's Hampel
-with the chain's Papale-2006 defaults; L3.3 applies constant USTAR
-thresholds (the bootstrap detector is out of scope with the ML stack);
+with the chain's Papale-2006 defaults; L3.3 takes constant USTAR thresholds
+OR detects them per key (Papale-2006 MP detection incl. seeded bootstrap
+CUT_16/50/84 scenarios, operators/ustar.py — the reference chain's default);
 L4.1 fills with the engine's cascade + closed-form model fill in place of
 RF/XGBoost (same fill pipeline shape, see gapfill.linear_model_fill).
 """

@@ -50,6 +50,8 @@ def quantile_edges(
         edges = nn.agg(
             F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs]))
         ).collect()[0][0]
+    if not edges:  # all-null / empty column: no bins (match the sketch path)
+        return []
     return sorted(set(edges))
 
 
@@ -69,7 +71,21 @@ def quantile_bucket(
     edges = quantile_edges(df, value_col, n_bins, relative_error)
     if len(edges) < 2:
         return df.withColumn(out_col, F.lit(None).cast("int"))
-    return df.withColumn(out_col, custom_edges_bucket(F.col(value_col), edges))
+    bucket = custom_edges_bucket(F.col(value_col), edges)
+    # clamp values OUTSIDE the reported edges into the end bins: with
+    # relative_error > 0 the sketch's extreme edges can sit inside the true
+    # range, and pd.qcut semantics put every non-null value in a bin (same
+    # hazard fixed in analysis.find_optimum_range). Exact edges are the
+    # true min/max, so this is a no-op there.
+    v = F.col(value_col)
+    bucket = (
+        F.when(v.isNull(), None)
+        .when(v < edges[0], 0)
+        .when(v > edges[-1], len(edges) - 2)
+        .otherwise(bucket)
+        .cast("int")
+    )
+    return df.withColumn(out_col, bucket)
 
 
 AGGS = {

@@ -59,15 +59,17 @@ def pack_tokens_to_binary(df: DataFrame, tokens_col: str = "tokens",
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[other].copy()
-            vals = []
-            for t in pdf[tokens_col]:
-                a = np.asarray(t, dtype=np.int64)
-                if np_dtype is np.uint16 and len(a) and (
-                        a.min() < 0 or a.max() >= 1 << 16):
+            arrs = [np.asarray(t) for t in pdf[tokens_col]]
+            if np_dtype is np.uint16 and arrs:
+                # batch-granularity validation: one flatten + one min/max
+                # (not per-row reductions), BEFORE the narrowing cast
+                flat = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+                if len(flat) and (int(flat.min()) < 0
+                                  or int(flat.max()) >= 1 << 16):
                     raise ValueError("token id outside uint16 range; "
                                      "use dtype='int32'")
-                vals.append(a.astype(np_dtype).tobytes())
-            out[out_col] = vals
+            out[out_col] = [a.astype(np_dtype, copy=False).tobytes()
+                            for a in arrs]
             yield out
 
     schema = ", ".join(

@@ -159,8 +159,15 @@ def random_uncertainty_pas20(
 
     slab = (slab_days or 3 * winsize_days_m1) * 86400
     halo1 = winsize_days_m1 * 86400 + 60
-    out = apply_with_halo(work, key_cols, ts_col, m1, out_schema_m1,
-                          slab_seconds=slab, halo_seconds=halo1)
+    if 1 in methods:
+        out = apply_with_halo(work, key_cols, ts_col, m1, out_schema_m1,
+                              slab_seconds=slab, halo_seconds=halo1)
+    else:
+        # skipping the costliest stage must actually skip it (docstring
+        # contract); later methods then start from an all-null hierarchy
+        out = (work.drop("_vpd_hpa")
+               .withColumn(unc_col, F.lit(None).cast("double"))
+               .withColumn("RANDUNC_N_M1", F.lit(None).cast("double")))
 
     if 2 in methods:
         schema_m2 = out_schema_m1 + ", RANDUNC_N_M2 double"

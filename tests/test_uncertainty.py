@@ -131,6 +131,15 @@ def test_method4_serves_out_of_band_fluxes(spark):
     assert np.isfinite(row["RANDUNC_N_M4"])
 
 
+def test_methods_gate_actually_skips_method1(spark, series):
+    # review fix: methods=(2,) must not run (or emit) method 1 — with no
+    # m1 estimates to pool from, the hierarchy stays empty
+    df, _ = series
+    got = _run(df, methods=(2,))
+    assert got["flux_RANDUNC"].isna().all()
+    assert got["RANDUNC_N_M1"].isna().all()
+
+
 def test_joint_and_cumulative_propagation(spark, series):
     df, pdf = series
     filled = unc_ops.random_uncertainty_pas20(
