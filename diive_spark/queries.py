@@ -2122,6 +2122,87 @@ QUERIES["bin_fit_linear"] = q_bin_fit_linear
 ORACLES["bin_fit_linear"] = _bin_fit_linear_sql()
 
 
+def q_ale_linear(spark, sf_dir):
+    """First-order ALE (Apley & Zhu; reference driveranalysis/ale.py:192)
+    of an interaction model f = 0.3x - 0.05xz + z over the events table:
+    x = value, z = a calendar-derived second driver. The model is a pure
+    column expression (the engine's model-runtime-free ALE contract), the
+    interaction term makes the per-bin delta depend on the DATA (mean z per
+    bin), and the whole estimator — binning, per-bin deltas, edge
+    accumulation, data-weighted centering — is replayed by the SQL oracle.
+    Bin edges are pinned (every bin populated at both gated SFs): the
+    interpolated-quantile grid is NOT bit-identical across engines at every
+    probability (verified: 1-ulp disagreement at p=0.625 flips boundary
+    rows), so the quantile-edge path is certified by grid_agg_2d_quantile +
+    pytest instead."""
+    from diive_spark.operators import ale
+    ev = _t(spark, sf_dir, "events")
+    day, hour = F.dayofmonth("ts").cast("bigint"), F.hour("ts").cast("bigint")
+    src = ev.select(
+        F.col("value").alias("x"),
+        (((day * 24 + hour) % 37) / 37.0 * 10.0).alias("z"),
+    )
+
+    def predict(f):
+        return 0.3 * f["x"] - 0.05 * f["x"] * f["z"] + f["z"]
+
+    out = ale.accumulated_local_effects(
+        src, predict, "x", ["x", "z"],
+        edges=[0.0, 5.0, 15.0, 30.0, 50.0, 80.0, 120.0, 200.0, 500.0])
+    return out.select(
+        "edge_idx", _r6("edge").alias("edge"), _r6("ale").alias("ale"),
+        "bin_count",
+    )
+
+
+SQL_ALE_LINEAR = """
+WITH src AS (
+  SELECT value AS x,
+         ((day(ts) * 24 + hour(ts)) % 37) / 37.0 * 10.0 AS z
+  FROM events WHERE value IS NOT NULL
+),
+e AS (SELECT [0.0, 5.0, 15.0, 30.0, 50.0, 80.0, 120.0, 200.0, 500.0] AS ed),
+b AS (
+  SELECT CAST(1 + (x > ed[2])::INT + (x > ed[3])::INT + (x > ed[4])::INT
+            + (x > ed[5])::INT + (x > ed[6])::INT + (x > ed[7])::INT
+            + (x > ed[8])::INT AS INTEGER) AS bin,
+         x, z, ed
+  FROM src, e
+),
+d AS (
+  SELECT bin,
+         avg((0.3 * ed[bin + 1] - 0.05 * ed[bin + 1] * z + z)
+           - (0.3 * ed[bin] - 0.05 * ed[bin] * z + z)) AS delta,
+         count(*) AS bin_count
+  FROM b GROUP BY bin, ed
+),
+acc AS (
+  SELECT bin, bin_count,
+         sum(delta) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ale_hi,
+         sum(delta) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - delta AS ale_lo
+  FROM d
+),
+wm AS (
+  SELECT sum((ale_lo + ale_hi) / 2.0 * bin_count) / sum(bin_count) AS w
+  FROM acc
+),
+edges AS (
+  SELECT bin AS edge_idx, ale_hi - w AS ale, bin_count
+  FROM acc, wm
+  UNION ALL
+  SELECT 0, 0.0 - w, NULL FROM wm
+)
+SELECT g.edge_idx,
+       round(1e-9 + e.ed[g.edge_idx + 1], 6) AS edge,
+       round(1e-9 + g.ale, 6) AS ale,
+       g.bin_count
+FROM edges g, e
+"""
+
+QUERIES["ale_linear"] = q_ale_linear
+ORACLES["ale_linear"] = SQL_ALE_LINEAR
+
+
 def q_histogram_fd(spark, sf_dir):
     """Freedman-Diaconis histogram (histogram.py:19-130 'fd' method:
     bin width = 2*IQR/n^(1/3)) over the events values."""
