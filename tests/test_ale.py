@@ -83,3 +83,61 @@ def test_ale_degenerate_feature_raises(spark):
     with pytest.raises(ValueError, match="distinct"):
         ale.accumulated_local_effects(
             df, ale.linear_predictor({"x": 1.0}), "x", ["x", "z"])
+
+
+def _oracle_ale2d(x, y, z_cols, second_diff_fn, grid_size):
+    """Numpy port of the reference 2-D estimator (ale.py:258)."""
+    def edges(v):
+        return np.unique(np.quantile(v, np.linspace(0, 1, grid_size + 1)))
+    xe, ye = edges(x), edges(y)
+    nx, ny = xe.size - 1, ye.size - 1
+    xi = np.clip(np.searchsorted(xe, x, side="left"), 1, nx)
+    yi = np.clip(np.searchsorted(ye, y, side="left"), 1, ny)
+    delta = np.zeros((ny, nx))
+    for a in range(1, nx + 1):
+        for b in range(1, ny + 1):
+            m = (xi == a) & (yi == b)
+            if m.any():
+                delta[b - 1, a - 1] = second_diff_fn(
+                    m, xe[a - 1], xe[a], ye[b - 1], ye[b])
+    acc = np.cumsum(np.cumsum(delta, axis=0), axis=1)
+    acc = np.pad(acc, ((1, 0), (1, 0)))
+    ale2 = acc - acc.mean(axis=1, keepdims=True) - acc.mean(axis=0, keepdims=True) + acc.mean()
+    return xe, ye, ale2
+
+
+def test_ale2d_additive_model_is_flat(spark, xz):
+    df, _ = xz
+
+    def predict(f):  # no interaction: second differences all cancel
+        return f["x"] * f["x"] + 3.0 * f["z"]
+
+    got = ale.accumulated_local_effects_2d(df, predict, "x", "z",
+                                           ["x", "z"], grid_size=5).toPandas()
+    assert np.abs(got["ale"].to_numpy()).max() < 1e-9
+
+
+def test_ale2d_interaction_matches_oracle(spark, xz):
+    df, pdf = xz
+
+    def predict(f):
+        return 0.5 * f["x"] * f["z"] + f["x"] - 2.0 * f["z"]
+
+    got = (ale.accumulated_local_effects_2d(df, predict, "x", "z",
+                                            ["x", "z"], grid_size=4)
+           .toPandas().sort_values(["y_idx", "x_idx"]))
+    x, z = pdf["x"].to_numpy(), pdf["z"].to_numpy()
+
+    def sd(m, xlo, xhi, ylo, yhi):  # second difference of 0.5*x*z
+        return 0.5 * (xhi - xlo) * (yhi - ylo)
+
+    xe, ye, want = _oracle_ale2d(x, z, None, sd, 4)
+    got_mat = got.pivot_table(index="y_idx", columns="x_idx",
+                              values="ale").to_numpy()
+    np.testing.assert_allclose(got_mat, want, rtol=1e-9, atol=1e-12)
+    # edge labels line up
+    np.testing.assert_allclose(
+        np.sort(got["x_edge"].unique()), xe, rtol=1e-12)
+    # counts: core cells have them, the zero row/column is null
+    assert got.loc[(got["x_idx"] == 0) | (got["y_idx"] == 0), "cell_count"].isna().all()
+    assert got.loc[(got["x_idx"] > 0) & (got["y_idx"] > 0), "cell_count"].notna().all()
