@@ -246,3 +246,46 @@ def test_detect_new_columns(spark):
     b = spark.createDataFrame(pd.DataFrame({"x": [1]}))
     assert frames.detect_new_columns(a, b) == ["y", "z"]
     assert frames.detect_new_columns(b, a) == []
+
+
+def test_kmeans_refinement_improves_objective_and_is_deterministic(spark, embs):
+    """Distributed k-means refinement: the clustering OBJECTIVE (mean
+    assigned cosine) improves monotonically over Lloyd's iterations —
+    that is the estimator's guarantee (recall at a fixed small nprobe is
+    not monotone and is covered by the recall-band check below) — and the
+    result is deterministic across runs."""
+    from pyspark.sql import Window
+
+    def mean_assigned_cos(cents):
+        c = embs.select(F.col("vec_id").alias("_id"),
+                        F.col("embedding").cast("array<double>").alias("cv"))
+        w = Window.partitionBy("_id").orderBy(F.desc("csim"),
+                                              F.asc("centroid_id"))
+        a = (c.crossJoin(F.broadcast(cents))
+             .withColumn("csim", similarity.cosine_expr(F.col("cv"),
+                                                        F.col("cent")))
+             .withColumn("r", F.row_number().over(w)).filter("r=1"))
+        return a.agg(F.avg("csim")).collect()[0][0]
+
+    seed = similarity._centroids(embs, "vec_id", "embedding", 8)
+    obj = [mean_assigned_cos(seed)]
+    for it in (1, 3):
+        obj.append(mean_assigned_cos(
+            similarity.kmeans_centroids(embs, n_centroids=8, n_iter=it)))
+    assert obj[0] < obj[1] <= obj[2] + 1e-9, obj
+
+    # refined IVF still lands in a sane recall band at a small probe budget
+    queries = embs.filter(F.col("vec_id") < 12)
+    exact = similarity.cosine_topk_bruteforce(embs, queries, k=5).toPandas()
+    truth = set(zip(exact["query_id"], exact["nbr_id"]))
+    got = similarity.cosine_topk_ivf(embs, queries, k=5, n_centroids=8,
+                                     nprobe=2, refine_iters=3).toPandas()
+    hit = set(zip(got["query_id"], got["nbr_id"]))
+    assert len(hit & truth) / len(truth) > 0.35
+
+    # deterministic: two runs give identical centroids
+    a = similarity.kmeans_centroids(embs, n_centroids=8, n_iter=2).toPandas()
+    b = similarity.kmeans_centroids(embs, n_centroids=8, n_iter=2).toPandas()
+    av = a.sort_values("centroid_id")["cent"].map(tuple).tolist()
+    bv = b.sort_values("centroid_id")["cent"].map(tuple).tolist()
+    assert av == bv
