@@ -477,3 +477,50 @@ def test_timestampless_plain_csv_is_unsplittable(spark, tmp_path):
         assert df2.rdd.getNumPartitions() > 1
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_table_adapter_dispatch_and_retention(spark, tmp_path):
+    """Iceberg seam (sources/table.py): identifier vs path dispatch, tier
+    write to the canonical parquet layout, and the retention tick. The
+    Iceberg branch itself needs runtime jars absent here — its failure mode
+    is the documented config message (asserted)."""
+    import pandas as pd
+    from diive_spark.sources import table as tbl
+
+    assert tbl.is_table_identifier("tiers.rollup_1m")
+    assert tbl.is_table_identifier("rollup_1m")
+    assert not tbl.is_table_identifier("/data/rollup_1m")
+    assert not tbl.is_table_identifier("out.parquet")
+
+    n = 96
+    pdf = pd.DataFrame({
+        "window_start": pd.date_range("2024-01-01", periods=n, freq="1h"),
+        "v": range(n),
+    })
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "tier")
+    tbl.write_tier_table(df, path, "window_start")
+    back = tbl.read_table(spark, path)
+    assert back.count() == n
+    assert "event_date" in back.columns  # date-pruned layout
+
+    # catalog path: register via the session catalog and read as identifier
+    df.write.mode("overwrite").saveAsTable("t_adapter_check")
+    assert tbl.read_table(spark, "t_adapter_check").count() == n
+    spark.sql("DROP TABLE t_adapter_check")
+
+    # time travel demands a catalog table
+    import pytest as _pt
+    with _pt.raises(ValueError, match="catalog"):
+        tbl.read_table(spark, path, snapshot_id=1)
+
+    # retention tick on the parquet layout: drop the first 2 days
+    tbl.expire_tier_before(spark, path, "window_start", "2024-01-03 00:00:00")
+    kept = spark.read.parquet(path)
+    assert kept.count() == n - 48
+    assert kept.agg({"window_start": "min"}).collect()[0][0] >= pd.Timestamp(
+        "2024-01-03")
+
+    # Iceberg identifier write without the runtime: documented config error
+    with _pt.raises(RuntimeError, match="Iceberg catalog"):
+        tbl.write_tier_table(df, "tiers.rollup_1m", "window_start")
