@@ -89,3 +89,55 @@ def test_insufficient_data_yields_nulls(spark):
     ).toPandas()
     assert out["E0"].isna().all()
     assert out["RECO"].isna().all() and out["GPP"].isna().all()
+
+
+def make_daytime_data(n_days=40, seed=5, alpha=0.06, beta=18.0, rref=2.5,
+                      e0=140.0, noise=0.3):
+    rng = np.random.default_rng(seed)
+    n = n_days * 48
+    ts = pd.date_range("2023-05-01", periods=n, freq="30min")
+    hod = ts.hour.to_numpy() + ts.minute.to_numpy() / 60.0
+    rg = np.maximum(0.0, 700 * np.sin(np.pi * (hod - 6) / 12))
+    rg = np.where((hod < 6) | (hod >= 18), 0.0, rg) + rng.uniform(0, 3, n)
+    ta = 12 + 7 * np.sin(2 * np.pi * (hod - 14) / 24) + rng.normal(0, 1, n)
+    b = 1 / (TREF_K - T0_K) - 1 / (ta + 273.15 - T0_K)
+    reco_true = rref * np.exp(e0 * b)
+    gpp_true = alpha * beta * rg / (alpha * rg + beta)
+    nee = reco_true - gpp_true + rng.normal(0, noise, n)
+    return pd.DataFrame({"site": "s1", "ts": ts, "NEE": nee, "TA": ta,
+                         "SW_IN": rg, "RECO_TRUE": reco_true,
+                         "GPP_TRUE": gpp_true})
+
+
+def test_daytime_partitioning_recovers_planted_lrc(spark):
+    pdf = make_daytime_data()
+    out = fluxpart.partition_nee_daytime(
+        spark.createDataFrame(pdf), ["site"], "ts", "NEE", "TA", "SW_IN"
+    ).orderBy("ts").toPandas()
+    e0 = out["E0_DT"].dropna().unique()
+    assert len(e0) == 1 and abs(e0[0] - 140.0) < 30.0
+    ok = out["GPP_DT"].notna()
+    assert ok.mean() > 0.95
+    # model GPP tracks the planted light response where it matters (day)
+    day = ok.to_numpy() & (pdf["GPP_TRUE"].to_numpy() > 2.0)
+    rel = (np.abs(out.loc[day, "GPP_DT"].to_numpy()
+                  - pdf.loc[day, "GPP_TRUE"].to_numpy())
+           / pdf.loc[day, "GPP_TRUE"].to_numpy())
+    assert np.median(rel) < 0.15
+    # RECO tracks Lloyd-Taylor truth
+    relr = (np.abs(out.loc[ok, "RECO_DT"].to_numpy()
+                   - pdf.loc[ok.to_numpy(), "RECO_TRUE"].to_numpy())
+            / pdf.loc[ok.to_numpy(), "RECO_TRUE"].to_numpy())
+    assert np.median(relr) < 0.2
+    # nighttime model GPP is ~0 (Rg ~ 0 -> light response vanishes)
+    night = ok.to_numpy() & (pdf["SW_IN"].to_numpy() <= 4.0)
+    assert out.loc[night, "GPP_DT"].abs().median() < 0.5
+
+
+def test_daytime_partitioning_insufficient_data_yields_nulls(spark):
+    # 1 day: ~22 daytime rows < the 30-entry window minimum -> no window fits
+    pdf = make_daytime_data(n_days=1)
+    out = fluxpart.partition_nee_daytime(
+        spark.createDataFrame(pdf), ["site"], "ts", "NEE", "TA", "SW_IN"
+    ).toPandas()
+    assert out["GPP_DT"].isna().all() and out["RECO_DT"].isna().all()
