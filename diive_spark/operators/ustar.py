@@ -351,3 +351,109 @@ def ustar_mp_bootstrap(
     return work.groupBy(*key_cols).applyInPandas(
         lambda _, pdf: boot(pdf), schema=schema
     )
+
+
+# --------------------------------------------------------------------------- #
+# Vekuri quantile-based detection (ustar_vekuri_detection.py)
+# --------------------------------------------------------------------------- #
+
+VEKURI_CORR_CHECK = 0.4
+VEKURI_STABILITY = 0.95
+VEKURI_WINDOW = 10
+VEKURI_MIN_VALID = 100
+VEKURI_MIN_SEASON = 50
+
+
+def _qcut_classes(vals: np.ndarray, q: int):
+    """pd.qcut(duplicates='drop') class ids: interpolated quantile edges,
+    right-closed intervals, class(v) = #inner-edges strictly below v."""
+    edges = np.unique(np.quantile(vals, np.linspace(0.0, 1.0, q + 1)))
+    if edges.size < 2:
+        return None
+    return np.searchsorted(edges[1:-1], vals, side="left")
+
+
+def ustar_vekuri_thresholds(
+    df: DataFrame, key_cols: list[str], ts_col: str,
+    nee_col: str, ta_col: str, ustar_col: str,
+    swin_col: str | None = None,
+    ta_classes: int = 6, ustar_classes: int = 20,
+    season_groups: list[list[int]] | None = None,
+    night_threshold: float = 10.0,
+) -> DataFrame:
+    """Quantile-based USTAR threshold detection (Vekuri variant, reference
+    ustar_vekuri_detection.py:18-345): plain-month seasons, pd.qcut
+    temperature and USTAR classes (equal data mass regardless of the value
+    distribution — cheaper and simpler than ONEFlux's tie-extension bins),
+    |corr(TA, USTAR)| < 0.4 independence check, ascending stability search
+    (first class whose mean flux >= 0.95 x the mean of the next 10 class
+    means), median across TA classes, max across seasons for the annual.
+
+    Same execution shape as the MP detector: one grouped map per key.
+    Keys with < 100 valid records emit NULLs (the reference raises)."""
+    groups = [list(g) for g in (season_groups or DEFAULT_SEASONS)]
+    work = df.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.col(nee_col).cast("double").alias("_nee"),
+        F.col(ta_col).cast("double").alias("_ta"),
+        F.col(ustar_col).cast("double").alias("_ustar"),
+        (F.col(swin_col).cast("double") if swin_col else F.lit(None).cast("double")).alias("_swin"),
+    )
+    key_fields = [f for f in work.schema.fields if f.name in key_cols]
+    schema = StructType(key_fields + [
+        StructField("season", IntegerType()),
+        StructField("n_valid", LongType()),
+        StructField("threshold", DoubleType()),
+    ])
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        nee = pdf["_nee"].to_numpy(float)
+        ta = pdf["_ta"].to_numpy(float)
+        us = pdf["_ustar"].to_numpy(float)
+        sw = pdf["_swin"].to_numpy(float)
+        month = pdf["_ts"].dt.month.to_numpy()  # plain month (no shift here)
+        valid = np.isfinite(nee) & np.isfinite(ta) & np.isfinite(us)
+        if np.isfinite(sw).any():
+            valid &= sw < night_threshold
+        rows = []
+        enough = int(valid.sum()) >= VEKURI_MIN_VALID
+        for si, g in enumerate(groups, start=1):
+            m = valid & np.isin(month, g)
+            cnt = int(m.sum())
+            thr = np.nan
+            if enough and cnt >= VEKURI_MIN_SEASON:
+                found = []
+                tcls = _qcut_classes(ta[m], ta_classes)
+                if tcls is not None:
+                    s_nee, s_ta, s_us = nee[m], ta[m], us[m]
+                    for c in np.unique(tcls):
+                        cm = tcls == c
+                        corr = _pearson(s_ta[cm], s_us[cm])
+                        if not np.isfinite(corr) or abs(corr) >= VEKURI_CORR_CHECK:
+                            continue
+                        ucls = _qcut_classes(s_us[cm], ustar_classes)
+                        if ucls is None:
+                            continue
+                        ids = np.unique(ucls)
+                        if ids.size < 3:
+                            continue
+                        um = np.array([s_us[cm][ucls == i].mean() for i in ids])
+                        fm = np.array([s_nee[cm][ucls == i].mean() for i in ids])
+                        t = _plateau_threshold(um, fm, n=1,
+                                               window=VEKURI_WINDOW,
+                                               threshold_check=VEKURI_STABILITY)
+                        if t != THRESHOLD_NOT_FOUND:
+                            found.append(t)
+                if found:
+                    thr = float(np.median(found))
+            rows.append((si, cnt, thr))
+        out = pd.DataFrame(rows, columns=["season", "n_valid", "threshold"])
+        out["season"] = out["season"].astype(np.int32)
+        out["n_valid"] = out["n_valid"].astype(np.int64)
+        for f in key_fields:
+            out[f.name] = pdf[f.name].iloc[0]
+        return out[[f.name for f in key_fields] + ["season", "n_valid", "threshold"]]
+
+    return work.groupBy(*key_cols).applyInPandas(
+        lambda _, pdf: detect(pdf), schema=schema)

@@ -263,3 +263,57 @@ def test_chain_runs_l33_from_detected_thresholds(spark):
     assert res.loc[rej, "NEE_L31_L33_CUT_84"].isna().all()
     # rejected records all sit below the strictest detected threshold
     assert res.loc[rej, "USTAR"].max() < 0.65
+
+
+def _oracle_vekuri_season(pdf_season):
+    """Direct pandas oracle using pd.qcut (the reference's own binning)."""
+    found = []
+    tcls = pd.qcut(pdf_season["TA"], 6, duplicates="drop")
+    for _, g in pdf_season.groupby(tcls, observed=True):
+        corr = g[["TA", "USTAR"]].corr().iloc[0, 1]
+        if not np.isfinite(corr) or abs(corr) >= 0.4:
+            continue
+        ucls = pd.qcut(g["USTAR"], 20, duplicates="drop")
+        um, fm = [], []
+        for _, gg in g.groupby(ucls, observed=True):
+            um.append(gg["USTAR"].mean())
+            fm.append(gg["NEE"].mean())
+        if len(um) < 3:
+            continue
+        um, fm = np.asarray(um), np.asarray(fm)
+        for i in range(len(um) - 1):
+            seg = fm[i + 1: i + 11]
+            if seg.size and fm[i] >= 0.95 * seg.mean():
+                found.append(um[i])
+                break
+    return float(np.median(found)) if found else np.nan
+
+
+def test_vekuri_matches_pd_qcut_oracle(spark):
+    """The kernel's interpolated-edge class ids must equal pd.qcut's (the
+    reference uses pd.qcut directly), end to end through the detection."""
+    pdf = make_flux(n=6000, seed=21, thr=0.28)
+    got = (ustar.ustar_vekuri_thresholds(
+        spark.createDataFrame(pdf), ["site"], "ts", "NEE", "TA", "USTAR",
+        swin_col="SW_IN").orderBy("season").toPandas())
+    # oracle per season (plain months, night filter, >=50 rows)
+    ts = pd.to_datetime(pdf["ts"])
+    night = pdf["SW_IN"] < 10
+    want = []
+    for g in [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]:
+        sub = pdf[night & ts.dt.month.isin(g)]
+        want.append(_oracle_vekuri_season(sub) if len(sub) >= 50 else np.nan)
+    np.testing.assert_allclose(got["threshold"].to_numpy(float),
+                               np.asarray(want), rtol=1e-9, equal_nan=True)
+    covered = got["threshold"].notna()
+    assert covered.sum() >= 1
+    assert ((got.loc[covered, "threshold"] > 0.15)
+            & (got.loc[covered, "threshold"] < 0.45)).all()
+
+
+def test_vekuri_below_minimums_yields_nulls(spark):
+    pdf = make_flux(n=150, seed=3)  # night rows < 100 valid minimum
+    got = ustar.ustar_vekuri_thresholds(
+        spark.createDataFrame(pdf), ["site"], "ts", "NEE", "TA", "USTAR",
+        swin_col="SW_IN").toPandas()
+    assert got["threshold"].isna().all()
