@@ -50,6 +50,14 @@ def linear_predictor(coefs: dict[str, float], intercept: float = 0.0
     return predict
 
 
+def _bin_col(x: Column, edges: list[float]) -> Column:
+    """1-based interval bin (edges[k-1], edges[k]], extremes clipped in."""
+    b = F.lit(1)
+    for k in range(1, len(edges) - 1):
+        b = b + (x > F.lit(edges[k])).cast("int")
+    return b
+
+
 def accumulated_local_effects(
     df: DataFrame,
     predict: Callable[[dict], Column],
@@ -88,13 +96,8 @@ def accumulated_local_effects(
     # bin k (1-based) covers (edges[k-1], edges[k]]; everything at/below the
     # first inner edge clips into bin 1, above the last edge into n_bins
     # (reference: searchsorted left, clipped 1..n_bins)
-    x = F.col(feature)
-    bin_expr = F.lit(1)
-    for k in range(1, n_bins):
-        bin_expr = bin_expr + (x > F.lit(edges[k])).cast("int")
-
     edge_arr = F.array(*[F.lit(float(e)) for e in edges])
-    binned = base.withColumn("_bin", bin_expr)
+    binned = base.withColumn("_bin", _bin_col(F.col(feature), edges))
     feats_hi = {c: F.col(c) for c in feature_cols}
     feats_lo = dict(feats_hi)
     feats_hi[feature] = F.element_at(edge_arr, F.col("_bin") + 1)
@@ -137,14 +140,6 @@ def accumulated_local_effects(
         F.lit(None).cast("bigint").alias("bin_count"),
     )
     return zero_row.unionByName(edge_rows).orderBy("edge_idx")
-
-
-def _bin_col(x: Column, edges: list[float]) -> Column:
-    """1-based interval bin (edges[k-1], edges[k]], extremes clipped in."""
-    b = F.lit(1)
-    for k in range(1, len(edges) - 1):
-        b = b + (x > F.lit(edges[k])).cast("int")
-    return b
 
 
 def accumulated_local_effects_2d(

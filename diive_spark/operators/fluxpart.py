@@ -255,6 +255,7 @@ def _lm_fit_lrc(nee, rg, tfac, x0, n_iter=50):
     lam, best = 1e-3, sse(p)
     if not np.isfinite(best):
         return None, np.inf
+    accepted = False
     for _ in range(n_iter):
         a, b, r = p
         den = a * rg + b
@@ -274,12 +275,17 @@ def _lm_fit_lrc(nee, rg, tfac, x0, n_iter=50):
         s = sse(cand)
         if s < best:
             p, best, lam = cand, s, max(lam / 3.0, 1e-12)
+            accepted = True
             if np.max(np.abs(step) / np.maximum(np.abs(p), 1e-9)) < 1e-10:
                 break
         else:
             lam *= 5.0
             if lam > 1e12:
                 break
+    if not accepted:
+        # the data never moved the fit off the starting guess (e.g. NEE
+        # uncorrelated with Rg): reject the window instead of blessing x0
+        return None, np.inf
     return p, math.sqrt(best / len(nee))
 
 

@@ -104,6 +104,9 @@ def kmeans_centroids(
         assigned = (
             c.crossJoin(F.broadcast(cents))
             .withColumn("csim", cosine_expr(F.col("cv"), F.col("cent")))
+            # zero-norm vectors score NULL against every centroid; exclude
+            # them so they cannot drag a centroid toward the origin
+            .filter(F.col("csim").isNotNull())
             .withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") == 1)
         )

@@ -362,6 +362,9 @@ VEKURI_STABILITY = 0.95
 VEKURI_WINDOW = 10
 VEKURI_MIN_VALID = 100
 VEKURI_MIN_SEASON = 50
+# the Vekuri reference defaults to METEOROLOGICAL seasons (DJF/MAM/JJA/SON,
+# ustar_vekuri_detection.py:176), unlike the MP detector's calendar quarters
+VEKURI_SEASONS = ((12, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11))
 
 
 def _qcut_classes(vals: np.ndarray, q: int):
@@ -390,8 +393,10 @@ def ustar_vekuri_thresholds(
     means), median across TA classes, max across seasons for the annual.
 
     Same execution shape as the MP detector: one grouped map per key.
-    Keys with < 100 valid records emit NULLs (the reference raises)."""
-    groups = [list(g) for g in (season_groups or DEFAULT_SEASONS)]
+    Keys with < 100 valid records emit NULLs (the reference raises).
+    Default seasons are METEOROLOGICAL (DJF/MAM/JJA/SON), matching the
+    reference — not the MP detector's calendar quarters."""
+    groups = [list(g) for g in (season_groups or VEKURI_SEASONS)]
     work = df.select(
         *key_cols,
         F.col(ts_col).alias("_ts"),

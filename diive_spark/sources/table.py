@@ -47,7 +47,12 @@ def read_table(
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         if as_of is not None:
-            reader = reader.option("as-of-timestamp", as_of)
+            # Iceberg's as-of-timestamp option takes EPOCH MILLISECONDS;
+            # accept an ISO string (or millis) and convert
+            import pandas as _pd
+            millis = (int(as_of) if str(as_of).isdigit()
+                      else int(_pd.Timestamp(as_of).value // 1_000_000))
+            reader = reader.option("as-of-timestamp", str(millis))
         return reader.table(source)
     if snapshot_id is not None or as_of is not None:
         raise ValueError("time travel requires a catalog (Iceberg) table")
@@ -71,6 +76,12 @@ def write_tier_table(
             else:
                 writer.createOrReplace()
         except Exception as exc:  # pragma: no cover - depends on runtime jars
+            msg = str(exc).lower()
+            catalog_problem = any(t in msg for t in (
+                "catalog", "classnotfound", "iceberg", "table or view not found",
+                "multipart identifier", "data source"))
+            if not catalog_problem:
+                raise  # a real write error (schema/permissions/data), not config
             raise RuntimeError(
                 f"writing tier table '{target}' needs an Iceberg catalog: add "
                 "the iceberg-spark-runtime jar and configure e.g. "
@@ -98,10 +109,29 @@ def expire_tier_before(
         spark.sql(
             f"DELETE FROM {target} WHERE {ts_col} < TIMESTAMP '{cutoff}'")
         return
-    df = spark.read.parquet(target)
-    kept = df.filter(F.col(ts_col) >= F.lit(cutoff).cast("timestamp"))
-    # rewrite via a temp view to avoid reading from the path being replaced
-    kept.cache().count()
-    kept.withColumn("event_date", F.to_date(ts_col)) \
-        .write.mode("overwrite").partitionBy("event_date").parquet(target)
-    kept.unpersist()
+    from diive_spark.plans.partitioning import write_partitioned
+
+    # NEVER overwrite the directory being read (a lost cached partition
+    # would recompute from deleted files): write the survivors to a sibling
+    # temp dir in the SAME canonical range+date layout, then swap via
+    # Hadoop FS renames (metadata ops) — crash before the final rename
+    # leaves the original tier intact.
+    tmp = target.rstrip("/") + "._retention_tmp"
+    old_dir = target.rstrip("/") + "._retention_old"
+    kept = spark.read.parquet(target).filter(
+        F.col(ts_col) >= F.lit(cutoff).cast("timestamp"))
+    write_partitioned(kept, tmp, ts_col)
+    sc = spark.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+    fs = Path(target).getFileSystem(hconf)
+    if fs.exists(Path(old_dir)):
+        fs.delete(Path(old_dir), True)
+    if not fs.rename(Path(target.rstrip("/")), Path(old_dir)):
+        raise RuntimeError(f"retention swap failed renaming {target}")
+    if not fs.rename(Path(tmp), Path(target.rstrip("/"))):
+        # restore the original tier before failing
+        fs.rename(Path(old_dir), Path(target.rstrip("/")))
+        raise RuntimeError(f"retention swap failed installing {tmp}")
+    fs.delete(Path(old_dir), True)
+

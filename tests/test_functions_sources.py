@@ -520,6 +520,11 @@ def test_table_adapter_dispatch_and_retention(spark, tmp_path):
     assert kept.count() == n - 48
     assert kept.agg({"window_start": "min"}).collect()[0][0] >= pd.Timestamp(
         "2024-01-03")
+    # swap-based rewrite: canonical layout restored, no temp dirs left
+    import os as _os
+    assert "event_date=2024-01-03" in set(_os.listdir(path))
+    assert not _os.path.exists(path + "._retention_tmp")
+    assert not _os.path.exists(path + "._retention_old")
 
     # Iceberg identifier write without the runtime: documented config error
     with _pt.raises(RuntimeError, match="Iceberg catalog"):

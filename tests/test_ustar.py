@@ -300,7 +300,7 @@ def test_vekuri_matches_pd_qcut_oracle(spark):
     ts = pd.to_datetime(pdf["ts"])
     night = pdf["SW_IN"] < 10
     want = []
-    for g in [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]:
+    for g in [(12, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11)]:  # DJF/MAM/...
         sub = pdf[night & ts.dt.month.isin(g)]
         want.append(_oracle_vekuri_season(sub) if len(sub) >= 50 else np.nan)
     np.testing.assert_allclose(got["threshold"].to_numpy(float),
