@@ -2203,6 +2203,185 @@ QUERIES["ale_linear"] = q_ale_linear
 ORACLES["ale_linear"] = SQL_ALE_LINEAR
 
 
+def q_flux_partition_night(spark, sf_dir):
+    """Nighttime NEE partitioning (Reichstein/REddyProc shape,
+    operators/fluxpart.py) over a deterministic Lloyd-Taylor derivation of
+    the hourly events rollup: rref_t = 2 + mean(value)/100 (data-driven),
+    TA a modular calendar transform, NEE = rref_t * exp(150*b(TA)) with
+    md5-seeded multiplicative jitter; hours 18-06 are nighttime. The SQL
+    oracle replays the ENTIRE pipeline — per-window log-space E0 fits with
+    the 5/95 residual-trim refit, the +-1-SD validity bounds, best-3-by-SD
+    averaging, through-origin Rref anchors, the anchor interpolation with
+    constant ends, and RECO/GPP composition — so the flagship flux operator
+    is value-certified end to end."""
+    from diive_spark.operators import fluxpart
+    from diive_spark.operators.dedup import h32
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hts")).agg(
+        F.avg("value").alias("v"))
+    day, hour = F.dayofmonth("hts").cast("bigint"), F.hour("hts").cast("bigint")
+    ta = ((day * 24 + hour) % 89) / 89.0 * 20.0
+    b = fluxpart._lt_b(ta)
+    jit = 1.0 + (h32(F.col("hts").cast("string")) / F.lit(4294967296.0)
+                 - F.lit(0.5)) * 0.1
+    src = hourly.select(
+        F.lit("all").alias("k"),
+        F.col("hts").alias("ts"),
+        ((2.0 + F.col("v") / 100.0) * F.exp(150.0 * b) * jit).alias("NEE"),
+        ta.alias("TA"),
+        ((hour < 6) | (hour >= 18)).cast("int").alias("NIGHT"),
+    )
+    out = fluxpart.partition_nee_nighttime(src, ["k"], "ts", "NEE", "TA",
+                                           "NIGHT")
+    return out.select(
+        "ts", _r6("E0").alias("e0"), _r6("RREF").alias("rref"),
+        _r6("RECO").alias("reco"), _r6("GPP").alias("gpp"),
+    )
+
+
+def _flux_partition_night_sql():
+    b1 = repr(1.0 / (288.15 - 227.13))  # the operator's Python-folded constant
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hts, avg(value) AS v FROM events GROUP BY 1
+),
+src AS (
+  SELECT hts AS ts,
+         ((day(hts) * 24 + hour(hts)) % 89) / 89.0 * 20.0 AS ta,
+         CASE WHEN hour(hts) < 6 OR hour(hts) >= 18 THEN 1 ELSE 0 END AS night,
+         (2.0 + v / 100.0)
+           * exp(150.0 * ({b1} - 1.0 / ((((day(hts) * 24 + hour(hts)) % 89)
+                                          / 89.0 * 20.0 + 273.15) - 227.13)))
+           * (1.0 + (('0x' || substr(md5(hts::VARCHAR), 1, 8))::BIGINT
+                     / 4294967296.0 - 0.5) * 0.1) AS nee
+  FROM hourly
+),
+base AS (
+  SELECT *, {b1} - 1.0 / ((ta + 273.15) - 227.13) AS b,
+         datediff('day', (SELECT min(ts::DATE) FROM src), ts::DATE) + 1 AS d
+  FROM src
+),
+nightr AS (
+  SELECT * FROM base
+  WHERE night = 1 AND nee IS NOT NULL AND ta IS NOT NULL AND nee > 0
+),
+ew AS (
+  SELECT n.*, ln(nee) AS y, CAST(w.k AS INTEGER) AS win
+  FROM nightr n,
+       LATERAL unnest(generate_series(
+         greatest(CAST(ceil((d - 15) / 5.0) AS BIGINT), 0),
+         CAST(floor((d - 1) / 5.0) AS BIGINT))) AS w(k)
+),
+pa AS (
+  SELECT win, CAST(count(*) AS DOUBLE) AS n,
+         sum(b) AS sx, sum(y) AS sy, sum(b * y) AS sxy,
+         sum(b * b) AS sxx, max(ta) - min(ta) AS trange
+  FROM ew GROUP BY 1
+  HAVING count(*) > 6 AND max(ta) - min(ta) >= 5.0
+),
+fit0 AS (
+  SELECT win,
+         (sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0.0) AS e0_0,
+         (sy - (sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0.0) * sx) / n AS i0
+  FROM pa
+),
+resid AS (
+  SELECT ew.*, ew.y - (f.i0 + f.e0_0 * ew.b) AS r
+  FROM ew JOIN fit0 f ON f.win = ew.win
+),
+qs AS (
+  SELECT win, quantile_cont(r, 0.05) AS rlo, quantile_cont(r, 0.95) AS rhi
+  FROM resid GROUP BY 1
+),
+trimmed AS (
+  SELECT resid.* FROM resid JOIN qs ON qs.win = resid.win
+  WHERE r BETWEEN rlo AND rhi
+),
+pb AS (
+  SELECT win, CAST(count(*) AS DOUBLE) AS n,
+         sum(b) AS sx, sum(y) AS sy, sum(b * y) AS sxy,
+         sum(b * b) AS sxx, sum(y * y) AS syy
+  FROM trimmed GROUP BY 1
+),
+fits AS (
+  SELECT win,
+         (sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0.0) AS e0w,
+         sqrt(greatest((syy - sy * sy / n)
+                       - (sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0.0)
+                         * (sxy - sx * sy / n), 0.0)
+              / nullif(n - 2, 0.0) / nullif(sxx - sx * sx / n, 0.0)) AS sd
+  FROM pb
+),
+valid AS (
+  SELECT * FROM fits
+  WHERE e0w IS NOT NULL AND sd IS NOT NULL
+    AND e0w - sd > 30.0 AND e0w + sd < 350.0
+),
+best AS (
+  SELECT e0w FROM (
+    SELECT e0w, row_number() OVER (ORDER BY sd, win) AS rk FROM valid
+  ) WHERE rk <= 3
+),
+e0f AS (
+  SELECT CASE WHEN count(*) >= 3 THEN round(avg(e0w), 2) END AS e0 FROM best
+),
+rw AS (
+  SELECT n.ts, n.nee, exp(e.e0 * n.b) AS f, n.d, CAST(w.k AS INTEGER) AS win
+  FROM nightr n, e0f e,
+       LATERAL unnest(generate_series(
+         greatest(CAST(ceil((d - 7) / 4.0) AS BIGINT), 0),
+         CAST(floor((d - 1) / 4.0) AS BIGINT))) AS w(k)
+  WHERE e.e0 IS NOT NULL
+),
+anchors AS (
+  SELECT win, sum(f * nee) / nullif(sum(f * f), 0.0) AS rref,
+         to_timestamp(avg(epoch(ts)))::TIMESTAMP AS ats
+  FROM rw GROUP BY 1
+  HAVING count(*) > 2 AND sum(f * nee) / nullif(sum(f * f), 0.0) >= 0.0
+),
+un AS (
+  SELECT ts, CAST(NULL AS DOUBLE) AS rref, 0 AS is_anchor FROM base
+  UNION ALL
+  SELECT ats AS ts, rref, 1 AS is_anchor FROM anchors
+),
+marked AS (
+  SELECT *,
+    last_value(rref IGNORE NULLS) OVER
+      (ORDER BY ts, is_anchor DESC ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN rref IS NOT NULL THEN floor(epoch(ts)) END IGNORE NULLS) OVER
+      (ORDER BY ts, is_anchor DESC ROWS UNBOUNDED PRECEDING) AS pt,
+    first_value(rref IGNORE NULLS) OVER
+      (ORDER BY ts, is_anchor DESC
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN rref IS NOT NULL THEN floor(epoch(ts)) END IGNORE NULLS) OVER
+      (ORDER BY ts, is_anchor DESC
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM un
+),
+interp AS (
+  SELECT ts,
+         CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+              -- floor: Spark's unix_timestamp truncates to whole seconds
+              THEN pv + (nv - pv) * coalesce(
+                     (floor(epoch(ts)) - pt) / nullif(nt - pt, 0.0), 0.0)
+              ELSE coalesce(pv, nv) END AS rref
+  FROM marked WHERE is_anchor = 0
+)
+SELECT b.ts,
+       round(1e-9 + e.e0, 6) AS e0,
+       round(1e-9 + i.rref, 6) AS rref,
+       round(1e-9 + i.rref * exp(e.e0 * b.b), 6) AS reco,
+       round(1e-9 + i.rref * exp(e.e0 * b.b) - b.nee, 6) AS gpp
+FROM base b
+LEFT JOIN interp i ON i.ts = b.ts
+CROSS JOIN e0f e
+"""
+
+
+QUERIES["flux_partition_night"] = q_flux_partition_night
+ORACLES["flux_partition_night"] = _flux_partition_night_sql()
+
+
 def q_histogram_fd(spark, sf_dir):
     """Freedman-Diaconis histogram (histogram.py:19-130 'fd' method:
     bin width = 2*IQR/n^(1/3)) over the events values."""
