@@ -2382,6 +2382,103 @@ QUERIES["flux_partition_night"] = q_flux_partition_night
 ORACLES["flux_partition_night"] = _flux_partition_night_sql()
 
 
+def q_ale_interaction_2d(spark, sf_dir):
+    """Second-order (interaction) ALE surface (Apley & Zhu; reference
+    driveranalysis/ale.py:258) of f = 0.1·x·z - 2z + x over events: per-cell
+    mean second difference over the four corners, double cumulative
+    accumulation, zero padding, double centering — all replayed by the SQL
+    oracle. Edges pinned for cross-engine reproducibility (every cell
+    populated at both gated SFs)."""
+    from diive_spark.operators import ale
+    ev = _t(spark, sf_dir, "events")
+    day, hour = F.dayofmonth("ts").cast("bigint"), F.hour("ts").cast("bigint")
+    src = ev.select(
+        F.col("value").alias("x"),
+        (((day * 24 + hour) % 37) / 37.0 * 10.0).alias("z"),
+    )
+
+    def predict(f):
+        return 0.1 * f["x"] * f["z"] - 2.0 * f["z"] + f["x"]
+
+    out = ale.accumulated_local_effects_2d(
+        src, predict, "x", "z", ["x", "z"],
+        x_edges=[0.0, 10.0, 30.0, 70.0, 500.0],
+        y_edges=[0.0, 2.5, 5.0, 7.5, 10.0],
+    )
+    return out.select("x_idx", "y_idx", _r6("x_edge").alias("x_edge"),
+                      _r6("y_edge").alias("y_edge"), _r6("ale").alias("ale"),
+                      "cell_count")
+
+
+SQL_ALE_INTERACTION_2D = """
+WITH src AS (
+  SELECT value AS x,
+         ((day(ts) * 24 + hour(ts)) % 37) / 37.0 * 10.0 AS z
+  FROM events WHERE value IS NOT NULL
+),
+e AS (SELECT [0.0, 10.0, 30.0, 70.0, 500.0] AS xe,
+             [0.0, 2.5, 5.0, 7.5, 10.0] AS ye),
+b AS (
+  SELECT CAST(1 + (x > xe[2])::INT + (x > xe[3])::INT + (x > xe[4])::INT
+         AS INTEGER) AS xb,
+         CAST(1 + (z > ye[2])::INT + (z > ye[3])::INT + (z > ye[4])::INT
+         AS INTEGER) AS yb,
+         x, z, xe, ye
+  FROM src, e
+),
+cells AS (
+  SELECT xb, yb,
+         avg((0.1 * xe[xb + 1] * ye[yb + 1] - 2.0 * ye[yb + 1] + xe[xb + 1])
+           - (0.1 * xe[xb] * ye[yb + 1] - 2.0 * ye[yb + 1] + xe[xb])
+           - (0.1 * xe[xb + 1] * ye[yb] - 2.0 * ye[yb] + xe[xb + 1])
+           + (0.1 * xe[xb] * ye[yb] - 2.0 * ye[yb] + xe[xb])) AS d,
+         count(*) AS cell_count
+  FROM b GROUP BY xb, yb, xe, ye
+),
+grid AS (
+  SELECT gx.x AS xb, gy.y AS yb
+  FROM (SELECT unnest(generate_series(1, 4)) AS x) gx,
+       (SELECT unnest(generate_series(1, 4)) AS y) gy
+),
+full_g AS (
+  SELECT g.xb, g.yb, coalesce(c.d, 0.0) AS d, coalesce(c.cell_count, 0) AS cell_count
+  FROM grid g LEFT JOIN cells c ON c.xb = g.xb AND c.yb = g.yb
+),
+acc AS (
+  SELECT xb, yb, cell_count,
+         sum(cx) OVER (PARTITION BY xb ORDER BY yb ROWS UNBOUNDED PRECEDING) AS a
+  FROM (
+    SELECT xb, yb, cell_count,
+           sum(d) OVER (PARTITION BY yb ORDER BY xb ROWS UNBOUNDED PRECEDING) AS cx
+    FROM full_g
+  )
+),
+mat AS (
+  SELECT xb AS x_idx, yb AS y_idx, a, cell_count FROM acc
+  UNION ALL
+  SELECT gx.x AS x_idx, gy.y AS y_idx, 0.0, NULL
+  FROM (SELECT unnest(generate_series(0, 4)) AS x) gx,
+       (SELECT unnest(generate_series(0, 4)) AS y) gy
+  WHERE gx.x = 0 OR gy.y = 0
+),
+rm AS (SELECT y_idx, avg(a) AS r FROM mat GROUP BY 1),
+cm AS (SELECT x_idx, avg(a) AS c FROM mat GROUP BY 1),
+gm AS (SELECT avg(a) AS g FROM mat)
+SELECT CAST(m.x_idx AS INTEGER) AS x_idx, CAST(m.y_idx AS INTEGER) AS y_idx,
+       round(1e-9 + e.xe[m.x_idx + 1], 6) AS x_edge,
+       round(1e-9 + e.ye[m.y_idx + 1], 6) AS y_edge,
+       round(1e-9 + m.a - rm.r - cm.c + gm.g, 6) AS ale,
+       m.cell_count
+FROM mat m
+JOIN rm ON rm.y_idx = m.y_idx
+JOIN cm ON cm.x_idx = m.x_idx
+CROSS JOIN gm CROSS JOIN e
+"""
+
+QUERIES["ale_interaction_2d"] = q_ale_interaction_2d
+ORACLES["ale_interaction_2d"] = SQL_ALE_INTERACTION_2D
+
+
 def q_histogram_fd(spark, sf_dir):
     """Freedman-Diaconis histogram (histogram.py:19-130 'fd' method:
     bin width = 2*IQR/n^(1/3)) over the events values."""
