@@ -1928,9 +1928,14 @@ def q_random_uncertainty(spark, sf_dir):
     method 2 = median of method-1 uncertainties of ±20%-similar fluxes in
     ±14 days. Meteorology (TA/VPD/SWIN) is derived from calendar hour
     positions (tz-independent, exact in both engines); a deterministic
-    hour%7 mask creates the flux gaps. The engine path is the slab+halo
-    grouped-map kernel; the SQL oracle is the equivalent O(n·window)
-    self-join. Methods 3/4 (diive extensions) are pytest-oracled in
+    hour%7 mask creates the flux gaps; a rare always-unmeasured class with
+    50x flux magnitude sits outside every ±20% band, so methods 1 and 2
+    both fail there and METHOD 4 (the flux-rank-neighbour fallback) must
+    serve it — the gate certifies the 1 -> 2 -> 4 hierarchy. The engine
+    path is slab+halo grouped-map kernels for 1/2 and the flux-rank window
+    for 4; the SQL oracle is the equivalent self-joins + a rank-window
+    median. Method 3 (whole-record band median; needs >28-day isolation to
+    differ from 2 on this 30-day corpus) is pytest-oracled in
     tests/test_uncertainty.py."""
     from diive_spark.operators import uncertainty as un
     ev = _t(spark, sf_dir, "events")
@@ -1941,21 +1946,25 @@ def q_random_uncertainty(spark, sf_dir):
     # anything (real TA/VPD persist for days): piecewise-constant blocks,
     # all integer-derived -> bit-exact in both engines
     day, hour = F.dayofmonth("hts").cast("bigint"), F.hour("hts").cast("bigint")
+    hix = day * 24 + hour
+    extreme = hix % 97 == 0  # out-of-band class: 50x flux, never measured
+    gf2 = F.when(extreme, F.col("gf") * 50.0).otherwise(F.col("gf"))
     src = hourly.select(
         "event_type", F.col("hts").alias("ts"),
-        F.when(F.hour("hts") % 7 == 3, None).otherwise(F.col("gf")).alias("flux"),
-        "gf",
+        F.when((F.hour("hts") % 7 == 3) | extreme, None).otherwise(gf2).alias("flux"),
+        gf2.alias("gf"),
         ((day / F.lit(5)).cast("bigint") % 4 * 5.0).alias("ta"),
         ((day / F.lit(3)).cast("bigint") % 5 * 0.04).alias("vpd"),
         (hour * 25.0).alias("swin"),
     )
     out = un.random_uncertainty_pas20(
         src, ["event_type"], "ts", "flux", "gf", "ta", "vpd", "swin",
-        methods=(1, 2),
+        methods=(1, 2, 4),
     )
     method = (
         F.when(F.col("flux_RANDUNC").isNull(), None)
-        .when(F.col("RANDUNC_N_M2").isNull(), 1).otherwise(2)
+        .when(F.col("RANDUNC_N_M4").isNotNull(), 4)
+        .when(F.col("RANDUNC_N_M2").isNotNull(), 2).otherwise(1)
     )
     return out.select(
         "event_type", "ts",
@@ -1965,11 +1974,18 @@ def q_random_uncertainty(spark, sf_dir):
 
 
 SQL_RANDOM_UNCERTAINTY = """
-WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hts, avg(value) AS gf,
-         CASE WHEN hour(date_trunc('hour', ts)) % 7 = 3 THEN NULL
-              ELSE avg(value) END AS flux
+WITH hourly0 AS (
+  SELECT event_type, date_trunc('hour', ts) AS hts, avg(value) AS gf0
   FROM events GROUP BY 1, 2
+),
+hourly AS (
+  SELECT event_type, hts,
+         CASE WHEN (day(hts) * 24 + hour(hts)) % 97 = 0 THEN gf0 * 50.0
+              ELSE gf0 END AS gf,
+         CASE WHEN hour(hts) % 7 = 3
+                   OR (day(hts) * 24 + hour(hts)) % 97 = 0 THEN NULL
+              ELSE gf0 END AS flux
+  FROM hourly0
 ),
 src AS (
   SELECT event_type, hts, flux, gf,
@@ -2011,13 +2027,26 @@ m2 AS (
                 AND i.gf + greatest(abs(i.gf) * 0.2, 2.0)
   WHERE i.unc1 IS NULL
   GROUP BY 1, 2
+),
+after2 AS (
+  SELECT n.event_type, n.hts, n.gf, coalesce(n.unc1, m2.unc2) AS unc12,
+         CASE WHEN n.unc1 IS NOT NULL THEN 1
+              WHEN m2.unc2 IS NOT NULL THEN 2 END AS method12
+  FROM need n
+  LEFT JOIN m2 ON m2.event_type = n.event_type AND m2.hts = n.hts
+),
+m4 AS (
+  SELECT event_type, hts, unc12, method12,
+         median(unc12) OVER (PARTITION BY event_type
+                             ORDER BY gf NULLS LAST, hts
+                             ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING) AS unc4
+  FROM after2
 )
-SELECT n.event_type, n.hts AS ts,
-       round(1e-9 + coalesce(n.unc1, m2.unc2), 6) AS randunc,
-       CASE WHEN n.unc1 IS NOT NULL THEN 1
-            WHEN m2.unc2 IS NOT NULL THEN 2 END AS method
-FROM need n
-LEFT JOIN m2 ON m2.event_type = n.event_type AND m2.hts = n.hts
+SELECT event_type, hts AS ts,
+       round(1e-9 + coalesce(unc12, unc4), 6) AS randunc,
+       CASE WHEN unc12 IS NOT NULL THEN method12
+            WHEN unc4 IS NOT NULL THEN 4 END AS method
+FROM m4
 """
 
 QUERIES["random_uncertainty"] = q_random_uncertainty
