@@ -23,6 +23,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def explode_halo_slabs(
+    df: DataFrame, ts_col: str, slab_seconds: int, halo_seconds: int,
+) -> DataFrame:
+    """Single-scan halo duplication: each row explodes into its own slab
+    plus (when near a boundary) a halo copy in the neighbouring slab —
+    appends ``_slab`` / ``_halo`` columns. One pass over the input (no
+    unions, so an expensive upstream plan is never recomputed; scan volume
+    1x + halo fraction).
+
+    Callers either hand the groups to a pandas kernel (apply_with_halo) or
+    run plain JVM WINDOW expressions partitioned by (keys..., _slab) — the
+    slab turns a per-key single-task window into per-(key, slab)
+    parallelism; exactness holds for any window whose reach is bounded by
+    ``halo_seconds``. Drop ``_halo == 1`` rows (and both columns) after."""
+    if halo_seconds >= slab_seconds:
+        raise ValueError("halo must be smaller than slab")
+    epoch = F.unix_timestamp(F.col(ts_col))
+    slab_id = F.floor(epoch / F.lit(slab_seconds))
+    pos_in_slab = epoch % F.lit(slab_seconds)
+    targets = F.array_compact(
+        F.array(
+            F.struct(slab_id.alias("s"), F.lit(0).cast("tinyint").alias("h")),
+            # rows near the END of a slab are needed by the NEXT slab's head
+            F.when(
+                pos_in_slab >= F.lit(slab_seconds - halo_seconds),
+                F.struct((slab_id + 1).alias("s"), F.lit(1).cast("tinyint").alias("h")),
+            ),
+            # rows near the START of a slab are needed by the PREVIOUS slab
+            F.when(
+                pos_in_slab < F.lit(halo_seconds),
+                F.struct((slab_id - 1).alias("s"), F.lit(1).cast("tinyint").alias("h")),
+            ),
+        )
+    )
+    return (
+        df.withColumn("_t", F.explode(targets))
+        .withColumn("_slab", F.col("_t.s"))
+        .withColumn("_halo", F.col("_t.h"))
+        .drop("_t")
+    )
+
+
 def apply_with_halo(
     df: DataFrame,
     key_cols: list[str],
@@ -41,37 +83,7 @@ def apply_with_halo(
     ``halo_seconds`` must be >= max centered-window half-width in seconds
     (half_window_rows * tier_seconds).
     """
-    if halo_seconds >= slab_seconds:
-        raise ValueError("halo must be smaller than slab")
-    epoch = F.unix_timestamp(F.col(ts_col))
-    slab_id = F.floor(epoch / F.lit(slab_seconds))
-    pos_in_slab = epoch % F.lit(slab_seconds)
-
-    # Single-scan halo duplication: each row explodes into its own slab plus
-    # (when near a boundary) a halo copy in the neighbouring slab. One pass
-    # over the input — no unions, so an expensive upstream plan is never
-    # recomputed, and the scan volume is 1x + halo fraction.
-    targets = F.array_compact(
-        F.array(
-            F.struct(slab_id.alias("s"), F.lit(0).cast("tinyint").alias("h")),
-            # rows near the END of a slab are needed by the NEXT slab's head
-            F.when(
-                pos_in_slab >= F.lit(slab_seconds - halo_seconds),
-                F.struct((slab_id + 1).alias("s"), F.lit(1).cast("tinyint").alias("h")),
-            ),
-            # rows near the START of a slab are needed by the PREVIOUS slab
-            F.when(
-                pos_in_slab < F.lit(halo_seconds),
-                F.struct((slab_id - 1).alias("s"), F.lit(1).cast("tinyint").alias("h")),
-            ),
-        )
-    )
-    expanded = (
-        df.withColumn("_t", F.explode(targets))
-        .withColumn("_slab", F.col("_t.s"))
-        .withColumn("_halo", F.col("_t.h"))
-        .drop("_t")
-    )
+    expanded = explode_halo_slabs(df, ts_col, slab_seconds, halo_seconds)
 
     out_cols = [c.strip().split()[0] for c in output_schema.split(",")]
 

@@ -371,3 +371,69 @@ def test_prediction_scores_match_numpy(spark):
     r2 = 1 - (err ** 2).sum() / ((tt - tt.mean()) ** 2).sum()
     np.testing.assert_allclose(got["r2"], r2, rtol=1e-10)
     assert got["n"] == 499
+
+
+def test_slabbed_interpolation_equals_global(spark):
+    """tier_seconds slab-izes the interpolation windows (per-(key, slab)
+    parallelism); the result must EQUAL the global per-key window exactly —
+    including gaps straddling slab boundaries (classified by full length)
+    and series-edge gaps (never filled)."""
+    rng = np.random.default_rng(33)
+    n = 5000
+    ts = pd.date_range("2024-01-01", periods=n, freq="1min")
+    vals = rng.normal(10, 2, n)
+    # plant gaps of many lengths incl. ones crossing the 128-min slab grid
+    i = 50
+    while i < n - 60:
+        glen = int(rng.integers(1, 8))
+        vals[i:i + glen] = np.nan
+        i += glen + int(rng.integers(5, 40))
+    vals[:2] = np.nan    # leading gap: never filled
+    vals[-3:] = np.nan   # trailing gap: never filled
+    pdf = pd.DataFrame({"key": "a", "ts": ts, "value": vals})
+    df = spark.createDataFrame(pdf)
+    glob = gapfill.linear_interpolation(df, ["key"], "ts", "value", limit=3) \
+        .orderBy("ts").toPandas()
+    slab = gapfill.linear_interpolation(df, ["key"], "ts", "value", limit=3,
+                                        tier_seconds=60, slab_seconds=128 * 60) \
+        .orderBy("ts").toPandas()
+    assert len(slab) == n
+    for c in ("filled", "fill_flag", "fill_granular"):
+        np.testing.assert_array_equal(
+            glob[c].to_numpy(dtype=float), slab[c].to_numpy(dtype=float),
+            err_msg=c)
+    # the slabbed plan actually partitions by slab (no per-key-only window)
+    plan = gapfill.linear_interpolation(
+        df, ["key"], "ts", "value", limit=3, tier_seconds=60
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_slab" in plan
+
+
+def test_fused_cascade_equals_staged_pipeline(spark):
+    """gapfill_cascade (single fused grouped map) must equal the staged
+    linear_interpolation -> rolling_median_fill pipeline: identical flags
+    and values (interp values to float ulps: positional vs time-fraction
+    arithmetic)."""
+    rng = np.random.default_rng(44)
+    vals = rng.normal(5, 1, 400).astype(object)
+    i = 5
+    while i < 390:
+        glen = int(rng.integers(1, 9))
+        for j in range(i, min(i + glen, 390)):
+            vals[j] = None
+        i += glen + int(rng.integers(4, 25))
+    df = _toy_grid(spark, list(vals))
+    fused = gapfill.gapfill_cascade(
+        df, ["series"], "window_start", "value",
+        tier_seconds=3600, interp_limit=3, window_tiers=[5, 13],
+    ).orderBy("window_start").toPandas()
+    staged = gapfill.rolling_median_fill(
+        gapfill.linear_interpolation(df, ["series"], "window_start", "value",
+                                     limit=3),
+        ["series"], "window_start", "value", tier_seconds=3600,
+        window_tiers=[5, 13],
+    ).orderBy("window_start").toPandas()
+    pd.testing.assert_series_equal(fused["fill_flag"], staged["fill_flag"])
+    pd.testing.assert_series_equal(fused["fill_granular"], staged["fill_granular"])
+    np.testing.assert_allclose(fused["filled"].to_numpy(float),
+                               staged["filled"].to_numpy(float), rtol=1e-12)
