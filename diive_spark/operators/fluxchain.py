@@ -158,6 +158,37 @@ def run_level33_constant_ustar(
     return out
 
 
+def run_level33_variable_ustar(
+    df: DataFrame, flux_col: str, ustar_col: str,
+    threshold_cols: dict[str, str],
+    nighttime_col: str | None = None,
+    src_col: str | None = None,
+) -> DataFrame:
+    """Level-3.3 with PER-RECORD (variable) thresholds
+    (ustarthreshold.py:156 FlagMultipleVariableUstarThresholds): each
+    scenario's threshold is a COLUMN (e.g. seasonal detected thresholds
+    mapped onto records via ustar.seasonal_thresholds_to_records), so the
+    rejection rule can vary through time. A constant threshold is just a
+    constant column, making this a strict generalization of
+    run_level33_constant_ustar. NULL thresholds reject nothing (flag 0)."""
+    src = src_col or flux_col
+    out = df
+    for scenario, thr_col in threshold_cols.items():
+        low = F.col(ustar_col) < F.col(thr_col)
+        if nighttime_col is not None:
+            low = low & (F.col(nighttime_col) == 1)
+        flag = f"FLAG_L33_USTAR_{scenario}_TEST"
+        out = out.withColumn(
+            flag,
+            F.when(F.col(src).isNull(), F.lit(None))
+            .when(low, F.lit(2)).otherwise(F.lit(0)).cast("int"),
+        ).withColumn(
+            f"{flux_col}_L33_{scenario}",
+            F.when(F.col(flag) < 2, F.col(src)),
+        )
+    return out
+
+
 def run_level33_detected(
     df: DataFrame, key_cols: list[str], ts_col: str, flux_col: str,
     ustar_col: str, ta_col: str, swin_col: str,

@@ -266,6 +266,35 @@ def ustar_mp_thresholds(
     )
 
 
+def seasonal_thresholds_to_records(
+    df: DataFrame, key_cols: list[str], ts_col: str,
+    thr_df: DataFrame,
+    season_groups: list[list[int]] | None = None,
+    out_col: str = "ustar_threshold_seasonal",
+) -> DataFrame:
+    """Map per-(key, season) thresholds (ustar_mp_thresholds output) onto
+    every record as a PER-RECORD threshold column — the variable-threshold
+    form consumed by fluxchain.run_level33_variable_ustar
+    (ustarthreshold.py FlagMultipleVariableUstarThresholds semantics).
+    Records use the season their (month-shifted) timestamp falls in; NULL
+    where that season's detection failed. Broadcast join: thr_df is one row
+    per (key, season)."""
+    groups = [list(g) for g in (season_groups or DEFAULT_SEASONS)]
+    month = F.month(ts_col)
+    shift = ((F.dayofmonth(ts_col) == 1) & (F.hour(ts_col) == 0)
+             & (F.minute(ts_col) == 0))
+    m = F.when(shift, F.when(month == 1, 12).otherwise(month - 1)).otherwise(month)
+    season = None
+    for i, g in enumerate(groups, start=1):
+        cond = m.isin(g)
+        season = F.when(cond, i) if season is None else season.when(cond, i)
+    out = df.withColumn("_season", season.cast("int"))
+    thr = thr_df.select(*key_cols, F.col("season").alias("_season"),
+                        F.col("threshold").alias(out_col))
+    return out.join(F.broadcast(thr), on=[*key_cols, "_season"],
+                    how="left").drop("_season")
+
+
 def ustar_mp_annual(thr_df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Annual threshold per key = max across valid seasonal thresholds
     (Papale 2006: filter the whole record by the highest threshold found).

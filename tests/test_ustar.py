@@ -317,3 +317,40 @@ def test_vekuri_below_minimums_yields_nulls(spark):
         spark.createDataFrame(pdf), ["site"], "ts", "NEE", "TA", "USTAR",
         swin_col="SW_IN").toPandas()
     assert got["threshold"].isna().all()
+
+
+def test_seasonal_thresholds_to_records_and_variable_l33(spark):
+    """Seasonal MP thresholds mapped per record + variable-threshold L3.3
+    (ustarthreshold.py FlagMultipleVariableUstarThresholds semantics):
+    rejection varies through time with the season's threshold; NULL-season
+    thresholds reject nothing."""
+    pdf = make_flux(n=9000, seed=8)  # seasons 1-2 covered, 3-4 empty
+    df = spark.createDataFrame(pdf)
+    thr = ustar.ustar_mp_thresholds(df, ["site"], "ts", "NEE", "TA",
+                                    "USTAR", "SW_IN")
+    thr_pd = thr.orderBy("season").toPandas().set_index("season")["threshold"]
+    mapped = ustar.seasonal_thresholds_to_records(df, ["site"], "ts", thr)
+    got = mapped.select("ts", "ustar_threshold_seasonal").orderBy("ts").toPandas()
+    months = pd.to_datetime(got["ts"]).dt.month
+    for season, g in [(1, (1, 2, 3)), (2, (4, 5, 6))]:
+        rows = got[months.isin(g)]
+        if pd.isna(thr_pd.loc[season]):
+            assert rows["ustar_threshold_seasonal"].isna().all()
+        else:
+            # month-shift moves first-minute rows to the PREVIOUS season,
+            # so compare on the bulk (non-boundary) rows
+            vals = rows["ustar_threshold_seasonal"].dropna().unique()
+            assert len(vals) >= 1 and np.isclose(
+                vals, thr_pd.loc[season]).any()
+    out = fluxchain.run_level33_variable_ustar(
+        mapped, "NEE", "USTAR",
+        {"SEAS": "ustar_threshold_seasonal"}).toPandas()
+    rej = out["FLAG_L33_USTAR_SEAS_TEST"] == 2
+    assert rej.sum() > 100
+    # every rejected record sits below ITS OWN record-level threshold
+    assert (out.loc[rej, "USTAR"]
+            < out.loc[rej, "ustar_threshold_seasonal"]).all()
+    # null-threshold records are never rejected
+    nullthr = out["ustar_threshold_seasonal"].isna() & out["NEE"].notna()
+    assert (out.loc[nullthr, "FLAG_L33_USTAR_SEAS_TEST"] == 0).all()
+    assert out.loc[rej, "NEE_L33_SEAS"].isna().all()
