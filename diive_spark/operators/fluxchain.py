@@ -139,23 +139,19 @@ def run_level33_constant_ustar(
 
     ``src_col`` feeds a quality-filtered series (e.g. ``{flux}_QCF``) while
     keeping the ``{flux}_L33_{scenario}`` naming; inputs are never
-    overwritten."""
-    src = src_col or flux_col
+    overwritten. A constant threshold is the special case of a constant
+    per-record threshold column — this delegates to
+    run_level33_variable_ustar so the two L3.3 paths can never diverge."""
     out = df
+    thr_cols = {}
     for scenario, thr in thresholds.items():
-        low = F.col(ustar_col) < F.lit(thr)
-        if nighttime_col is not None:
-            low = low & (F.col(nighttime_col) == 1)
-        flag = f"FLAG_L33_USTAR_{scenario}_TEST"
-        out = out.withColumn(
-            flag,
-            F.when(F.col(src).isNull(), F.lit(None))
-            .when(low, F.lit(2)).otherwise(F.lit(0)).cast("int"),
-        ).withColumn(
-            f"{flux_col}_L33_{scenario}",
-            F.when(F.col(flag) < 2, F.col(src)),
-        )
-    return out
+        c = f"_thr_const_{scenario}"
+        out = out.withColumn(c, F.lit(float(thr)))
+        thr_cols[scenario] = c
+    out = run_level33_variable_ustar(out, flux_col, ustar_col, thr_cols,
+                                     nighttime_col=nighttime_col,
+                                     src_col=src_col)
+    return out.drop(*thr_cols.values())
 
 
 def run_level33_variable_ustar(

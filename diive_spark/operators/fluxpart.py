@@ -91,13 +91,17 @@ def estimate_e0(
 ) -> DataFrame:
     """One E0 (K) per key (fRegrE0fromShortTerm analogue). Returns
     (key..., e0, n_windows); e0 NULL when fewer than three windows qualify."""
-    night = df.filter(
+    # ONE canonical day origin for the whole partitioning pipeline: the
+    # first NIGHT-VALID date (night flag + nee/ta present). The log-space
+    # fit additionally needs nee > 0, but that must not shift the window
+    # grid (the Rref stage shares this origin and has no positivity filter)
+    nightv = df.filter(
         (F.col(night_col) == 1) & F.col(nee_col).isNotNull()
-        & F.col(ta_col).isNotNull() & (F.col(nee_col) > 0)
+        & F.col(ta_col).isNotNull()
     )
     kw = Window.partitionBy(*key_cols)
     day = F.datediff(F.col(ts_col), F.min(F.to_date(ts_col)).over(kw)) + 1
-    night = night.withColumn("_day", day)
+    night = nightv.withColumn("_day", day).filter(F.col(nee_col) > 0)
     # centered 15-day windows, 5-day mid steps: record day D is covered by
     # window k when |mid_k - D| <= half, mid_k = (half+1) + k*step
     half, step = E0_WINDOW_HALF, E0_STEP
@@ -158,17 +162,20 @@ def partition_nee_nighttime(
                    on=key_cols, how="left")
     b = _lt_b(F.col(ta_col))
     factor = F.exp(F.col("e0") * b)
-    kw = Window.partitionBy(*key_cols)
-    day = F.datediff(F.col(ts_col), F.min(F.to_date(ts_col)).over(kw)) + 1
-    work = work.withColumn("_day", day).withColumn("_f", factor)
+    work = work.withColumn("_f", factor)
 
     # Rref per centered 7-day window (4-day steps), through-origin slope of
-    # nighttime NEE on the LT factor, anchored at the window's mean time
+    # nighttime NEE on the LT factor, anchored at the window's mean time.
+    # Day index anchored at the night-valid minimum date — the SAME origin
+    # estimate_e0 uses, so both stages share one window grid.
     half, step = RREF_WINDOW_HALF, RREF_STEP
     nt = work.filter(
         (F.col(night_col) == 1) & F.col(nee_col).isNotNull()
         & F.col(ta_col).isNotNull() & F.col("e0").isNotNull()
     )
+    kw = Window.partitionBy(*key_cols)
+    nt = nt.withColumn(
+        "_day", F.datediff(F.col(ts_col), F.min(F.to_date(ts_col)).over(kw)) + 1)
     k_lo = F.ceil((F.col("_day") - half - (half + 1)) / step).cast("int")
     k_hi = F.floor((F.col("_day") + half - (half + 1)) / step).cast("int")
     expl = nt.withColumn(
@@ -218,7 +225,7 @@ def partition_nee_nighttime(
         out.withColumn(reco_col, reco)
         .withColumn(gpp_col, reco - F.col(nee_col))
         .withColumnRenamed("e0", "E0")
-        .drop("_day", "_f")
+        .drop("_f")
     )
 
 

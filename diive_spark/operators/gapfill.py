@@ -100,9 +100,8 @@ def linear_interpolation(
     ts_num = F.unix_timestamp(F.col(ts_col)).cast("double")
     vts = F.when(v.isNotNull(), ts_num)
 
-    src = df
     out = (
-        src.withColumn("_prev_v", F.last(v, ignorenulls=True).over(w_prev))
+        df.withColumn("_prev_v", F.last(v, ignorenulls=True).over(w_prev))
         .withColumn("_prev_t", F.last(vts, ignorenulls=True).over(w_prev))
         .withColumn("_next_v", F.last(v, ignorenulls=True).over(w_next))
         .withColumn("_next_t", F.last(vts, ignorenulls=True).over(w_next))
@@ -258,6 +257,10 @@ def gapfill_cascade(
     halo_slots = max(window_tiers[-1] // 2 + 1, interp_limit + 1)
     halo_seconds = halo_slots * tier_seconds
     slab_seconds = max(halo_seconds * 8, 7 * 86400)
+
+    # refilling a frame that already carries fill columns must OVERWRITE
+    # them (the staged path's withColumn semantics), not duplicate fields
+    gridded_df = gridded_df.drop("filled", "fill_flag", "fill_granular")
 
     median_kernel = _median_cascade_kernel(
         value_col, "filled", "fill_flag", "fill_granular",

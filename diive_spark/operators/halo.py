@@ -41,7 +41,9 @@ def explode_halo_slabs(
         raise ValueError("halo must be smaller than slab")
     epoch = F.unix_timestamp(F.col(ts_col))
     slab_id = F.floor(epoch / F.lit(slab_seconds))
-    pos_in_slab = epoch % F.lit(slab_seconds)
+    # pmod, not %: Spark's % follows the dividend's sign, which would send
+    # pre-1970 rows' halo copies to the wrong neighbour slab
+    pos_in_slab = F.pmod(epoch, F.lit(slab_seconds))
     targets = F.array_compact(
         F.array(
             F.struct(slab_id.alias("s"), F.lit(0).cast("tinyint").alias("h")),

@@ -2287,13 +2287,17 @@ src AS (
 ),
 base AS (
   SELECT *, {b1} - 1.0 / ((ta + 273.15) - 227.13) AS b,
-         datediff('day', (SELECT min(ts::DATE) FROM src), ts::DATE) + 1 AS d
+         -- day origin: first NIGHT-VALID date (the engine's shared grid)
+         datediff('day', (SELECT min(ts::DATE) FROM src
+                          WHERE night = 1 AND nee IS NOT NULL
+                            AND ta IS NOT NULL), ts::DATE) + 1 AS d
   FROM src
 ),
-nightr AS (
+nightv AS (
   SELECT * FROM base
-  WHERE night = 1 AND nee IS NOT NULL AND ta IS NOT NULL AND nee > 0
+  WHERE night = 1 AND nee IS NOT NULL AND ta IS NOT NULL
 ),
+nightr AS (SELECT * FROM nightv WHERE nee > 0),
 ew AS (
   SELECT n.*, ln(nee) AS y, CAST(w.k AS INTEGER) AS win
   FROM nightr n,
@@ -2355,8 +2359,10 @@ e0f AS (
   SELECT CASE WHEN count(*) >= 3 THEN round(avg(e0w), 2) END AS e0 FROM best
 ),
 rw AS (
+  -- Rref stage: NIGHT-VALID rows, no positivity filter (negative anchor
+  -- slopes are dropped AFTER the fit, as in the engine/reference)
   SELECT n.ts, n.nee, exp(e.e0 * n.b) AS f, n.d, CAST(w.k AS INTEGER) AS win
-  FROM nightr n, e0f e,
+  FROM nightv n, e0f e,
        LATERAL unnest(generate_series(
          greatest(CAST(ceil((d - 7) / 4.0) AS BIGINT), 0),
          CAST(floor((d - 1) / 4.0) AS BIGINT))) AS w(k)

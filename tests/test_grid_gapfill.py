@@ -437,3 +437,16 @@ def test_fused_cascade_equals_staged_pipeline(spark):
     pd.testing.assert_series_equal(fused["fill_granular"], staged["fill_granular"])
     np.testing.assert_allclose(fused["filled"].to_numpy(float),
                                staged["filled"].to_numpy(float), rtol=1e-12)
+
+
+def test_fused_cascade_plan_is_single_python_stage(spark):
+    """The fused cascade must stay ONE grouped map: a single
+    FlatMapGroupsInPandas (interp lives inside the median kernel) and no
+    per-key-only Window — the structure behind the 37% bench win."""
+    df = _toy_grid(spark, [1.0, None, 3.0, None, None, 6.0] * 20)
+    plan = gapfill.gapfill_cascade(
+        df, ["series"], "window_start", "value",
+        tier_seconds=3600, interp_limit=3, window_tiers=[5, 13],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "Window" not in plan  # interpolation no longer runs as windows
