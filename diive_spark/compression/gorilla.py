@@ -217,6 +217,72 @@ def decode_values(blob: bytes) -> np.ndarray:
     return np.array(out, dtype=np.uint64).view(np.float64)
 
 
+def encode_values32(vals: np.ndarray) -> bytes:
+    """float32 XOR variant: same Gorilla scheme over 32-bit words — control
+    '1' + 5-bit leading-zeros + 5-bit significant-length (11 bits vs the
+    64-bit mode's 13) and half-width payloads. For float32-born data
+    (metrics, embedding stats) this roughly halves the value stream at zero
+    decode cost; values are cast to float32 first, so the round trip is
+    bit-exact on the FLOAT32 values (lossy only vs a wider source)."""
+    v = np.ascontiguousarray(vals, dtype=np.float32).view(np.uint32)
+    n = len(v)
+    head_v = [np.uint64(n)]
+    head_b = [64]
+    if n == 0:
+        return _pack_fields(np.array(head_v, dtype=np.uint64), np.array(head_b))
+    head_v.append(np.uint64(v[0]))
+    head_b.append(32)
+    if n == 1:
+        return _pack_fields(np.array(head_v, dtype=np.uint64), np.array(head_b))
+
+    xor = v[1:] ^ v[:-1]
+    bitmat = np.unpackbits(xor.astype(">u4").view(np.uint8).reshape(-1, 4), axis=1)
+    nonzero = xor != 0
+    lz = np.where(nonzero, bitmat.argmax(axis=1), 0).astype(np.int64)
+    tz = np.where(nonzero, bitmat[:, ::-1].argmax(axis=1), 0).astype(np.int64)
+    lz = np.minimum(lz, 31)
+    slen = np.where(nonzero, 32 - lz - tz, 0).astype(np.int64)
+    sig = np.where(nonzero, xor >> tz.astype(np.uint32), np.uint32(0))
+
+    f1 = np.where(
+        nonzero,
+        (np.uint64(1) << np.uint64(10))
+        | (lz.astype(np.uint64) << np.uint64(5))
+        | (slen - 1).clip(0).astype(np.uint64),
+        np.uint64(0),
+    )
+    f1_bits = np.where(nonzero, 11, 1)
+    f2 = sig.astype(np.uint64)
+    f2_bits = np.where(nonzero, slen, 0)
+
+    vals_arr = np.concatenate([np.array(head_v, dtype=np.uint64),
+                               np.column_stack([f1, f2]).reshape(-1)])
+    bits_arr = np.concatenate([np.array(head_b, dtype=np.int64),
+                               np.column_stack([f1_bits, f2_bits]).reshape(-1)])
+    return _pack_fields(vals_arr, bits_arr)
+
+
+def decode_values32(blob: bytes) -> np.ndarray:
+    """Inverse of encode_values32; returns float32."""
+    r = _BitReader(blob)
+    n = r.read(64)
+    if n == 0:
+        return np.empty(0, dtype=np.float32)
+    cur = np.uint32(r.read(32))
+    out = [cur]
+    for _ in range(n - 1):
+        if r.read(1) == 0:
+            out.append(out[-1])
+        else:
+            lz = r.read(5)
+            slen = r.read(5) + 1
+            sig = r.read(slen)
+            tz = 32 - lz - slen
+            xor = np.uint32(sig) << np.uint32(tz)
+            out.append(out[-1] ^ xor)
+    return np.array(out, dtype=np.uint32).view(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Spark surface: pack/unpack rollup tiers per (key, block)
 # ---------------------------------------------------------------------------
@@ -227,11 +293,13 @@ def pack_blocks(
     ts_col: str,
     value_col: str,
     block_seconds: int = 86400,
+    value_dtype: str = "float64",
 ) -> DataFrame:
     """Pack a rollup tier into one binary row per (key, block): Gorilla
     timestamps + values, with raw/packed byte counts for compression-ratio
     accounting. One shuffle on (key, block) — at the rollup tiers this is
-    tiny relative to raw data."""
+    tiny relative to raw data. ``value_dtype='float32'`` uses the half-width
+    XOR codec (bit-exact for float32-born values; lossy vs float64)."""
     blk = (F.unix_timestamp(F.col(ts_col)) / block_seconds).cast("bigint")
     src = df.select(
         *key_cols,
@@ -246,19 +314,21 @@ def pack_blocks(
            "raw_bytes bigint", "packed_bytes bigint"]
     )
 
+    f32 = value_dtype == "float32"
+
     def pack(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_ts")
         ts = pdf["_ts"].to_numpy(dtype=np.int64)
         vals = pdf["_v"].to_numpy(dtype=np.float64)
         ts_blob = encode_timestamps(ts)
-        val_blob = encode_values(vals)
+        val_blob = encode_values32(vals) if f32 else encode_values(vals)
         row = {k: [keys[i]] for i, k in enumerate(key_cols)}
         row["block_id"] = [keys[len(key_cols)]]
         row.update(
             n_points=[len(ts)],
             ts_blob=[ts_blob],
             val_blob=[val_blob],
-            raw_bytes=[len(ts) * 16],
+            raw_bytes=[len(ts) * (12 if f32 else 16)],
             packed_bytes=[len(ts_blob) + len(val_blob)],
         )
         return pd.DataFrame(row)
@@ -266,8 +336,11 @@ def pack_blocks(
     return src.groupBy(*key_cols, "block_id").applyInPandas(pack, schema=out_schema)
 
 
-def unpack_blocks(packed: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Inverse of pack_blocks: one row per point (ts epoch seconds, value)."""
+def unpack_blocks(packed: DataFrame, key_cols: list[str],
+                  value_dtype: str = "float64") -> DataFrame:
+    """Inverse of pack_blocks: one row per point (ts epoch seconds, value).
+    ``value_dtype`` must match the packing; float32 blobs upcast to double
+    in the output column (exactly representable)."""
     out_schema = ", ".join(
         [f"{c} string" for c in key_cols] + ["ts bigint", "value double"]
     )
@@ -281,7 +354,8 @@ def unpack_blocks(packed: DataFrame, key_cols: list[str]) -> DataFrame:
                 yield pd.DataFrame(columns=[*key_cols, "ts", "value"])
                 continue
             ts_list = [decode_timestamps(bytes(b)) for b in pdf["ts_blob"]]
-            val_list = [decode_values(bytes(b)) for b in pdf["val_blob"]]
+            dec = decode_values32 if value_dtype == "float32" else decode_values
+            val_list = [dec(bytes(b)).astype(np.float64) for b in pdf["val_blob"]]
             counts = np.fromiter((len(t) for t in ts_list), dtype=np.int64, count=len(ts_list))
             out = {c: np.repeat(pdf[c].to_numpy(), counts) for c in key_cols}
             out["ts"] = np.concatenate(ts_list)
