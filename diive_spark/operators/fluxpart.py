@@ -216,8 +216,13 @@ def partition_nee_nighttime(
                F.col("_pv") + (F.col("_nv") - F.col("_pv")) * F.coalesce(frac, F.lit(0.0)))
         .otherwise(F.coalesce(F.col("_pv"), F.col("_nv")))
     )
+    # The join back is on (key, ts): the sanitizer's keep-last contract makes
+    # that unique, but a duplicate timestamp slipping through would fan rows
+    # out n×n. Dedup the attach side (its interp value is identical for
+    # duplicate (key, ts) rows), so the join stays shape-preserving either way.
     rref_per_record = union.filter(F.col("_is_anchor") == 0).select(
-        *key_cols, ts_col, interp.alias("RREF"))
+        *key_cols, ts_col, interp.alias("RREF")
+    ).dropDuplicates([*key_cols, ts_col])
 
     out = work.join(rref_per_record, on=[*key_cols, ts_col], how="left")
     reco = F.col("RREF") * F.col("_f")
@@ -431,5 +436,8 @@ def partition_nee_daytime(
 
     parts = work.groupBy(*key_cols).applyInPandas(
         lambda _, pdf: kernel(pdf), schema=schema)
-    parts = parts.withColumnRenamed("_ts", ts_col)
+    # dedup before the (key, ts) join back: duplicate timestamps (outside the
+    # sanitizer's keep-last contract) would otherwise fan out n×n
+    parts = parts.withColumnRenamed("_ts", ts_col) \
+                 .dropDuplicates([*key_cols, ts_col])
     return df.join(parts, on=[*key_cols, ts_col], how="left")

@@ -55,6 +55,7 @@ SWIN_TOL_MIN = 20.0     # W m-2  (GF_DRIVER_1_TOLERANCE_MIN)
 SWIN_TOL_MAX = 50.0     # W m-2  (GF_DRIVER_1_TOLERANCE_MAX)
 FLUX_SIM_FRAC = 0.2     # ±20 % flux-similarity band ...
 FLUX_SIM_FLOOR = 2.0    # ... but never narrower than ±2 µmol
+M3_BROADCAST_ROW_CAP = 2_000_000  # todo rows above this shuffle-join instead
 JOINT_DIVISOR_1SIGMA = 2.0   # 16th/84th percentiles bracket ±1σ (NEE)
 JOINT_DIVISOR_IQR = 1.349    # 25th/75th IQR (LE/H energy fluxes)
 
@@ -190,7 +191,11 @@ def random_uncertainty_pas20(
 
     if 3 in methods:
         # whole-record flux-band median for leftovers: broadcast the (small)
-        # todo set against the (gf, unc) projection, one groupBy median
+        # todo set against the (gf, unc) projection, one groupBy median.
+        # On sparse/gappy records the methods-1/2-unserved set can be a large
+        # fraction of the data, so guard the broadcast with a count and fall
+        # back to a plain shuffle band join when it is big (the band predicate
+        # and aggregation are identical either way).
         gf, unc = F.col(gapfilled_col), F.col(unc_col)
         tol = F.greatest(F.abs(gf) * FLUX_SIM_FRAC, F.lit(FLUX_SIM_FLOOR))
         todo = out.filter(unc.isNull() & gf.isNotNull()).select(
@@ -198,10 +203,13 @@ def random_uncertainty_pas20(
             F.col(ts_col).alias("_m3_ts"),
             (gf - tol).alias("_m3_lo"), (gf + tol).alias("_m3_hi"),
         )
+        n_todo = todo.limit(M3_BROADCAST_ROW_CAP + 1).count()
+        todo_side = (F.broadcast(todo) if n_todo <= M3_BROADCAST_ROW_CAP
+                     else todo)
         pool = out.filter(unc.isNotNull()).select(
             *key_cols, gf.alias("_m3_gf"), unc.alias("_m3_unc"))
         med = (
-            pool.join(F.broadcast(todo), on=key_cols)
+            pool.join(todo_side, on=key_cols)
             .filter(F.col("_m3_gf").between(F.col("_m3_lo"), F.col("_m3_hi")))
             .groupBy(*key_cols, "_m3_ts")
             .agg(F.percentile("_m3_unc", F.lit(0.5)).alias("_m3_med"),

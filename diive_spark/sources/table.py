@@ -31,9 +31,21 @@ from pyspark.sql import functions as F
 
 
 def is_table_identifier(source: str) -> bool:
-    """Heuristic contract: paths contain '/' or a parquet suffix; catalog
-    identifiers are dotted names (catalog.db.table) or bare names."""
-    return "/" not in source and not source.endswith(".parquet")
+    """Heuristic contract: paths contain '/', a parquet suffix, an explicit
+    URI scheme (file:/, hdfs://, s3a://...), or exist on the local
+    filesystem; catalog identifiers are dotted names (catalog.db.table) or
+    bare names. The local-existence check keeps a relative single-segment
+    directory (e.g. 'tier_1m_out') from being silently routed to
+    spark.read.table and failing with a confusing catalog error."""
+    import os
+    import re
+    if "/" in source or source.endswith(".parquet"):
+        return False
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", source):  # URI scheme
+        return False
+    if os.path.exists(source):
+        return False
+    return True
 
 
 def read_table(
@@ -106,8 +118,27 @@ def expire_tier_before(
     data rewrite). On the parquet layout the date directories make the same
     statement a pruned overwrite (documented cost)."""
     if is_table_identifier(target):
+        # Validate the interpolated pieces before building the statement:
+        # cutoff must parse as a timestamp and ts_col / target segments must
+        # be plain identifiers (backtick-quoted in the SQL) — a malformed
+        # cutoff fails here with a clear error instead of inside the DELETE,
+        # and an untrusted one cannot smuggle SQL.
+        import re
+        import pandas as _pd
+        try:
+            cutoff_ts = _pd.Timestamp(cutoff)
+        except (ValueError, TypeError) as exc:
+            raise ValueError(f"cutoff {cutoff!r} is not a timestamp") from exc
+        ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+        if not ident.match(ts_col):
+            raise ValueError(f"ts_col {ts_col!r} is not a plain identifier")
+        segments = target.split(".")
+        if not all(ident.match(s) for s in segments):
+            raise ValueError(f"target {target!r} is not a table identifier")
+        quoted = ".".join(f"`{s}`" for s in segments)
         spark.sql(
-            f"DELETE FROM {target} WHERE {ts_col} < TIMESTAMP '{cutoff}'")
+            f"DELETE FROM {quoted} WHERE `{ts_col}` < TIMESTAMP "
+            f"'{cutoff_ts.isoformat(sep=' ')}'")
         return
     from diive_spark.plans.partitioning import write_partitioned
 

@@ -491,6 +491,17 @@ def test_table_adapter_dispatch_and_retention(spark, tmp_path):
     assert tbl.is_table_identifier("rollup_1m")
     assert not tbl.is_table_identifier("/data/rollup_1m")
     assert not tbl.is_table_identifier("out.parquet")
+    # explicit schemes and existing local dirs are paths, not identifiers
+    assert not tbl.is_table_identifier("s3a:bucket")
+    existing = tmp_path / "tier_1m_out"
+    existing.mkdir()
+    import os as _os0
+    cwd0 = _os0.getcwd()
+    _os0.chdir(tmp_path)
+    try:
+        assert not tbl.is_table_identifier("tier_1m_out")
+    finally:
+        _os0.chdir(cwd0)
 
     n = 96
     pdf = pd.DataFrame({
@@ -529,3 +540,14 @@ def test_table_adapter_dispatch_and_retention(spark, tmp_path):
     # Iceberg identifier write without the runtime: documented config error
     with _pt.raises(RuntimeError, match="Iceberg catalog"):
         tbl.write_tier_table(df, "tiers.rollup_1m", "window_start")
+
+    # retention DELETE validates its interpolated pieces up front
+    with _pt.raises(ValueError, match="not a timestamp"):
+        tbl.expire_tier_before(spark, "tiers.rollup_1m", "window_start",
+                               "1'; DROP TABLE x--")
+    with _pt.raises(ValueError, match="identifier"):
+        tbl.expire_tier_before(spark, "tiers.rollup_1m", "ts; DROP",
+                               "2024-01-01")
+    with _pt.raises(ValueError, match="identifier"):
+        tbl.expire_tier_before(spark, "tiers.`x`; DROP", "window_start",
+                               "2024-01-01")
