@@ -2559,3 +2559,130 @@ GROUP BY b.bin
 
 QUERIES["histogram_fd"] = q_histogram_fd
 ORACLES["histogram_fd"] = SQL_HISTOGRAM_FD
+
+
+# ---------------------------------------------------------------------------
+# true MDS gap-fill (ONEFlux marginal distribution sampling)
+# ---------------------------------------------------------------------------
+
+def q_mds_fill(spark, sf_dir):
+    """True MDS gap-fill (operators/mds.py; reference gapfilling/mds.py:83 +
+    similarity.py:150) over an hourly flux-like rollup of events, gridded to
+    the global hour span per event_type. Deterministic hour%7 mask creates
+    the gaps; piecewise-constant calendar-derived meteorology (TA blocks 5 K
+    apart so only same-block matches, VPD blocks 3 hPa apart, SWIN = 25*hour
+    with the ONEFlux target-clamped tolerance) drives similarity. The
+    cascade is bounded to its first 6 passes (1@14d, 1@28d, 2@14d, 3@1d,
+    3@3d, 3@5d) so the SQL oracle can enumerate the same pass list; the
+    oracle replays the clipped-offset record windows with a generated
+    offsets relation (clipping duplicates edge records — reproduced
+    exactly), the strict-< tolerances, the >=2-sample acceptance and the
+    first-success-wins pass priority."""
+    from diive_spark.operators import mds as mdsmod
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hts")
+    ).agg(F.avg("value").alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    grid_df = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence(
+            "lo", "hi", F.expr("interval 1 hour"))).alias("hts")))
+    day = F.dayofmonth("hts").cast("bigint")
+    hour = F.hour("hts").cast("bigint")
+    work = (
+        grid_df.join(hourly, on=["event_type", "hts"], how="left")
+        .select(
+            "event_type", "hts",
+            F.when(hour % 7 == 3, None).otherwise(F.col("v")).alias("flux"),
+            ((day / F.lit(5)).cast("bigint") % 4 * 5.0).alias("ta"),
+            ((day / F.lit(3)).cast("bigint") % 5 * 3.0).alias("vpd"),
+            (hour * 25.0).alias("swin"),
+        ))
+    out = mdsmod.mds_fill(work, ["event_type"], "hts", "flux",
+                          "swin", "ta", "vpd", 24, max_passes=6)
+    g = "flux_gfMDS"
+    return out.select(
+        "event_type", F.col("hts").alias("ts"),
+        _r6(g).alias("filled_v"),
+        F.col(f"{g}_METHOD").alias("method"),
+        F.col(f"{g}_TW").alias("tw"),
+        F.col(f"FLAG_{g}_ISFILLED").alias("flag"),
+        F.col(f"{g}_N").alias("n_pool"),
+    )
+
+
+SQL_MDS_FILL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hts, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT et.event_type, gs.hts
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hts
+        FROM bounds) gs
+),
+base AS (
+  SELECT g.event_type, g.hts,
+         CASE WHEN hour(g.hts) % 7 = 3 THEN NULL ELSE h.v END AS flux,
+         (day(g.hts) // 5 % 4) * 5.0 AS ta,
+         (day(g.hts) // 3 % 5) * 3.0 AS vpd,
+         hour(g.hts) * 25.0 AS swin,
+         hour(g.hts) AS hr,
+         row_number() OVER (PARTITION BY g.event_type ORDER BY g.hts) - 1 AS rid
+  FROM grid g
+  LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hts = g.hts
+),
+nk AS (SELECT event_type, max(rid) AS rmax FROM base GROUP BY 1),
+passes(pno, method, tw) AS (
+  VALUES (1, 1, 14), (2, 1, 28), (3, 2, 14), (4, 3, 1), (5, 3, 3), (6, 3, 5)
+),
+offs AS (
+  SELECT p.pno, p.method, p.tw, unnest(range(-(p.tw * 12 - 1), p.tw * 12)) AS off
+  FROM passes p
+),
+sel AS (
+  SELECT t.event_type, t.rid, o.pno, o.method, o.tw,
+         count(*) AS n_sel, avg(c.flux) AS mean_sel
+  FROM base t
+  JOIN nk ON nk.event_type = t.event_type
+  JOIN offs o ON TRUE
+  JOIN base c ON c.event_type = t.event_type
+            AND c.rid = least(greatest(t.rid + o.off, 0), nk.rmax)
+  WHERE t.flux IS NULL AND c.flux IS NOT NULL
+    AND CASE WHEN o.method = 3 THEN abs(c.hr - t.hr) < 1.1
+             WHEN o.method = 2 THEN
+                  abs(c.swin - t.swin) < least(greatest(t.swin, 20.0), 50.0)
+             ELSE abs(c.swin - t.swin) < least(greatest(t.swin, 20.0), 50.0)
+                  AND abs(c.ta - t.ta) < 2.5 AND abs(c.vpd - t.vpd) < 5.0
+        END
+  GROUP BY 1, 2, 3, 4, 5
+  HAVING count(*) >= 2
+),
+win AS (SELECT event_type, rid, min(pno) AS pno FROM sel GROUP BY 1, 2),
+fill AS (
+  SELECT w.event_type, w.rid, s.method, s.tw, s.n_sel, s.mean_sel
+  FROM win w
+  JOIN sel s ON s.event_type = w.event_type AND s.rid = w.rid
+            AND s.pno = w.pno
+)
+SELECT b.event_type, b.hts AS ts,
+       round(1e-9 + coalesce(b.flux, f.mean_sel), 6) AS filled_v,
+       CAST(coalesce(f.method, 0) AS BIGINT) AS method,
+       CAST(coalesce(f.tw, 0) AS DOUBLE) AS tw,
+       CAST(coalesce(f.method * 1000 + f.tw, 0) AS BIGINT) AS flag,
+       CAST(coalesce(f.n_sel, 0) AS BIGINT) AS n_pool
+FROM base b
+LEFT JOIN fill f ON f.event_type = b.event_type AND f.rid = b.rid
+"""
+
+QUERIES["mds_fill"] = q_mds_fill
+ORACLES["mds_fill"] = SQL_MDS_FILL
