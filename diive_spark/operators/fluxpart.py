@@ -246,6 +246,12 @@ LRC_BETA_FACTORS = (0.5, 1.0, 2.0)
 LRC_GUESS = (0.01, 30.0, 5.0)   # (alpha, beta, rref) start, ONEFlux FGUESS0
 ALPHA_MAX = 0.22                 # ONEFlux parameter-validity bound
 BETA_MAX = 250.0
+VPD0_HPA = 10.0                  # Lasslop 2010 VPD limitation threshold (hPa)
+# ONEFlux prior standard deviations per model (daytime_oneflux.py:96-101)
+SIGM_LLOYDVPD = (10.0, 600.0, 50.0, 80.0)       # (alpha, beta, k, rref)
+SIGM_LLOYD = (10.0, 600.0, 80.0)                # (alpha, beta, rref)
+SIGM_LLOYD_AFIX = (600.0, 80.0)                 # (beta, rref)
+SIGM_LLOYDVPD_AFIX = (600.0, 50.0, 80.0)        # (beta, k, rref)
 
 
 def _lm_fit_lrc(nee, rg, tfac, x0, n_iter=50):
@@ -301,47 +307,318 @@ def _lm_fit_lrc(nee, rg, tfac, x0, n_iter=50):
     return p, math.sqrt(best / len(nee))
 
 
+def _fvpd(vpd, k):
+    """Lasslop 2010 VPD limitation f(VPD) = min(exp(-k(VPD-VPD0)), 1)
+    (reference daytime_oneflux.py:17-18,126-133 ``_gpp_vpd``)."""
+    with np.errstate(over="ignore"):
+        return np.minimum(np.exp(-k * (vpd - VPD0_HPA)), 1.0)
+
+
+def _lm_fit_generic(model, jac, nee, x0, sigm, n_iter=60):
+    """Prior-penalized damped Gauss-Newton (LM) with an analytic Jacobian.
+    The ONEFlux daytime fits are UNCONSTRAINED but penalized: the residual
+    vector is augmented with (par - mprior)/sigm, mprior = the starting
+    guess (reference daytime_oneflux.py:286-291 ``_nlinlts2`` with the
+    SIGM_* tables at :96-101). The loose priors barely perturb a
+    well-conditioned fit but stop the hyperbola degenerating (beta -> inf)
+    on adversarial windows; the fallback cascade still TRIGGERS on negative
+    fitted values, so no positivity projection. Returns (params, data_rmse)
+    or (None, inf) on a singular/diverged/never-improved fit."""
+    p = np.asarray(x0, dtype=np.float64).copy()
+    mprior = np.asarray(x0, dtype=np.float64).copy()
+    inv_sigm = 1.0 / np.asarray(sigm, dtype=np.float64)
+
+    def objective(q):
+        d = model(q) - nee
+        d = d[np.isfinite(d)]
+        if d.size != len(nee):
+            return np.inf, np.inf
+        pres = (q - mprior) * inv_sigm
+        return float(d @ d) + float(pres @ pres), float(d @ d)
+
+    lam, (best, best_data) = 1e-3, objective(p)
+    if not np.isfinite(best):
+        return None, np.inf
+    accepted = False
+    for _ in range(n_iter):
+        J = jac(p)
+        res = model(p) - nee
+        if not (np.all(np.isfinite(J)) and np.all(np.isfinite(res))):
+            break
+        J = np.vstack([J, np.diag(inv_sigm)])
+        res = np.append(res, (p - mprior) * inv_sigm)
+        JtJ = J.T @ J
+        g = J.T @ res
+        try:
+            step = np.linalg.solve(
+                JtJ + lam * np.diag(np.maximum(np.diag(JtJ), 1e-12)), g)
+        except np.linalg.LinAlgError:
+            return None, np.inf
+        cand = p - step
+        s, s_data = objective(cand)
+        if s < best:
+            p, best, best_data, lam = cand, s, s_data, max(lam / 3.0, 1e-12)
+            accepted = True
+            if np.max(np.abs(step) / np.maximum(np.abs(p), 1e-9)) < 1e-10:
+                break
+        else:
+            lam *= 5.0
+            if lam > 1e12:
+                break
+    if not accepted:
+        return None, np.inf
+    return p, math.sqrt(best_data / len(nee))
+
+
+def _fit_lrc_vpd(nee, rg, tfac, vpd, x0):
+    """4-param HLRC_LloydVPD fit: NEE = -a·B·Rg/(a·Rg+B) + r·tfac with
+    B = b·f(VPD) (reference daytime_oneflux.py:141 ``_hlrc_lloydvpd``)."""
+    def parts(q):
+        a, b, k, r = q
+        fv = _fvpd(vpd, k)
+        B = b * fv
+        den = a * rg + B
+        return a, b, k, r, fv, B, den
+
+    def model(q):
+        a, b, k, r, fv, B, den = parts(q)
+        return -a * B * rg / den + r * tfac
+
+    def jac(q):
+        a, b, k, r, fv, B, den = parts(q)
+        dA = -(B * B) * rg / (den * den)
+        dB = -(a * a) * (rg * rg) / (den * den)
+        # df(VPD)/dk is zero where the min() clamps at 1; ON the clamp
+        # boundary (e.g. the k=0 starting guess) take the k-increasing side
+        # where vpd > VPD0 so the VPD term can engage at all (matches a
+        # forward-difference jacobian there)
+        active = (vpd > VPD0_HPA) & (fv <= 1.0)
+        dfv_dk = np.where(active, -(vpd - VPD0_HPA) * fv, 0.0)
+        return np.column_stack([dA, dB * fv, dB * b * dfv_dk, tfac])
+
+    return _lm_fit_generic(model, jac, nee, x0, SIGM_LLOYDVPD)
+
+
+def _fit_lrc_novpd(nee, rg, tfac, x0):
+    """3-param HLRC_Lloyd fit (unconstrained — cascade variant of
+    ``_lm_fit_lrc``; reference daytime_oneflux.py:135)."""
+    def model(q):
+        a, b, r = q
+        return -a * b * rg / (a * rg + b) + r * tfac
+
+    def jac(q):
+        a, b, r = q
+        den = a * rg + b
+        return np.column_stack([
+            -(b * b) * rg / (den * den),
+            -(a * a) * (rg * rg) / (den * den),
+            tfac,
+        ])
+
+    return _lm_fit_generic(model, jac, nee, x0, SIGM_LLOYD)
+
+
+def _fit_lrc_afix(nee, rg, tfac, vpd, alpha, x0, with_vpd):
+    """alpha-fixed variants: HLRC_Lloyd_afix (b, r) / HLRC_LloydVPD_afix
+    (b, k, r) (reference daytime_oneflux.py:149,155)."""
+    if with_vpd:
+        def model(q):
+            b, k, r = q
+            B = b * _fvpd(vpd, k)
+            return -alpha * B * rg / (alpha * rg + B) + r * tfac
+
+        def jac(q):
+            b, k, r = q
+            fv = _fvpd(vpd, k)
+            B = b * fv
+            den = alpha * rg + B
+            dB = -(alpha * alpha) * (rg * rg) / (den * den)
+            active = (vpd > VPD0_HPA) & (fv <= 1.0)
+            dfv_dk = np.where(active, -(vpd - VPD0_HPA) * fv, 0.0)
+            return np.column_stack([dB * fv, dB * b * dfv_dk, tfac])
+    else:
+        def model(q):
+            b, r = q
+            return -alpha * b * rg / (alpha * rg + b) + r * tfac
+
+        def jac(q):
+            b, r = q
+            den = alpha * rg + b
+            return np.column_stack(
+                [-(alpha * alpha) * (rg * rg) / (den * den), tfac])
+
+    return _lm_fit_generic(model, jac, nee, x0,
+                           SIGM_LLOYDVPD_AFIX if with_vpd else SIGM_LLOYD_AFIX)
+
+
+def _params_valid(a, b, k, r):
+    """Window acceptance (reference ``_check_parameters``,
+    daytime_oneflux.py:311): 0 ≤ α ≤ 0.22, 0 ≤ β ≤ 250, k ≥ 0, Rref > 0.
+    α = β = 0 is the valid respiration-only outcome."""
+    return (0.0 <= a <= ALPHA_MAX and 0.0 <= b <= BETA_MAX
+            and k >= 0.0 and r > 0.0)
+
+
+def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
+                    winsize_days=LRC_WINSIZE_DAYS, step_days=LRC_STEP_DAYS,
+                    min_day_entries=LRC_MIN_DAY_ENTRIES, ts=None):
+    """Per-window LRC fits with the ONEFlux degenerate-parameter fallback
+    cascade (reference daytime_oneflux.py:375 ``_estimate_parasets``):
+
+    for each 4-day window (2-day step) and each of three beta starting
+    guesses — fit the full VPD model (a, b, k, r); if the fitted k < 0,
+    drop the VPD term and refit (a, b, r); if then alpha > 0.22 and the
+    previous accepted window had alpha > 0, fix alpha from it and refit the
+    remaining parameters (the VPD branch refits (b, k, r) and falls back
+    again on k < 0); if alpha or beta went negative, fall back to the
+    respiration-only closed-form fit. Lowest-RMSE guess wins; windows whose
+    winner fails the validity bounds are dropped. ``vpd=None`` skips the
+    VPD model entirely (the engine's pre-round-4 behaviour).
+
+    Returns (P, centers, models): P rows = (alpha, beta, k, rref); models =
+    0 full VPD, 1 no-VPD, 2 alpha-fixed no-VPD, 3 alpha-fixed VPD,
+    4 respiration-only. Pure numpy — unit-testable without Spark."""
+    params, centers, models = [], [], []
+    if ts is None:
+        ts = day0.astype(np.float64)
+
+    def resp_only(nee_w, tfac_w):
+        den = float(tfac_w @ tfac_w)
+        if den <= 0:
+            return None
+        r = float(tfac_w @ nee_w) / den
+        return r
+
+    for start in range(0, int(day0.max()) + 1, step_days):
+        m = day_valid & (day0 >= start) & (day0 < start + winsize_days)
+        if m.sum() < min_day_entries:
+            continue
+        nee_w, rg_w, tfac_w = nee[m], rg[m], tfac[m]
+        vpd_w = vpd[m] if vpd is not None else None
+        prev_alpha = params[-1][0] if params else None
+        best = None  # (rmse, (a, b, k, r), model)
+        for f in LRC_BETA_FACTORS:
+            beta0 = LRC_GUESS[1] * f
+            a = b = k = r = None
+            wm = None
+            if vpd_w is not None:
+                p4, rmse = _fit_lrc_vpd(
+                    nee_w, rg_w, tfac_w, vpd_w,
+                    (LRC_GUESS[0], beta0, 0.0, LRC_GUESS[2]))
+                if p4 is not None:
+                    a, b, k, r = p4
+                    wm = 0
+                    if k < 0:  # VPD made it worse: drop the term
+                        p4 = None
+                if p4 is None:
+                    p3, rmse = _fit_lrc_novpd(
+                        nee_w, rg_w, tfac_w, (LRC_GUESS[0], beta0, LRC_GUESS[2]))
+                    if p3 is None:
+                        continue
+                    a, b, r = p3
+                    k, wm = 0.0, 1
+            else:
+                p3, rmse = _fit_lrc_novpd(
+                    nee_w, rg_w, tfac_w, (LRC_GUESS[0], beta0, LRC_GUESS[2]))
+                if p3 is None:
+                    continue
+                a, b, r = p3
+                k, wm = 0.0, 1
+            # alpha ran away: pin it to the previous window's accepted value
+            if a > ALPHA_MAX and prev_alpha is not None and prev_alpha > 0:
+                if vpd_w is not None and wm == 0:
+                    pf, rmse = _fit_lrc_afix(
+                        nee_w, rg_w, tfac_w, vpd_w, prev_alpha,
+                        (beta0, 0.0, LRC_GUESS[2]), with_vpd=True)
+                    if pf is not None and pf[1] >= 0:
+                        b, k, r = pf
+                        a, wm = prev_alpha, 3
+                    else:  # k went negative again: alpha-fixed, no VPD
+                        pf, rmse = _fit_lrc_afix(
+                            nee_w, rg_w, tfac_w, None, prev_alpha,
+                            (beta0, LRC_GUESS[2]), with_vpd=False)
+                        if pf is None:
+                            continue
+                        b, r = pf
+                        a, k, wm = prev_alpha, 0.0, 2
+                else:
+                    pf, rmse = _fit_lrc_afix(
+                        nee_w, rg_w, tfac_w, None, prev_alpha,
+                        (beta0, LRC_GUESS[2]), with_vpd=False)
+                    if pf is None:
+                        continue
+                    b, r = pf
+                    a, k, wm = prev_alpha, 0.0, 2
+            # light response collapsed: respiration-only window
+            if a < 0 or b < 0:
+                r0 = resp_only(nee_w, tfac_w)
+                if r0 is None:
+                    continue
+                a, b, k, r, wm = 0.0, 0.0, 0.0, r0, 4
+                d = r * tfac_w - nee_w
+                rmse = math.sqrt(float(d @ d) / len(nee_w))
+            if not _params_valid(a, b, k, r):
+                continue
+            if best is None or rmse < best[0]:
+                best = (rmse, (float(a), float(b), float(k), float(r)), wm)
+        if best is None:
+            continue
+        params.append(best[1])
+        centers.append(float(ts[m].mean()))
+        models.append(best[2])
+    return (np.asarray(params, dtype=np.float64).reshape(-1, 4),
+            np.asarray(centers, dtype=np.float64),
+            np.asarray(models, dtype=np.int64))
+
+
 def partition_nee_daytime(
     df, key_cols: list[str], ts_col: str,
     nee_col: str, ta_col: str, rg_col: str,
+    vpd_col: str | None = None,
     winsize_days: int = LRC_WINSIZE_DAYS, step_days: int = LRC_STEP_DAYS,
     min_day_entries: int = LRC_MIN_DAY_ENTRIES,
     reco_col: str = "RECO_DT", gpp_col: str = "GPP_DT",
 ):
     """Daytime flux partitioning — the Lasslop et al. (2010) / ONEFlux
     light-response-curve method (reference
-    /root/reference/diive/flux/partitioning/daytime_oneflux.py), simplified
-    to the engine's optimizer-free stance. Structure mirrored:
+    /root/reference/diive/flux/partitioning/daytime_oneflux.py). Structure
+    mirrored:
 
     - day/night split by MEASURED radiation (Rg > 4 W m-2), not geometry;
-    - per 4-day window (2-day steps): fit NEE = -aB*Rg/(a*Rg+B) + Rref*LT(Ta)
-      on the window's daytime rows with E0 held fixed, three beta starting
-      guesses, lowest-RMSE fit wins; parameter-validity bounds
-      (0 < alpha <= 0.22, 0 < beta <= 250, rref > 0) drop bad windows;
-    - per record, RECO and the MODEL GPP are evaluated under the two
-      neighbouring valid windows' parameter sets and combined with linear
-      distance weights (constant beyond the first/last window) — the
-      reference's compute_flux two-window scheme.
+    - per 4-day window (2-day steps): fit NEE = -a·B·Rg/(a·Rg+B) +
+      Rref·LT(Ta) with B = beta·f(VPD), f(VPD) = min(exp(-k(VPD-VPD0)), 1)
+      (daytime_oneflux.py:17-18,141) on the window's daytime rows with E0
+      held fixed, three beta starting guesses, lowest-RMSE fit wins, and the
+      ONEFlux degenerate-parameter fallback cascade (k<0 → drop the VPD
+      term; alpha>0.22 → fix alpha from the previous window; alpha/beta<0 →
+      respiration-only) — see :func:`fit_lrc_windows`. ``vpd_col=None``
+      omits the VPD model (correct on VPD-quiet data).
+    - per record, RECO and the MODEL GPP (with the record's own f(VPD)) are
+      evaluated under the two neighbouring valid windows' parameter sets
+      and combined with linear distance weights (constant beyond the
+      first/last window) — the reference's compute_flux two-window scheme.
 
     Documented simplifications vs the ONEFlux port: ONE nighttime E0 per
     key (log-space Lloyd-Taylor fit on Rg<=4 records, as in the nighttime
-    method) instead of a per-window ~12-day E0 refit; the VPD limitation
-    term and the alpha-from-previous-window / respiration-only fallback
-    cascade are omitted; fits are unweighted (no uncertainty-gap-fill
-    sigma) and use a hand-rolled LM instead of scipy leastsq.
+    method) instead of a per-window ~12-day E0 refit; fits are unweighted
+    (no uncertainty-gap-fill sigma) and use a hand-rolled LM instead of
+    scipy leastsq.
 
     Execution: one grouped map per key (windows are bounded slices of a
-    per-key series; the LM solves are 3x3). Appends RECO_DT, GPP_DT and the
-    key's E0_DT; all NULL when E0 or every window fit fails."""
+    per-key series; the LM solves are <=4x4). Appends RECO_DT, GPP_DT and
+    the key's E0_DT; all NULL when E0 or every window fit fails."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    work = df.select(
+    sel = [
         *key_cols,
         F.col(ts_col).alias("_ts"),
         F.col(nee_col).cast("double").alias("_nee"),
         F.col(ta_col).cast("double").alias("_ta"),
         F.col(rg_col).cast("double").alias("_rg"),
-    )
+    ]
+    if vpd_col is not None:
+        sel.append(F.col(vpd_col).cast("double").alias("_vpd"))
+    work = df.select(*sel)
     key_fields = [f for f in work.schema.fields if f.name in key_cols]
     schema = StructType(key_fields + [
         StructField("_ts", work.schema["_ts"].dataType),
@@ -358,6 +635,7 @@ def partition_nee_daytime(
         nee = pdf["_nee"].to_numpy(float)
         ta = pdf["_ta"].to_numpy(float)
         rg = pdf["_rg"].to_numpy(float)
+        vpd = pdf["_vpd"].to_numpy(float) if vpd_col is not None else None
         out = pdf[[f.name for f in key_fields] + ["_ts"]].copy()
         nanv = np.full(n, np.nan)
 
@@ -378,36 +656,24 @@ def partition_nee_daytime(
         tfac_all = np.exp(e0 * bvec)
         day_valid = (np.isfinite(nee) & np.isfinite(ta) & np.isfinite(rg)
                      & (rg > RG_NIGHT_MAX))
+        if vpd is not None:
+            day_valid &= np.isfinite(vpd)
         day0 = np.floor((ts - ts[0]) / 86400.0).astype(np.int64)
-        params, centers = [], []
-        for start in range(0, int(day0.max()) + 1, step_days):
-            m = day_valid & (day0 >= start) & (day0 < start + winsize_days)
-            if m.sum() < min_day_entries:
-                continue
-            best_p, best_rmse = None, np.inf
-            for f in LRC_BETA_FACTORS:
-                x0 = (LRC_GUESS[0], LRC_GUESS[1] * f, LRC_GUESS[2])
-                p, rmse = _lm_fit_lrc(nee[m], rg[m], tfac_all[m], x0)
-                if p is not None and rmse < best_rmse:
-                    best_p, best_rmse = p, rmse
-            if best_p is None:
-                continue
-            a, b, r = best_p
-            if not (0.0 < a <= ALPHA_MAX and 0.0 < b <= BETA_MAX and r > 0.0):
-                continue
-            params.append(best_p)
-            centers.append(float(ts[m].mean()))
-        if not params:
+        P, C, _models = fit_lrc_windows(
+            nee, rg, tfac_all, vpd, day0, day_valid,
+            winsize_days=winsize_days, step_days=step_days,
+            min_day_entries=min_day_entries, ts=ts)
+        if len(P) == 0:
             out[reco_col], out[gpp_col], out["E0_DT"] = nanv, nanv, nanv
             return out
 
-        P = np.asarray(params)
-        C = np.asarray(centers)
-
         def flux_under(pi):
-            a, b, r = P[pi, 0], P[pi, 1], P[pi, 2]
+            a, b, k, r = P[pi]
             reco = r * tfac_all
-            gpp = np.where(rg > 0, a * b * rg / (a * rg + b), 0.0)
+            beff = b * _fvpd(vpd, k) if vpd is not None else np.full(n, b)
+            num = a * beff * rg
+            den = a * rg + beff
+            gpp = np.where((rg > 0) & (den != 0), num / np.where(den != 0, den, 1.0), 0.0)
             return reco, gpp
 
         # two-neighbour distance weighting (compute_flux scheme), constant
