@@ -1,10 +1,13 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, partition-friendly batch shapes, Arrow
-mapInPandas kernels) is real and tested; the codec step is stubbed behind
-DecodeUnavailable / a deterministic fake because no image/audio libraries
-exist in this container. Swapping in a real decoder changes ONE function
-(_decode_image_bytes) and nothing else.
+mapInPandas kernels) is real and tested, and the codec seam now decodes the
+common interchange formats with STDLIB-ONLY codecs (functions/codecs.py):
+PNG via zlib inflate + spec unfilter, WAV via struct RIFF/PCM parsing. A
+deterministic fake format remains for plumbing-only tests; exotic formats
+(JPEG, MP3, ...) still raise DecodeUnavailable until a codec library is
+installed — swapping one in changes ONE function (_decode_image_bytes /
+_decode_audio_bytes) and nothing else.
 
 Design notes for 100 TB:
 - media blobs stay in their own column; metadata columns (width/height/
@@ -38,23 +41,38 @@ class DecodeUnavailable(NotImplementedError):
     """Raised by the real-codec path: no image/audio libs in this container."""
 
 
-def synth_media_table(spark, n_rows: int = 64) -> DataFrame:
-    """Deterministic fake media: blob = seeded bytes; metadata encodes the
-    fake 'image' dims so the plumbing has real values to carry."""
+def synth_media_table(spark, n_rows: int = 64, fmt: str = "fake-gray") -> DataFrame:
+    """Deterministic synthetic media. ``fmt='fake-gray'`` emits raw seeded
+    bytes (plumbing-only); ``fmt='png'`` emits REAL PNG-encoded blobs
+    (grayscale, via the stdlib codec) so the decode path itself is
+    exercised."""
     rows = []
     for i in range(n_rows):
         rng = np.random.default_rng(zlib.crc32(f"img-{i}".encode()) ^ 42)
         w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
-        blob = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
-        rows.append((f"img-{i:06d}", bytearray(blob), "image/fake-gray", w, h, 1))
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        if fmt == "png":
+            from diive_spark.functions.codecs import encode_png
+            rows.append((f"img-{i:06d}", bytearray(encode_png(px)),
+                         "image/png", w, h, 1))
+        else:
+            rows.append((f"img-{i:06d}", bytearray(px.tobytes()),
+                         "image/fake-gray", w, h, 1))
     return spark.createDataFrame(rows, schema=IMAGE_SCHEMA)
 
 
 def _decode_image_bytes(blob: bytes, media_type: str, width: int, height: int) -> np.ndarray:
-    """Codec seam. Real formats raise until a decoder library is installed;
-    the deterministic fake format decodes to a (h, w) uint8 array."""
+    """Codec seam. PNG decodes via the stdlib-only codec
+    (functions/codecs.py: zlib inflate + spec unfilter); the deterministic
+    fake format decodes to a (h, w) uint8 array; anything else raises until
+    a codec library is installed. Multichannel images are collapsed to
+    grayscale (channel mean) so every feature path sees (h, w)."""
     if media_type == "image/fake-gray":
         return np.frombuffer(blob, dtype=np.uint8)[: width * height].reshape(height, width)
+    if media_type == "image/png" or bytes(blob[:8]) == b"\x89PNG\r\n\x1a\n":
+        from diive_spark.functions.codecs import decode_png
+        img = decode_png(bytes(blob))
+        return img if img.ndim == 2 else img.mean(axis=2).astype(np.uint8)
     raise DecodeUnavailable(
         f"no decoder for {media_type!r} in this environment; "
         "install a codec and extend _decode_image_bytes"
@@ -102,8 +120,10 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
-def synth_audio_table(spark, n_rows: int = 64) -> DataFrame:
-    """Deterministic fake audio: blob = seeded 16-bit PCM mono."""
+def synth_audio_table(spark, n_rows: int = 64, fmt: str = "fake-pcm16") -> DataFrame:
+    """Deterministic synthetic audio: seeded 16-bit PCM mono, either as raw
+    sample bytes (``fmt='fake-pcm16'``) or wrapped as REAL RIFF/WAV files
+    (``fmt='wav'``, via the stdlib codec)."""
     rows = []
     for i in range(n_rows):
         rng = np.random.default_rng(zlib.crc32(f"aud-{i}".encode()) ^ 7)
@@ -113,15 +133,27 @@ def synth_audio_table(spark, n_rows: int = 64) -> DataFrame:
         f0 = float(rng.uniform(100, 1000))
         wave = (3000 * np.sin(2 * np.pi * f0 * t / sr)
                 + rng.normal(0, 200, n)).astype(np.int16)
-        rows.append((f"aud-{i:06d}", bytearray(wave.tobytes()), "audio/fake-pcm16", sr, n))
+        if fmt == "wav":
+            from diive_spark.functions.codecs import encode_wav
+            rows.append((f"aud-{i:06d}", bytearray(encode_wav(wave, sr)),
+                         "audio/wav", sr, n))
+        else:
+            rows.append((f"aud-{i:06d}", bytearray(wave.tobytes()),
+                         "audio/fake-pcm16", sr, n))
     return spark.createDataFrame(rows, schema=AUDIO_SCHEMA)
 
 
 def _decode_audio_bytes(blob: bytes, media_type: str) -> np.ndarray:
-    """Audio codec seam: fake PCM decodes with frombuffer; real formats raise
-    until a codec library is installed."""
+    """Audio codec seam: WAV decodes via the stdlib-only RIFF/PCM codec
+    (functions/codecs.py, multichannel averaged to mono); fake PCM decodes
+    with frombuffer; other formats raise until a codec library is
+    installed."""
     if media_type == "audio/fake-pcm16":
         return np.frombuffer(blob, dtype=np.int16).astype(np.float64)
+    if media_type in ("audio/wav", "audio/x-wav") or bytes(blob[:4]) == b"RIFF":
+        from diive_spark.functions.codecs import decode_wav
+        x, _rate = decode_wav(bytes(blob))
+        return x if x.ndim == 1 else x.mean(axis=1)
     raise DecodeUnavailable(
         f"no decoder for {media_type!r} in this environment; "
         "install a codec and extend _decode_audio_bytes"

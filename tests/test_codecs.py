@@ -1,0 +1,142 @@
+"""Stdlib PNG/WAV codecs + the multimodal seam decoding REAL encoded bytes."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from diive_spark.functions import codecs
+from diive_spark.operators import multimodal
+
+
+# --------------------------------------------------------------------------- #
+# PNG
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("shape", [(5, 7), (16, 16), (9, 3, 3), (4, 6, 4),
+                                   (8, 8, 2)])
+def test_png_roundtrip(shape):
+    rng = np.random.default_rng(hash(shape) % 2**32)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    back = codecs.decode_png(codecs.encode_png(img))
+    want = img if img.ndim > 2 else img
+    assert back.shape == want.shape
+    assert np.array_equal(back, want)
+
+
+def _encode_png_with_filters(img: np.ndarray, ftypes) -> bytes:
+    """Independent mini-encoder applying a CHOSEN filter per scanline —
+    exercises the decoder's Sub/Up/Average/Paeth unfiltering against the
+    spec's forward transforms, written separately from the library codec."""
+    h, w = img.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        cur = img[y].astype(np.int32)
+        enc = np.zeros(w, dtype=np.int32)
+        for x in range(w):
+            a = cur[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) & 0xFF
+        raw.append(ft)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ftypes", [(1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)])
+def test_png_decoder_unfilters_all_filter_types(ftypes):
+    rng = np.random.default_rng(13 + sum(ftypes))
+    img = rng.integers(0, 256, size=(12, 10), dtype=np.uint8)
+    blob = _encode_png_with_filters(img, ftypes)
+    assert np.array_equal(codecs.decode_png(blob), img)
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_png(b"JFIF not a png")
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
+
+
+# --------------------------------------------------------------------------- #
+# WAV
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("bits,chans", [(16, 1), (16, 2), (8, 1), (32, 1)])
+def test_wav_roundtrip(bits, chans):
+    rng = np.random.default_rng(bits * 10 + chans)
+    lim = {8: 127, 16: 30000, 32: 2**30}[bits]
+    shape = (500,) if chans == 1 else (500, chans)
+    x = rng.integers(-lim, lim, size=shape).astype(np.float64)
+    back, rate = codecs.decode_wav(codecs.encode_wav(x, 16000, bits=bits))
+    assert rate == 16000
+    assert back.shape == x.shape
+    assert np.array_equal(back, x)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_wav(b"OggS definitely not wav bytes")
+
+
+# --------------------------------------------------------------------------- #
+# Seam: real encoded bytes through the Spark feature kernels
+# --------------------------------------------------------------------------- #
+def test_image_features_from_real_png(spark):
+    df = multimodal.synth_media_table(spark, n_rows=12, fmt="png")
+    out = multimodal.extract_image_features(df).toPandas().set_index("doc_id")
+    # the same seeded pixels, independently recomputed
+    for i in range(12):
+        rng = np.random.default_rng(zlib.crc32(f"img-{i}".encode()) ^ 42)
+        w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        row = out.loc[f"img-{i:06d}"]
+        assert row["mean_px"] == pytest.approx(float(px.mean()))
+        bands = np.array_split(px.astype(np.float32), 8, axis=0)
+        assert np.allclose(row["feat"], [b.mean() for b in bands], rtol=1e-6)
+
+
+def test_audio_features_from_real_wav(spark):
+    df = multimodal.synth_audio_table(spark, n_rows=10, fmt="wav")
+    out = multimodal.extract_audio_features(df).toPandas().set_index("doc_id")
+    for i in range(10):
+        rng = np.random.default_rng(zlib.crc32(f"aud-{i}".encode()) ^ 7)
+        sr = int(rng.choice([8000, 16000]))
+        n = int(rng.integers(sr // 4, sr))
+        t = np.arange(n, dtype=np.float64)
+        f0 = float(rng.uniform(100, 1000))
+        wave = (3000 * np.sin(2 * np.pi * f0 * t / sr)
+                + rng.normal(0, 200, n)).astype(np.int16).astype(np.float64)
+        row = out.loc[f"aud-{i:06d}"]
+        assert row["duration_sec"] == pytest.approx(n / sr)
+        assert row["rms"] == pytest.approx(float(np.sqrt(np.mean(wave**2))))
+        assert row["peak"] == pytest.approx(float(np.abs(wave).max()))
+
+
+def test_unknown_formats_still_raise(spark):
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal._decode_image_bytes(b"\xff\xd8\xff jpeg!", "image/jpeg", 2, 2)
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal._decode_audio_bytes(b"ID3 mp3 bytes", "audio/mpeg")

@@ -117,10 +117,15 @@ def test_multimodal_plumbing(spark):
     a = feats.sort_values("doc_id").reset_index(drop=True)
     b = again.sort_values("doc_id").reset_index(drop=True)
     assert (a["mean_px"] == b["mean_px"]).all()
-    # real codecs raise the documented stub error
+    # PNG is decodable now (stdlib codec) — mislabelled garbage bytes fail
+    # with a codec (signature) error, not the stub error
     bad = media.withColumn("media_type", F.lit("image/png"))
-    with pytest.raises(Exception, match="no decoder"):
+    with pytest.raises(Exception, match="not a PNG"):
         multimodal.extract_image_features(bad).collect()
+    # truly exotic formats still raise the documented stub error
+    exotic = media.withColumn("media_type", F.lit("image/jpeg"))
+    with pytest.raises(Exception, match="no decoder"):
+        multimodal.extract_image_features(exotic).collect()
     frames = multimodal.frame_sample(media, every_n=2).toPandas()
     assert (frames["frame_idx"] == 0).all()  # fake format: 1 frame each
 
