@@ -645,10 +645,18 @@ def partition_nee_daytime(
         bvec = 1.0 / (TREF_K - T0_K) - 1.0 / (ta + 273.15 - T0_K)
         e0 = np.nan
         if night.sum() >= 24:
-            A = np.column_stack([np.ones(night.sum()), bvec[night]])
-            coef, *_ = np.linalg.lstsq(A, np.log(nee[night]), rcond=None)
-            if np.isfinite(coef[1]) and 50.0 <= coef[1] <= 400.0:
-                e0 = float(coef[1])
+            # closed-form simple regression (not lstsq/SVD): the exact same
+            # sum formula a SQL oracle computes, so the driver gate can
+            # replay the E0 fit value-for-value
+            x, yv = bvec[night], np.log(nee[night])
+            nn = float(len(x))
+            sx, sy = float(x.sum()), float(yv.sum())
+            sxy, sxx = float((x * yv).sum()), float((x * x).sum())
+            denom = nn * sxx - sx * sx
+            if denom != 0.0:
+                slope = (nn * sxy - sx * sy) / denom
+                if np.isfinite(slope) and 50.0 <= slope <= 400.0:
+                    e0 = float(slope)
         if not np.isfinite(e0):
             out[reco_col], out[gpp_col], out["E0_DT"] = nanv, nanv, nanv
             return out

@@ -309,6 +309,7 @@ def ustar_mp_bootstrap(
     nee_col: str, ta_col: str, ustar_col: str, swin_col: str,
     n_boot: int = 32, seed: int = 42,
     percentiles: tuple = (16, 50, 84),
+    resample: str = "rng",
     **detect_kwargs,
 ) -> DataFrame:
     """Bootstrap CUT scenarios (ustar_bootstrap.py / ONEFlux): resample the
@@ -319,7 +320,13 @@ def ustar_mp_bootstrap(
 
     Deterministic: the generator is seeded per key from (seed, key string),
     so re-runs and stage retries produce identical scenarios. All resamples
-    run inside one grouped-map kernel from pre-extracted arrays."""
+    run inside one grouped-map kernel from pre-extracted arrays.
+
+    ``resample='hash'`` draws index j of resample b as
+    ``md5_h32(f"{b}:{j}") % N`` over the key's rows in (ustar, nee) order —
+    statistically i.i.d.-uniform like the rng draw but REPLAYABLE in plain
+    SQL (DuckDB md5), which is how the driver gate certifies the whole
+    bootstrap pipeline end-to-end."""
     cfg = _cfg(
         detect_kwargs.pop("ta_classes", 7),
         detect_kwargs.pop("ustar_classes", 20),
@@ -350,6 +357,9 @@ def ustar_mp_bootstrap(
     ])
 
     def boot(pdf: pd.DataFrame) -> pd.DataFrame:
+        if resample == "hash":
+            # SQL-replayable draw order: (ustar, nee) is a.s. a total order
+            pdf = pdf.sort_values(["_ustar", "_nee"]).reset_index(drop=True)
         nee, ta, ustar, month, valid, night = _night_arrays(pdf, cfg)
         key_str = "|".join(str(pdf[f.name].iloc[0]) for f in key_fields)
         rng = np.random.default_rng((seed, zlib.crc32(key_str.encode())))
@@ -357,8 +367,15 @@ def ustar_mp_bootstrap(
         N = len(pdf)
         enough = N >= cfg["min_samples_period"] and int(valid.sum()) >= cfg["min_samples_period"]
         if enough:
-            for _ in range(n_boot):
-                idx = rng.integers(0, N, N)
+            import hashlib
+            for b in range(n_boot):
+                if resample == "hash":
+                    idx = np.array([
+                        int(hashlib.md5(f"{b}:{j}".encode())
+                            .hexdigest()[:8], 16) % N
+                        for j in range(N)], dtype=np.int64)
+                else:
+                    idx = rng.integers(0, N, N)
                 sel = idx[night[idx]]
                 if sel.size == 0:
                     continue

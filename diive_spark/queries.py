@@ -2686,3 +2686,347 @@ LEFT JOIN fill f ON f.event_type = b.event_type AND f.rid = b.rid
 
 QUERIES["mds_fill"] = q_mds_fill
 ORACLES["mds_fill"] = SQL_MDS_FILL
+
+
+# ---------------------------------------------------------------------------
+# USTAR bootstrap CUT scenarios (driver-oracled end-to-end)
+# ---------------------------------------------------------------------------
+
+def q_ustar_bootstrap(spark, sf_dir):
+    """Seasonal USTAR bootstrap (ustar.py ustar_mp_bootstrap; reference
+    ustar_bootstrap.py / ONEFlux CUT scenarios) over the same deterministic
+    flux-like derivation as the ``ustar_mp`` gate. The gate runs the
+    SQL-replayable hash resampler (draw j of resample b = md5-h32("b:j") %
+    N over (ustar, nee)-ordered rows): 8 full-record resamples, each
+    re-detected with the complete MP pipeline (tie-aware classes, Fw2
+    plateau, first-class + correlation checks), max finite season threshold
+    per resample, CUT_16/50/84 = linear-interpolated percentiles of the
+    sample distribution. The rng-seeded production path is pytest-oracled
+    in tests/test_ustar.py; this gate certifies the bootstrap pipeline
+    end-to-end in the driver record."""
+    from diive_spark.operators import ustar
+    from diive_spark.operators.dedup import h32
+    ev = _t(spark, sf_dir, "events")
+    eu = (
+        (F.dayofmonth("ts") * 86400 + F.hour("ts") * 3600
+         + F.minute("ts") * 60 + F.second("ts")).cast("bigint") * 1000000
+        + F.unix_micros(F.col("ts").cast("timestamp")) % 1000000
+    )
+    us = (eu % 79999) / F.lit(100000.0)
+    jitter = h32(F.col("event_id").cast("string")) / F.lit(4294967296.0) - F.lit(0.5)
+    base = ev.select(
+        F.lit("all").alias("k"),
+        F.col("ts"),
+        us.alias("USTAR"),
+        ((eu % 991) / F.lit(991.0) * 20.0).alias("TA"),
+        F.lit(0.0).alias("SW_IN"),
+        (F.least(us, F.lit(0.3)) / F.lit(0.3) * 5.0
+         - F.greatest(us - F.lit(0.3), F.lit(0.0)) * 2.0 + jitter).alias("NEE"),
+    )
+    cut = ustar.ustar_mp_bootstrap(
+        base, ["k"], "ts", "NEE", "TA", "USTAR", "SW_IN",
+        n_boot=8, resample="hash", ta_classes=1,
+    )
+    return cut.select(
+        "scenario", _r6("threshold").alias("threshold"),
+        F.col("n_samples").cast("bigint").alias("n_samples"))
+
+
+SQL_USTAR_BOOTSTRAP = """
+WITH pos AS (
+  SELECT *, (day(ts) * 86400 + hour(ts) * 3600 + minute(ts) * 60
+             + CAST(floor(second(ts)) AS BIGINT)) * 1000000
+            + (epoch_us(ts) % 1000000) AS eu
+  FROM events
+),
+src AS (
+  SELECT (eu % 79999) / 100000.0 AS ustar,
+         (eu % 991) / 991.0 * 20.0 AS ta,
+         least((eu % 79999) / 100000.0, 0.3) / 0.3 * 5.0
+           - greatest((eu % 79999) / 100000.0 - 0.3, 0.0) * 2.0
+           + (('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0 - 0.5) AS nee,
+         CASE WHEN day(ts) = 1 AND hour(ts) = 0 AND minute(ts) = 0
+              THEN CASE WHEN month(ts) = 1 THEN 12 ELSE month(ts) - 1 END
+              ELSE month(ts) END AS m
+  FROM pos
+),
+base AS (
+  SELECT *, row_number() OVER (ORDER BY ustar, nee) AS rn FROM src
+),
+tot AS (SELECT count(*) AS n FROM base),
+picks AS (
+  SELECT d.b,
+         ('0x' || substr(md5(d.b::VARCHAR || ':' || j.j::VARCHAR), 1, 8))::BIGINT
+           % tot.n + 1 AS rn
+  FROM (SELECT unnest(generate_series(0, 7)) AS b) d,
+       tot,
+       (SELECT unnest(generate_series(0, (SELECT n FROM tot) - 1)) AS j) j
+),
+res AS (
+  SELECT p.b, s.ustar, s.ta, s.nee,
+         CAST((s.m - 1) // 3 + 1 AS INTEGER) AS season
+  FROM picks p JOIN base s ON s.rn = p.rn
+),
+scount AS (SELECT b, season, count(*) AS n_bs FROM res GROUP BY 1, 2),
+eligible AS (
+  SELECT b, season FROM scount, tot WHERE n_bs >= 100 AND tot.n >= 3000
+),
+cors AS (SELECT b, season, corr(ta, ustar) AS c FROM res GROUP BY 1, 2),
+ranked AS (
+  SELECT r.*, row_number() OVER (PARTITION BY r.b, r.season ORDER BY ustar) AS rnn,
+         count(*) OVER (PARTITION BY r.b, r.season) AS cnt
+  FROM res r JOIN eligible e ON e.b = r.b AND e.season = r.season
+),
+bvals AS (
+  SELECT b, season, ustar AS bv FROM ranked
+  WHERE rnn % (cnt // 20) = 0 AND rnn // (cnt // 20) BETWEEN 1 AND 19
+),
+cls AS (
+  SELECT r.b, r.season, r.ustar, r.nee,
+         (SELECT count(*) FROM bvals v
+          WHERE v.b = r.b AND v.season = r.season AND v.bv < r.ustar) AS uc
+  FROM ranked r
+),
+cmeans0 AS (
+  SELECT b, season, uc, avg(ustar) AS um, avg(nee) AS fm FROM cls GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT e.b, e.season, g.c AS uc
+  FROM eligible e, (SELECT unnest(generate_series(0, 19)) AS c) g
+),
+cmeans AS (
+  SELECT g.b, g.season, g.uc, coalesce(m.um, 0.0) AS um, coalesce(m.fm, 0.0) AS fm
+  FROM grid g LEFT JOIN cmeans0 m
+    ON m.b = g.b AND m.season = g.season AND m.uc = g.uc
+),
+fw AS (
+  SELECT b, season, uc, um, fm,
+         avg(fm) OVER w1 AS m1, count(fm) OVER w1 AS n1,
+         avg(fm) OVER w2 AS m2, count(fm) OVER w2 AS n2,
+         lead(fm) OVER (PARTITION BY b, season ORDER BY uc) AS fnext
+  FROM cmeans
+  WINDOW w1 AS (PARTITION BY b, season ORDER BY uc
+                ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING),
+         w2 AS (PARTITION BY b, season ORDER BY uc
+                ROWS BETWEEN 2 FOLLOWING AND 11 FOLLOWING)
+),
+hits AS (
+  SELECT b, season, uc, um FROM fw
+  WHERE uc <= 18 AND n1 > 0 AND n2 > 0 AND fm >= m1 AND fnext >= m2
+),
+thr AS (SELECT b, season, min_by(um, uc) AS threshold FROM hits GROUP BY 1, 2),
+u0 AS (SELECT b, season, um AS um0 FROM cmeans WHERE uc = 0),
+sthr AS (
+  SELECT e.b,
+         CASE WHEN abs(co.c) <= 0.5 AND u0.um0 <= 0.2 THEN t.threshold END AS th
+  FROM eligible e
+  LEFT JOIN cors co ON co.b = e.b AND co.season = e.season
+  LEFT JOIN thr t ON t.b = e.b AND t.season = e.season
+  LEFT JOIN u0 ON u0.b = e.b AND u0.season = e.season
+),
+samples AS (
+  SELECT b, max(th) AS sample FROM sthr WHERE th IS NOT NULL GROUP BY 1
+),
+pcts AS (
+  SELECT quantile_cont(sample, 0.16) AS q16,
+         quantile_cont(sample, 0.50) AS q50,
+         quantile_cont(sample, 0.84) AS q84,
+         count(*) AS ns
+  FROM samples
+)
+SELECT s.scenario,
+       round(1e-9 + CASE s.scenario WHEN 'CUT_16' THEN q16
+                                    WHEN 'CUT_50' THEN q50
+                                    ELSE q84 END, 6) AS threshold,
+       CAST(ns AS BIGINT) AS n_samples
+FROM (SELECT unnest(['CUT_16', 'CUT_50', 'CUT_84']) AS scenario) s, pcts
+"""
+
+QUERIES["ustar_bootstrap"] = q_ustar_bootstrap
+ORACLES["ustar_bootstrap"] = SQL_USTAR_BOOTSTRAP
+
+
+# ---------------------------------------------------------------------------
+# daytime partitioning (respiration-dominant pipeline certification)
+# ---------------------------------------------------------------------------
+
+def q_flux_partition_day(spark, sf_dir):
+    """Daytime Lasslop/ONEFlux partitioning (fluxpart.partition_nee_daytime)
+    over a deterministic derivation of the hourly events rollup whose light
+    response is INVERTED (NEE grows with Rg): every 4-day window's LRC fit
+    lands on the degenerate-parameter cascade's respiration-only branch,
+    which is CLOSED FORM (r = Σ tfac·NEE / Σ tfac²) — so the SQL oracle
+    replays the whole pipeline value-for-value: the closed-form log-space
+    nighttime E0 fit, the per-window day masks (measured-radiation Rg>4
+    split), the respiration projections, the two-neighbour window
+    interpolation with constant ends, and GPP ≡ 0 under alpha=beta=0. The
+    LRC/VPD fitting branches are planted-parameter pytest-oracled
+    (tests/test_fluxpart.py); this gate certifies the daytime pipeline in
+    the driver record."""
+    from diive_spark.operators import fluxpart
+    from diive_spark.operators.dedup import h32
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hts")).agg(
+        F.avg("value").alias("v"))
+    day, hour = F.dayofmonth("hts").cast("bigint"), F.hour("hts").cast("bigint")
+    ta = ((day * 24 + hour) % 89) / 89.0 * 20.0
+    b = fluxpart._lt_b(ta)
+    rg = F.when((hour >= 6) & (hour <= 17),
+                ((hour - 5) * (18 - hour)).cast("double") * 12.0).otherwise(0.0)
+    jit = 1.0 + (h32(F.col("hts").cast("string")) / F.lit(4294967296.0)
+                 - F.lit(0.5)) * 0.1
+    src = hourly.select(
+        F.lit("all").alias("k"),
+        F.col("hts").alias("ts"),
+        ((2.0 + F.col("v") / 100.0) * F.exp(150.0 * b) * jit
+         + rg * 0.004).alias("NEE"),
+        ta.alias("TA"),
+        rg.alias("SW_IN"),
+    )
+    out = fluxpart.partition_nee_daytime(src, ["k"], "ts", "NEE", "TA",
+                                         "SW_IN")
+    return out.select(
+        "ts", _r6("E0_DT").alias("e0"),
+        _r6("RECO_DT").alias("reco"), _r6("GPP_DT").alias("gpp"),
+    )
+
+
+def _flux_partition_day_sql():
+    b1 = repr(1.0 / (288.15 - 227.13))  # the operator's Python-folded constant
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hts, avg(value) AS v FROM events GROUP BY 1
+),
+src AS (
+  SELECT hts AS ts,
+         ((day(hts) * 24 + hour(hts)) % 89) / 89.0 * 20.0 AS ta,
+         CASE WHEN hour(hts) >= 6 AND hour(hts) <= 17
+              THEN CAST((hour(hts) - 5) * (18 - hour(hts)) AS DOUBLE) * 12.0
+              ELSE 0.0 END AS rg,
+         (2.0 + v / 100.0)
+           * exp(150.0 * ({b1} - 1.0 / ((((day(hts) * 24 + hour(hts)) % 89)
+                                          / 89.0 * 20.0 + 273.15) - 227.13)))
+           * (1.0 + (('0x' || substr(md5(hts::VARCHAR), 1, 8))::BIGINT
+                     / 4294967296.0 - 0.5) * 0.1)
+           + CASE WHEN hour(hts) >= 6 AND hour(hts) <= 17
+                  THEN CAST((hour(hts) - 5) * (18 - hour(hts)) AS DOUBLE) * 12.0
+                  ELSE 0.0 END * 0.004 AS nee
+  FROM hourly
+),
+base AS (
+  SELECT *, {b1} - 1.0 / ((ta + 273.15) - 227.13) AS b,
+         CAST(floor((epoch(ts) - (SELECT min(epoch(ts)) FROM src))
+                    / 86400.0) AS BIGINT) AS day0
+  FROM src
+),
+-- closed-form log-space nighttime E0 (Rg <= 4, NEE > 0)
+e0fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(b) AS sx, sum(ln(nee)) AS sy,
+         sum(b * ln(nee)) AS sxy, sum(b * b) AS sxx
+  FROM base WHERE rg <= 4.0 AND nee > 0 AND nee IS NOT NULL
+),
+e0v AS (
+  SELECT CASE WHEN n >= 24 AND (n * sxx - sx * sx) != 0
+              AND (n * sxy - sx * sy) / (n * sxx - sx * sx) BETWEEN 50 AND 400
+              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS e0
+  FROM e0fit
+),
+wb AS (SELECT *, exp((SELECT e0 FROM e0v) * b) AS tfac FROM base),
+-- 4-day windows in 2-day steps over the day0 span; day rows are Rg > 4
+wins AS (
+  SELECT CAST(w.s AS BIGINT) AS wstart
+  FROM (SELECT unnest(generate_series(0, (SELECT max(day0) FROM base), 2)) AS s) w
+),
+wfit AS (
+  SELECT w.wstart,
+         sum(r.tfac * r.nee) / sum(r.tfac * r.tfac) AS rw,
+         avg(epoch(r.ts)) AS c, count(*) AS nd
+  FROM wins w
+  JOIN wb r ON r.day0 >= w.wstart AND r.day0 < w.wstart + 4
+           AND r.rg > 4.0 AND r.nee IS NOT NULL AND r.ta IS NOT NULL
+  GROUP BY 1
+  HAVING count(*) >= 30 AND sum(r.tfac * r.nee) / sum(r.tfac * r.tfac) > 0
+),
+win AS (
+  SELECT row_number() OVER (ORDER BY wstart) AS i, rw, c FROM wfit
+),
+nwin AS (SELECT count(*) AS n FROM win),
+interp AS (
+  SELECT r.ts, r.tfac,
+         coalesce((SELECT max(i) FROM win WHERE c < epoch(r.ts)), 1) AS li,
+         coalesce((SELECT min(i) FROM win WHERE c >= epoch(r.ts)),
+                  (SELECT n FROM nwin)) AS ri
+  FROM wb r
+),
+woven AS (
+  SELECT p.ts, p.tfac, l.rw AS rl, l.c AS cl, rr.rw AS rr, rr.c AS cr
+  FROM interp p
+  JOIN win l ON l.i = p.li
+  JOIN win rr ON rr.i = p.ri
+)
+SELECT b.ts,
+       round(1e-9 + e0v.e0, 6) AS e0,
+       round(1e-9 + CASE WHEN e0v.e0 IS NOT NULL AND w.ts IS NOT NULL THEN
+         ((1.0 - CASE WHEN w.cr > w.cl
+                      THEN least(greatest((epoch(b.ts) - w.cl) / (w.cr - w.cl),
+                                          0.0), 1.0) ELSE 0.0 END) * w.rl
+          + CASE WHEN w.cr > w.cl
+                 THEN least(greatest((epoch(b.ts) - w.cl) / (w.cr - w.cl),
+                                     0.0), 1.0) ELSE 0.0 END * w.rr)
+         * w.tfac END, 6) AS reco,
+       round(1e-9 + CASE WHEN e0v.e0 IS NOT NULL AND w.ts IS NOT NULL
+                         THEN 0.0 END, 6) AS gpp
+FROM base b
+LEFT JOIN woven w ON w.ts = b.ts, e0v
+"""
+
+
+QUERIES["flux_partition_day"] = q_flux_partition_day
+ORACLES["flux_partition_day"] = _flux_partition_day_sql()
+
+
+# ---------------------------------------------------------------------------
+# streaming rollup certification (availableNow drain == batch rollup)
+# ---------------------------------------------------------------------------
+
+def q_rollup_stream_1m(spark, sf_dir):
+    """Structured-Streaming tier-0 rollup (streaming/rollup_stream.py) run
+    to completion with an availableNow trigger over the events parquet and
+    returned as a batch DataFrame — certifying §2.9's batch==stream
+    contract in the driver record: the watermarked tumbling-window
+    streaming aggregate must value-match the plain batch SQL rollup."""
+    import os
+    import tempfile
+    import uuid
+    from diive_spark.streaming.rollup_stream import (run_available_now,
+                                                     streaming_rollup)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file-stream source needs a DIRECTORY; expose the single parquet
+    # through a temp dir symlink
+    src_dir = tempfile.mkdtemp(prefix="gate_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet",
+               os.path.join(src_dir, "events.parquet"))
+    sdf = streaming_rollup(
+        spark, src_dir, schema, "ts", ["value"], "1m",
+        key_cols=["event_type"])
+    name = f"gate_stream_{uuid.uuid4().hex[:12]}"
+    out = run_available_now(sdf, tempfile.mkdtemp(prefix="gate_stream_ckpt_"),
+                            query_name=name)
+    return out.select(
+        "event_type",
+        # back to NTZ so the schema matches the batch oracle (UTC session:
+        # identical wall-clock)
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        F.col("value_cnt").alias("cnt"),
+        _r6("value_sum").alias("sum_v"),
+        _r6("value_mean").alias("mean_v"),
+        _r6("value_min").alias("min_v"),
+        _r6("value_max").alias("max_v"),
+    )
+
+
+SQL_ROLLUP_STREAM_1M = SQL_ROLLUP_1M
+
+QUERIES["rollup_stream_1m"] = q_rollup_stream_1m
+ORACLES["rollup_stream_1m"] = SQL_ROLLUP_STREAM_1M

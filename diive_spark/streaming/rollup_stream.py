@@ -48,6 +48,11 @@ def streaming_rollup(
     ``resample.rollup`` exactly so downstream tiers are source-agnostic.
     """
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    # Structured Streaming event time must be TIMESTAMP (with zone): a
+    # TIMESTAMP_NTZ source column cannot carry a watermark. In the engine's
+    # UTC sessions the cast preserves the wall-clock instant.
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     w = F.window(F.col(ts_col), TIER_INTERVALS[tier])
     aggs = []
     for v in value_cols:
