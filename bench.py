@@ -28,16 +28,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 TOKEN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_TOKENS", "1000000"))
 
+#: headline single-operator queries — the r1-r3 workloads, unchanged (some
+#: now live in the catalog's union gates; the singles registry keeps the
+#: per-operator work identical so rounds stay comparable)
 HEADLINE = [
     "rollup_1m", "rollup_1h_gate90", "cascade_1d", "gap_table_1h",
     "interp_linear_1h", "zscore_outliers", "diel_cycle", "sstats", "time_since",
 ]
 
+N_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
-def main() -> None:
-    spark = get_spark("diive_spark_bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=str(max(int(CPUS) * 2, 8)))
-    spark.sparkContext.setLogLevel("ERROR")
+
+def _headline_query(name):
+    reg = getattr(qcat, "_SINGLE_QUERIES", qcat.QUERIES)
+    return reg.get(name) or qcat.QUERIES[name]
+
+
+def run_suite(spark) -> tuple[dict, dict]:
+    """One full measurement pass. Returns (timings, extras)."""
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
@@ -101,11 +109,45 @@ def main() -> None:
     # --- headline operator queries on the driver tables --------------------
     for name in HEADLINE:
         t0 = time.time()
-        n = qcat.QUERIES[name](spark, SF_DIR).count()
+        n = _headline_query(name)(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
         _ = n
 
-    total = round(sum(timings.values()), 3)
+    return timings, extras
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def main() -> None:
+    spark = get_spark("diive_spark_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=str(max(int(CPUS) * 2, 8)))
+    spark.sparkContext.setLogLevel("ERROR")
+    load1_start = os.getloadavg()[0]
+
+    # N_TRIALS full passes: the per-query MEDIAN is the headline (robust to
+    # the trial-1 JIT warmup and to host jitter), and the per-trial data is
+    # published so noise and regression are distinguishable from the record
+    trial_timings: list[dict] = []
+    trial_extras: list[dict] = []
+    for _ in range(N_TRIALS):
+        t, e = run_suite(spark)
+        trial_timings.append(t)
+        trial_extras.append(e)
+
+    names = list(trial_timings[0])
+    queries = {n: round(_median([t[n] for t in trial_timings]), 3)
+               for n in names}
+    per_trial = {n: [t[n] for t in trial_timings] for n in names}
+    extras = {k: (round(_median([e[k] for e in trial_extras]), 3)
+                  if isinstance(trial_extras[0][k], float)
+                  else int(_median([e[k] for e in trial_extras])))
+              for k in trial_extras[0]}
+
+    total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf = float(sf)
@@ -115,8 +157,11 @@ def main() -> None:
         "metric": "rollup-engine headline suite (3-tier cascade + gapfill + gorilla + operator queries)",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": queries,
         "sf": sf,
+        "trials": N_TRIALS,
+        "per_trial": per_trial,
+        "load1_start": round(load1_start, 2),
         **extras,
     }))
 
