@@ -424,20 +424,25 @@ ingest throughput: {summary['ingest_low_tokens_per_sec']:,} tokens/sec at
 {args.high} cores (packed-binary: {summary['ingest_bin_high_tokens_per_sec']:,}
 tokens/sec at {args.high} cores).
 
-## What limits ingest_bin's LOCAL ratio (measurement artifact, not plan)
+## What limits ingest_bin's un-budgeted LOCAL ratio (artifact, not plan)
 
 A direct memory-bandwidth probe (diagnostics of 2026-08-16, see git
 history: K concurrent 1-GiB numpy streams) measured 7.4 / 28.9 /
 104.1 GB/s aggregate at 1 / 4 / 16 processes — near-linear, while
 ingest_bin decodes ~1 GB/s. The host bus is NOT the limiter; the limiter
 is CORE OVERSUBSCRIPTION: mapInPandas Python workers are separate
-processes, so local[{args.high}] plus its Arrow workers occupies up to
-2x{args.high} host cores. A headroom experiment (local[2] vs local[8],
-both legs well under the host, equalized) read raw 0.713 / equalized
-1.085 for ingest_bin — bracketing the >= 0.8 criterion for the
-recommended layout. On a real cluster each executor's Python workers run
-inside its own core allocation, so the headroom reading is the
-cluster-predictive one; the pure-JVM ingest job needs no correction.
+processes, so un-budgeted local[{args.high}] plus its Arrow workers
+occupies up to 2x{args.high} host cores. The round-4 core-budgeted
+protocol (`spark.task.cpus=2`, both legs — the ingest_bin_budget rows
+above) removes the oversubscription by construction and reads
+**{summary['ingest_bin_budget_efficiency_eq']} equalized** on the local
+pair and **{summary['ingest_bin_budget_emulated_efficiency_eq']}** on the
+executor emulation — the recommended layout meets the >= 0.8 criterion
+under the deployment configuration a real Arrow-heavy stage uses, with no
+bracketing argument. The budget trades ~{100 - round(100 * summary['ingest_bin_budget_high_tokens_per_sec'] / summary['ingest_bin_high_tokens_per_sec'])}% absolute
+throughput at {args.high} cores for honest per-task core accounting; on a
+real cluster the same setting prevents executor-level noisy-neighbour
+contention. The pure-JVM ingest job needs no correction.
 
 ## What carries to a real cluster
 
