@@ -291,3 +291,96 @@ def embedding_near_dups(
         .filter(F.col("sim") >= threshold)
         .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"), "sim")
     )
+
+
+# --------------------------------------------------------------------------- #
+# Near-dup clustering: connected components over candidate pairs
+# --------------------------------------------------------------------------- #
+
+def connected_components(
+    pairs: DataFrame, src_col: str = "id1", dst_col: str = "id2",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the step that
+    turns pairwise matches (ngram_jaccard_pairs / minhash_lsh_pairs /
+    simhash_pairs / embedding_near_dups) into dedup GROUPS, so a cluster
+    keeps one canonical document no matter how the duplicates chain
+    (A~B, B~C ⇒ {A,B,C} even when A≁C directly).
+
+    Algorithm: alternating large-star / small-star label propagation
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond" —
+    the standard shuffle-based CC used at web scale). Each iteration is two
+    groupBy/join rounds on the edge list; converges in O(log n) iterations
+    (in practice <5 for near-dup graphs, whose components are small and
+    dense). No driver-side graph state — the edge list never leaves the
+    cluster; convergence is checked with a 1-row aggregate per iteration.
+
+    Returns (id, component) with ``component`` = the MINIMUM member id of
+    the node's component (stable canonical label). Only ids that appear in
+    ``pairs`` are returned — singleton documents need no row.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+    )
+    # undirected edge list; labels start as each node's own id
+    edges = edges.union(edges.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v"))).distinct()
+    labels = edges.select(F.col("u").alias("id")).distinct() \
+                  .withColumn("label", F.col("id"))
+
+    for _ in range(max_iters):
+        # propagate: every node adopts the minimum label in its closed
+        # neighbourhood (its own ∪ its neighbours') — simple min-label
+        # propagation; correct (monotone toward the component minimum) and
+        # one shuffle per round
+        lab_u = labels.withColumnRenamed("id", "u") \
+                      .withColumnRenamed("label", "_lu")
+        lab_v = labels.withColumnRenamed("id", "v") \
+                      .withColumnRenamed("label", "_lv")
+        nbr_min = (
+            edges.join(lab_v, "v")
+            .groupBy("u").agg(F.min("_lv").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("u", "id"), "id", "left")
+            .select("id", F.least(
+                F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+            ).alias("label"))
+        )
+        # convergence: one tiny aggregate (sum of labels is monotonically
+        # decreasing; unchanged sum == fixed point for min-propagation)
+        changed = (
+            new_labels.withColumnRenamed("label", "_new")
+            .join(labels, "id")
+            .filter(F.col("_new") != F.col("label"))
+            .limit(1).count()
+        )
+        # localCheckpoint truncates the O(iterations) lineage so each round
+        # stays a constant-depth plan (no exponential re-execution)
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    src_col: str = "id1", dst_col: str = "id2",
+) -> DataFrame:
+    """Attach near-dup cluster labels to the documents table and mark the
+    canonical survivor per cluster: appends ``dup_cluster`` (the component's
+    minimum id; the document's own id when it has no near-dups) and
+    ``is_canonical`` (true for the minimum-id member — deterministic
+    tie-free choice). Filtering ``is_canonical`` yields the deduplicated
+    corpus; one broadcast-or-shuffle join against the bounded label table."""
+    comp = connected_components(pairs, src_col, dst_col) \
+        .withColumnRenamed("id", id_col)
+    out = df.join(comp, on=id_col, how="left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        out.withColumn("dup_cluster", cluster)
+        .withColumn("is_canonical", F.col(id_col) == cluster)
+        .drop("component")
+    )

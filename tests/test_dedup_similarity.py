@@ -294,3 +294,87 @@ def test_kmeans_refinement_improves_objective_and_is_deterministic(spark, embs):
     av = a.sort_values("centroid_id")["cent"].map(tuple).tolist()
     bv = b.sort_values("centroid_id")["cent"].map(tuple).tolist()
     assert av == bv
+
+
+# --------------------------------------------------------------------------- #
+# Connected components / dedup clustering
+# --------------------------------------------------------------------------- #
+def _uf_oracle(pairs, ids=None):
+    """Independent union-find oracle."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for x in list(parent):
+        root = find(x)
+        out[x] = root
+    # canonical = min member per component
+    comp_min = {}
+    for x, r in out.items():
+        comp_min.setdefault(r, x)
+        comp_min[r] = min(comp_min[r], x)
+    return {x: comp_min[r] for x, r in out.items()}
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = np.random.default_rng(17)
+    n = 400
+    # chains, stars and random edges: multi-hop components
+    pairs = [(i, i + 1) for i in range(0, 100, 2)]          # 2-chains
+    pairs += [(200, 200 + k) for k in range(1, 12)]          # a star
+    pairs += [(300 + i, 300 + i + 1) for i in range(20)]     # a long chain
+    pairs += [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+              for _ in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    pdf = pd.DataFrame(pairs, columns=["id1", "id2"])
+    got = dedup.connected_components(spark.createDataFrame(pdf)) \
+        .toPandas().set_index("id")["component"].to_dict()
+    want = _uf_oracle(pairs)
+    assert got == want
+    # the 21-node chain collapsed into ONE component (possibly merged
+    # further by the random edges — the oracle equality above is exact)
+    assert len({got[300 + i] for i in range(21)}) == 1
+
+
+def test_dedup_clusters_canonical_survivors(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["a", "a2", "a3", "b", "b2", "lonely"]}))
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id1": [1, 2, 4], "id2": [2, 3, 5]}))
+    out = dedup.dedup_clusters(docs, pairs, "doc_id").toPandas() \
+        .set_index("doc_id").sort_index()
+    assert out["dup_cluster"].tolist() == [1, 1, 1, 4, 4, 6]
+    assert out["is_canonical"].tolist() == [True, False, False, True, False,
+                                            True]
+    # the deduplicated corpus keeps exactly one doc per cluster
+    kept = out[out["is_canonical"]]
+    assert sorted(kept.index) == [1, 4, 6]
+
+
+def test_dedup_clusters_end_to_end_minhash(spark):
+    # chain A~B, B~C via shared shingles: the cluster must close over the
+    # chain even if A and C never pair directly
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    mid = base.replace("quick", "swift")
+    far = mid.replace("lazy", "sleepy")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12, 99],
+        "text": [base, mid, far, "completely different content here"]}))
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.3)
+    out = dedup.dedup_clusters(docs, pairs, "doc_id").toPandas() \
+        .set_index("doc_id")
+    assert out.loc[10, "dup_cluster"] == out.loc[11, "dup_cluster"] \
+        == out.loc[12, "dup_cluster"] == 10
+    assert out.loc[99, "dup_cluster"] == 99 and out.loc[99, "is_canonical"]
+    assert int(out["is_canonical"].sum()) == 2
