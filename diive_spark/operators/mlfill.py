@@ -51,6 +51,7 @@ def tree_model_fill(
     min_train: int = 24,
     test_size: float = 0.0,
     seed: int = 42,
+    reduce_features_below: float | None = None,
     filled_col: str = "filled",
     flag_col: str = "fill_flag",
     granular_col: str = "fill_granular",
@@ -133,19 +134,49 @@ def tree_model_fill(
             return out, None
         return out
 
-    if model == "random_forest":
-        reg = RandomForestRegressor(
-            featuresCol="_fvec", labelCol="_label", predictionCol="_pred",
-            numTrees=num_trees, maxDepth=max_depth, seed=seed,
-            subsamplingRate=subsampling_rate)
-    elif model == "gbt":
-        reg = GBTRegressor(
-            featuresCol="_fvec", labelCol="_label", predictionCol="_pred",
-            maxIter=max_iter, maxDepth=max_depth, seed=seed,
-            subsamplingRate=subsampling_rate)
-    else:
+    def _make_reg():
+        if model == "random_forest":
+            return RandomForestRegressor(
+                featuresCol="_fvec", labelCol="_label", predictionCol="_pred",
+                numTrees=num_trees, maxDepth=max_depth, seed=seed,
+                subsamplingRate=subsampling_rate)
+        if model == "gbt":
+            return GBTRegressor(
+                featuresCol="_fvec", labelCol="_label", predictionCol="_pred",
+                maxIter=max_iter, maxDepth=max_depth, seed=seed,
+                subsamplingRate=subsampling_rate)
         raise ValueError(f"unknown model {model!r}")
-    fitted = reg.fit(train)
+
+    fitted = _make_reg().fit(train)
+
+    if reduce_features_below is not None and len(fnames) > 1:
+        # the reference's reduce_features() step (randomforest_ts.py:70,
+        # SHAP-importance based): drop features whose ensemble importance
+        # (Spark ML impurity importances, normalized) falls below the
+        # threshold, refit on the survivors. Keeps >= 1 feature.
+        imp = dict(zip(fnames, fitted.featureImportances.toArray()))
+        keep = [n for n in fnames if imp[n] >= reduce_features_below]
+        if not keep:
+            keep = [max(fnames, key=lambda n: imp[n])]
+        if len(keep) < len(fnames):
+            fnames = keep
+            assembler = VectorAssembler(inputCols=fnames, outputCol="_fvec2")
+            nn = None
+            for n in fnames:
+                c = F.col(n).isNotNull() & ~F.isnan(F.col(n))
+                nn = c if nn is None else (nn & c)
+            featdf = work.filter(nn)
+            assembled = assembler.transform(featdf) \
+                                 .withColumnRenamed("_fvec2", "_fvec")
+            observed = assembled.filter(v.isNotNull()).withColumn("_label", v)
+            if test_size > 0.0:
+                observed = observed.withColumn(
+                    "_holdout", F.rand(seed) < F.lit(test_size))
+                train = observed.filter(~F.col("_holdout"))
+                holdout = observed.filter(F.col("_holdout"))
+            else:
+                train, holdout = observed, None
+            fitted = _make_reg().fit(train)
 
     still_missing_src = (F.col(filled_col).isNull()
                          if filled_col in df.columns else v.isNull())
@@ -173,7 +204,8 @@ def tree_model_fill(
         .withColumn(filled_col,
                     F.when(eligible, F.col("_tree_pred"))
                     .otherwise(base_filled))
-        .drop(*fnames, "_tree_pred")
+        .drop(*[c for c in out.columns
+                if c.startswith("_f_") or c == "_tree_pred"])
     )
 
     if with_scores:
@@ -184,3 +216,21 @@ def tree_model_fill(
             scores = prediction_scores(scored, "_pred", "_label")
         return out, scores
     return out
+
+
+def quick_fill(df, key_cols, ts_col, value_col, **kwargs):
+    """QuickFillRFTS analogue (reference randomforest_ts.py:100): minimal
+    feature engineering — the lag-1 value plus timestamp features — and a
+    small forest, for fast exploratory fills."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    lagged = df.withColumn("_lag1", F.lag(F.col(value_col), 1).over(w))
+    kwargs.setdefault("num_trees", 10)
+    kwargs.setdefault("max_depth", 6)
+    out = tree_model_fill(
+        lagged, key_cols, ts_col, value_col, feature_cols=["_lag1"],
+        **kwargs)
+    if isinstance(out, tuple):
+        return out[0].drop("_lag1"), out[1]
+    return out.drop("_lag1")

@@ -101,3 +101,23 @@ def test_tree_fill_never_overwrites_prior_fills(spark):
     assert tree_rows.any()                    # tree serves the leftovers
     # interp fills kept their values and flags (never overwritten)
     assert both.loc[interp_rows, "filled"].notna().all()
+
+
+def test_reduce_features_and_quick_fill(spark):
+    pdf = _make_data(n_days=12, seed=21)
+    # add a pure-noise feature: reduce_features should drop it
+    rng = np.random.default_rng(0)
+    pdf["noise"] = rng.normal(0, 1, len(pdf))
+    df = spark.createDataFrame(pdf.drop(columns=["truth"]))
+    out = mlfill.tree_model_fill(
+        df, ["key"], "ts", "value", feature_cols=["driver", "noise"],
+        reduce_features_below=0.02, seed=5).toPandas()
+    gaps = out["value"].isna()
+    assert out.loc[gaps, "filled"].notna().all()
+    assert (out.loc[gaps, "fill_flag"] == 4).all()
+
+    quick = mlfill.quick_fill(df, ["key"], "ts", "value", seed=5).toPandas()
+    qgaps = quick["value"].isna()
+    # lag-1 exists for most gap rows; those get filled
+    assert quick.loc[qgaps, "filled"].notna().mean() > 0.5
+    assert "_lag1" not in quick.columns
