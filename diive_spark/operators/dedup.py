@@ -307,13 +307,15 @@ def connected_components(
     keeps one canonical document no matter how the duplicates chain
     (A~B, B~C ⇒ {A,B,C} even when A≁C directly).
 
-    Algorithm: alternating large-star / small-star label propagation
-    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond" —
-    the standard shuffle-based CC used at web scale). Each iteration is two
-    groupBy/join rounds on the edge list; converges in O(log n) iterations
-    (in practice <5 for near-dup graphs, whose components are small and
-    dense). No driver-side graph state — the edge list never leaves the
-    cluster; convergence is checked with a 1-row aggregate per iteration.
+    Algorithm: min-label propagation with pointer-doubling shortcutting —
+    each round every node adopts the minimum label in its closed
+    neighbourhood (one groupBy + join on the edge list) and then labels are
+    shortcut through themselves (label ← label[label], the classic
+    hash-to-min doubling step), so a path of length d converges in
+    O(log d) rounds rather than O(d) (same regime as the large-star /
+    small-star family, Kiveris et al. 2014). No driver-side graph state —
+    the edge list never leaves the cluster; convergence is checked with a
+    bounded aggregate per iteration.
 
     Returns (id, component) with ``component`` = the MINIMUM member id of
     the node's component (stable canonical label). Only ids that appear in
@@ -347,6 +349,16 @@ def connected_components(
             labels.join(nbr_min.withColumnRenamed("u", "id"), "id", "left")
             .select("id", F.least(
                 F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+            ).alias("label"))
+        )
+        # pointer doubling: label <- label-of-label (labels are node ids, so
+        # the label table maps them); halves the remaining path length
+        lol = new_labels.select(F.col("id").alias("label"),
+                                F.col("label").alias("_ll"))
+        new_labels = (
+            new_labels.join(lol, "label", "left")
+            .select("id", F.least(
+                F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
             ).alias("label"))
         )
         # convergence: one tiny aggregate (sum of labels is monotonically

@@ -378,3 +378,14 @@ def test_dedup_clusters_end_to_end_minhash(spark):
         == out.loc[12, "dup_cluster"] == 10
     assert out.loc[99, "dup_cluster"] == 99 and out.loc[99, "is_canonical"]
     assert int(out["is_canonical"].sum()) == 2
+
+
+def test_connected_components_long_chain_logarithmic(spark):
+    # pointer doubling: a 200-node path must converge well under its
+    # diameter (plain min-propagation would need ~199 rounds)
+    pairs = pd.DataFrame({"id1": list(range(199)),
+                          "id2": list(range(1, 200))})
+    out = dedup.connected_components(
+        spark.createDataFrame(pairs), max_iters=12).toPandas()
+    assert set(out["component"]) == {0}
+    assert len(out) == 200
