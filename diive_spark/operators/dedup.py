@@ -326,9 +326,13 @@ def connected_components(
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .filter(F.col("u") != F.col("v"))
     )
-    # undirected edge list; labels start as each node's own id
+    # undirected edge list; labels start as each node's own id. Checkpoint
+    # the edges ONCE: they are re-joined every iteration, and without this
+    # the (often expensive) upstream pair-generation lineage would be
+    # re-executed per round.
     edges = edges.union(edges.select(F.col("v").alias("u"),
-                                     F.col("u").alias("v"))).distinct()
+                                     F.col("u").alias("v"))).distinct() \
+                 .localCheckpoint(eager=True)
     labels = edges.select(F.col("u").alias("id")).distinct() \
                   .withColumn("label", F.col("id"))
 
