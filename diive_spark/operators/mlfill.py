@@ -234,3 +234,39 @@ def quick_fill(df, key_cols, ts_col, value_col, **kwargs):
     if isinstance(out, tuple):
         return out[0].drop("_lag1"), out[1]
     return out.drop("_lag1")
+
+
+def longterm_tree_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    feature_cols: list[str] | None = None,
+    n_neighbors: int = 1,
+    **kwargs,
+) -> DataFrame:
+    """LongTermGapFillingRandomForestTS analogue (reference
+    gapfilling/longterm.py:24-371): each calendar year is filled by a tree
+    ensemble trained on that year ± ``n_neighbors`` years, so local models
+    track instrument drift across decade-scale records.
+
+    Execution: one ``tree_model_fill`` per DISTINCT target year — a
+    driver-side loop, but bounded by the CALENDAR (tens of iterations for
+    any record length), each iteration a fully distributed Spark ML fit
+    over the pool years. Results are unioned; each row keeps its own
+    year's fill. For a single shared model use ``tree_model_fill``
+    directly."""
+    years = [r[0] for r in
+             df.select(F.year(ts_col).alias("_y")).distinct().collect()]
+    parts = []
+    for y in sorted(years):
+        pool = df.filter(
+            F.year(ts_col).between(y - n_neighbors, y + n_neighbors))
+        filled = tree_model_fill(
+            pool, key_cols, ts_col, value_col, feature_cols=feature_cols,
+            **kwargs)
+        parts.append(filled.filter(F.year(ts_col) == y))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

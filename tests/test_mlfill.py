@@ -121,3 +121,33 @@ def test_reduce_features_and_quick_fill(spark):
     # lag-1 exists for most gap rows; those get filled
     assert quick.loc[qgaps, "filled"].notna().mean() > 0.5
     assert "_lag1" not in quick.columns
+
+
+def test_longterm_tree_fill_per_year_models(spark):
+    # two years with DIFFERENT response regimes: per-year models must adapt
+    rng = np.random.default_rng(31)
+    frames = []
+    for year, gain in ((2022, 1.0), (2023, -1.0)):
+        n = 40 * 24
+        ts = pd.date_range(f"{year}-03-01", periods=n, freq="1h")
+        driver = 10 + 5 * np.sin(2 * np.pi * np.arange(n) / 120) \
+            + rng.normal(0, 0.4, n)
+        truth = 3.0 + gain * np.where(driver > 10, 4.0, -1.0)
+        value = truth + rng.normal(0, 0.3, n)
+        gaps = rng.random(n) < 0.15
+        obs = value.copy()
+        obs[gaps] = np.nan
+        frames.append(pd.DataFrame({
+            "key": "k", "ts": ts, "value": obs, "driver": driver,
+            "truth": truth}))
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf.drop(columns=["truth"]))
+    out = mlfill.longterm_tree_fill(
+        df, ["key"], "ts", "value", feature_cols=["driver"], n_neighbors=0,
+        seed=13).toPandas().merge(pdf[["ts", "truth"]], on="ts")
+    gaps = out["value"].isna()
+    assert out.loc[gaps, "filled"].notna().all()
+    err = np.abs(out.loc[gaps, "filled"] - out.loc[gaps, "truth"])
+    # a single shared model cannot satisfy both regimes; per-year ones can
+    assert np.median(err) < 1.0
+    assert len(out) == len(pdf)
