@@ -1,0 +1,196 @@
+"""Engine kernels vs the EXECUTED reference implementation (subprocess).
+
+Each test generates deterministic arrays, runs the reference's own
+algorithm on them (tests/reference_harness.py) and asserts the engine's
+kernel reproduces the reference outputs value-for-value — a stronger
+oracle than any reimplemented formula."""
+
+import numpy as np
+import pytest
+
+from tests.reference_harness import run_reference
+
+# shared deterministic fixture generator — embedded VERBATIM in the
+# reference subprocess so both sides compute from identical arrays
+_GEN = r"""
+def make_series(seed, n, nperday):
+    rng = np.random.default_rng(seed)
+    hrs = (np.arange(n) % nperday) * (24.0 / nperday)
+    swin = np.maximum(0.0, 600.0 * np.sin(np.pi * (hrs - 5) / 14)
+                      + rng.normal(0, 40, n))
+    ta = 12 + 8 * np.sin(2 * np.pi * np.arange(n) / (nperday * 30)) \
+        + 5 * np.sin(np.pi * (hrs - 5) / 14) + rng.normal(0, 1.2, n)
+    vpd = np.maximum(0.0, 4 + 6 * np.sin(np.pi * (hrs - 6) / 14)
+                     + rng.normal(0, 1.5, n))
+    flux = -0.02 * swin + 2.0 + 0.1 * ta + rng.normal(0, 0.8, n)
+    flux[rng.random(n) < 0.15] = np.nan
+    for arr in (swin, ta, vpd):
+        arr[rng.random(n) < 0.02] = np.nan
+    return flux, swin, ta, vpd, hrs
+"""
+
+
+def _exec_gen(seed, n, nperday):
+    ns = {"np": np}
+    exec(_GEN, ns)
+    return ns["make_series"](seed, n, nperday)
+
+
+@pytest.mark.parametrize("seed,sym,fill_all,minsamp", [
+    (7, False, False, 2),
+    (11, True, False, 2),
+    (13, False, True, 10),
+])
+def test_mds_cascade_matches_executed_reference(seed, sym, fill_all, minsamp):
+    from diive_spark.operators import mds
+    nperday, n = 24, 24 * 40
+    flux, swin, ta, vpd, hrs = _exec_gen(seed, n, nperday)
+    ref = run_reference(_GEN + f"""
+from diive.gapfilling.similarity import mds_gapfill_cascade
+flux, swin, ta, vpd, hrs = make_series({seed}, {n}, {nperday})
+res = mds_gapfill_cascade(flux, swin, ta, vpd, hrs, {nperday},
+                          min_samples={minsamp}, sym_mean={sym},
+                          fill_all={fill_all})
+print(json.dumps({{
+    "filled": [None if not np.isfinite(x) else x for x in res["filled"]],
+    "sd": [None if not np.isfinite(x) else x for x in res["sd"]],
+    "count": [int(x) for x in res["count"]],
+    "method": [int(x) for x in res["method"]],
+    "tw": list(map(float, res["time_window"])),
+    "quality": [int(x) for x in res["quality"]],
+    "flag": [int(x) for x in res["flag"]],
+}}))
+""")
+    got = mds.mds_cascade_arrays(flux, swin, ta, vpd, hrs, nperday,
+                                 min_samples=minsamp, sym_mean=sym,
+                                 fill_all=fill_all)
+    want_filled = np.array([np.nan if x is None else x for x in ref["filled"]])
+    want_sd = np.array([np.nan if x is None else x for x in ref["sd"]])
+    assert np.allclose(got["filled"], want_filled, equal_nan=True,
+                       rtol=1e-12, atol=1e-12)
+    assert np.allclose(got["sd"], want_sd, equal_nan=True,
+                       rtol=1e-9, atol=1e-12)
+    assert np.array_equal(got["count"], np.array(ref["count"]))
+    assert np.array_equal(got["method"], np.array(ref["method"]))
+    assert np.allclose(got["time_window"], np.array(ref["tw"]))
+    assert np.array_equal(got["quality"], np.array(ref["quality"]))
+    assert np.array_equal(got["flag"], np.array(ref["flag"]))
+    assert (np.array(ref["method"]) > 0).sum() > 30  # non-trivial case
+
+
+def test_mds_marginal_gap_matches_executed_reference():
+    from diive_spark.operators import mds
+    nperday = 24
+    lmg = 2
+    n = 48 * lmg + 400
+    setup = f"""
+n = {n}
+flux = np.full(n, np.nan)
+flux[{48 * lmg} + 60:] = np.where(np.arange(n - {48 * lmg} - 60) % 5 == 0,
+                                  np.nan, 1.0)
+hrs = (np.arange(n) % {nperday}) * 1.0
+swin = np.full(n, 100.0); ta = np.full(n, 10.0); vpd = np.full(n, 5.0)
+"""
+    ref = run_reference(setup + f"""
+from diive.gapfilling.similarity import mds_gapfill_cascade
+res = mds_gapfill_cascade(flux, swin, ta, vpd, hrs, {nperday},
+                          longest_marginal_gap={lmg})
+print(json.dumps({{"method": [int(x) for x in res["method"]],
+                   "filled": [None if not np.isfinite(x) else x
+                              for x in res["filled"]]}}))
+""")
+    ns = {"np": np}
+    exec(setup, ns)
+    got = mds.mds_cascade_arrays(ns["flux"], ns["swin"], ns["ta"], ns["vpd"],
+                                 ns["hrs"], nperday, longest_marginal_gap=lmg)
+    assert np.array_equal(got["method"], np.array(ref["method"]))
+    want = np.array([np.nan if x is None else x for x in ref["filled"]])
+    assert np.allclose(got["filled"], want, equal_nan=True)
+
+
+_TS_GEN = r"""
+def make_ts_series(seed, n):
+    rng = np.random.default_rng(seed)
+    ts = pd.date_range("2024-05-01", periods=n, freq="30min")
+    base = 5 + 3 * np.sin(2 * np.pi * np.arange(n) / 48) \
+        + rng.normal(0, 0.6, n)
+    spikes = rng.random(n) < 0.02
+    base[spikes] += rng.choice([-1, 1], spikes.sum()) * rng.uniform(6, 12, spikes.sum())
+    base[rng.random(n) < 0.05] = np.nan
+    return ts, base
+"""
+
+
+def _exec_ts_gen(seed, n):
+    import pandas as pd
+    ns = {"np": np, "pd": pd}
+    exec(_TS_GEN, ns)
+    return ns["make_ts_series"](seed, n)
+
+
+def _assert_flag_parity(got, ref, vals):
+    """Outlier POSITIONS must be identical. Convention difference, kept:
+    the reference reports flag 0 for missing records (they can't be
+    outliers); the engine reports NULL (not assessable). So engine NULLs
+    may appear only where the input is NaN and the reference says 0."""
+    got_set = {i for i, g in enumerate(got) if g is not None and int(g) == 2}
+    ref_set = {i for i, r in enumerate(ref) if r == 2}
+    assert got_set == ref_set, (sorted(got_set ^ ref_set)[:5])
+    for i, g in enumerate(got):
+        if g is None:
+            assert not np.isfinite(vals[i]) and ref[i] in (0, None), i
+        else:
+            assert int(g) == ref[i], i
+
+
+@pytest.mark.parametrize("repeat", [False, True])
+def test_zscore_matches_executed_reference(spark, repeat):
+    from diive_spark.operators import outliers
+    import pandas as pd
+    n = 48 * 20
+    ts, vals = _exec_ts_gen(3, n)
+    ref = run_reference(_TS_GEN + f"""
+from diive.preprocessing.outlier_detection.zscore import zScore
+ts, vals = make_ts_series(3, {n})
+z = zScore(series=pd.Series(vals, index=ts, name="v"), thres_zscore=3.0)
+z.calc(repeat={repeat})
+flag = z.get_flag()
+print(json.dumps([None if not np.isfinite(x) else int(x) for x in flag]))
+""")
+    df = spark.createDataFrame(pd.DataFrame({"k": "a", "ts": ts, "v": vals}))
+    if repeat:
+        out = outliers.repeat_flag(
+            df, lambda d, vc: outliers.flag_zscore(d, ["k"], vc,
+                                                   thres_zscore=3.0),
+            value_col="v", flag_col="FLAG_ZSCORE_TEST")
+    else:
+        out = outliers.flag_zscore(df, ["k"], "v", thres_zscore=3.0)
+    got = (out.orderBy("ts").toPandas()["FLAG_ZSCORE_TEST"]
+           .astype("object").where(lambda s: s.notna(), None).tolist())
+    _assert_flag_parity(got, ref, vals)
+
+
+@pytest.mark.parametrize("diff", [False, True])
+def test_hampel_matches_executed_reference(spark, diff):
+    from diive_spark.operators import outliers
+    import pandas as pd
+    n = 48 * 15
+    ts, vals = _exec_ts_gen(9, n)
+    ref = run_reference(_TS_GEN + f"""
+from diive.preprocessing.outlier_detection.hampel import Hampel
+ts, vals = make_ts_series(9, {n})
+h = Hampel(series=pd.Series(vals, index=ts, name="v"),
+           window_length=48, n_sigma=4.0, use_differencing={diff},
+           separate_day_night=False)
+h.calc(repeat=False)
+flag = h.get_flag()
+print(json.dumps([None if not np.isfinite(x) else int(x) for x in flag]))
+""")
+    df = spark.createDataFrame(pd.DataFrame({"k": "a", "ts": ts, "v": vals}))
+    out = outliers.flag_hampel(df, ["k"], "ts", "v", tier_seconds=1800,
+                               window_length=48, n_sigma=4.0,
+                               use_differencing=diff)
+    got = (out.orderBy("ts").toPandas()["FLAG_HAMPEL_TEST"]
+           .astype("object").where(lambda s: s.notna(), None).tolist())
+    _assert_flag_parity(got, ref, vals)
+    assert sum(1 for x in ref if x == 2) >= 3  # spikes actually flagged
