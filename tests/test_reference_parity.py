@@ -194,3 +194,74 @@ print(json.dumps([None if not np.isfinite(x) else int(x) for x in flag]))
            .astype("object").where(lambda s: s.notna(), None).tolist())
     _assert_flag_parity(got, ref, vals)
     assert sum(1 for x in ref if x == 2) >= 3  # spikes actually flagged
+
+
+_USTAR_GEN = r"""
+def make_ustar_df(seed, n_days):
+    rng = np.random.default_rng(seed)
+    n = n_days * 48
+    ts = pd.date_range("2023-01-01", periods=n, freq="30min")
+    ustar = np.abs(rng.normal(0.3, 0.18, n)).clip(0.005, 1.2)
+    ta = 5 + 12 * np.sin(2 * np.pi * np.arange(n) / (48 * 365) * 4) \
+        + rng.normal(0, 1.5, n)
+    knee = 0.25
+    resp = 2 + 0.12 * ta
+    nee = np.where(ustar < knee, resp * (ustar / knee), resp) \
+        + rng.normal(0, 0.35, n)
+    swin = np.zeros(n)  # all nighttime
+    return pd.DataFrame({"TIMESTAMP": ts, "NEE": nee, "TA": ta,
+                         "USTAR": ustar, "SW_IN": swin})
+"""
+
+
+def _exec_ustar_gen(seed, n_days):
+    import pandas as pd
+    ns = {"np": np, "pd": pd}
+    exec(_USTAR_GEN, ns)
+    return ns["make_ustar_df"](seed, n_days)
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_ustar_mp_matches_executed_reference(spark, seed):
+    """Full 7-TA-class x 20-USTAR-class seasonal MP detection vs the
+    reference's own UstarDetectionMP.detect() on identical data."""
+    from diive_spark.operators import ustar
+    import pandas as pd
+    n_days = 180
+    pdf = _exec_ustar_gen(seed, n_days)
+    ref = run_reference(_USTAR_GEN + f"""
+from diive.flux.lowres.ustar_mp_detection import UstarMovingPointDetection
+pdf = make_ustar_df({seed}, {n_days})
+det = UstarMovingPointDetection(df=pdf.set_index("TIMESTAMP"),
+                       nee_col="NEE", ta_col="TA", ustar_col="USTAR",
+                       swin_col="SW_IN")
+res = det.detect()
+print(json.dumps({{
+    "seasons": [None if not np.isfinite(x) else x
+                for x in res["threshold"].tolist()],
+    "annual": (None if not np.isfinite(det.annual_thresholds_["threshold"])
+               else det.annual_thresholds_["threshold"]),
+}}))
+""")
+    df = spark.createDataFrame(pdf.assign(k="site"))
+    thr = ustar.ustar_mp_thresholds(
+        df, ["k"], "TIMESTAMP", "NEE", "TA", "USTAR", "SW_IN",
+    ).orderBy("season").toPandas()
+    got = [None if pd.isna(x) else float(x)
+           for x in thr["threshold"].tolist()]
+    want = ref["seasons"]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        if w is None:
+            assert g is None
+        else:
+            assert g == pytest.approx(w, rel=1e-12), (g, w)
+    ann = ustar.ustar_mp_annual(
+        ustar.ustar_mp_thresholds(
+            df, ["k"], "TIMESTAMP", "NEE", "TA", "USTAR", "SW_IN"),
+        ["k"]).toPandas()["ustar_threshold"].iloc[0]
+    if ref["annual"] is None:
+        assert pd.isna(ann)
+    else:
+        assert float(ann) == pytest.approx(ref["annual"], rel=1e-12)
+    assert any(w is not None for w in want)  # detection actually fired
