@@ -265,3 +265,121 @@ print(json.dumps({{
     else:
         assert float(ann) == pytest.approx(ref["annual"], rel=1e-12)
     assert any(w is not None for w in want)  # detection actually fired
+
+
+_UNC_GEN = r"""
+def make_unc_df(seed, n_days):
+    rng = np.random.default_rng(seed)
+    n = n_days * 48
+    ts = pd.date_range("2024-06-01", periods=n, freq="30min")
+    hod = ts.hour.to_numpy() + ts.minute.to_numpy() / 60.0
+    swin = np.maximum(0.0, 650 * np.sin(np.pi * (hod - 6) / 13)) \
+        + rng.uniform(0, 4, n)
+    ta = 13 + 7 * np.sin(np.pi * (hod - 8) / 14) + rng.normal(0, 1.0, n)
+    vpd_kpa = np.maximum(0.05, 0.5 + 1.4 * np.maximum(
+        0.0, np.sin(np.pi * (hod - 8) / 13)) + rng.normal(0, 0.15, n))
+    gf = 3.0 - 0.02 * swin + 0.1 * ta + rng.normal(0, 0.5, n)
+    flux = gf.copy()
+    flux[rng.random(n) < 0.25] = np.nan
+    return pd.DataFrame({"TIMESTAMP": ts, "NEE": flux, "NEE_GF": gf,
+                         "TA": ta, "VPD": vpd_kpa, "SW_IN": swin})
+"""
+
+
+def test_random_uncertainty_matches_executed_reference(spark):
+    """PAS20 4-method hierarchy vs the reference's own RandomUncertaintyPAS20
+    (methods 1-2 = ONEFlux randunc.c; 3-4 = diive extensions)."""
+    from diive_spark.operators import uncertainty as un
+    import pandas as pd
+    n_days = 20
+    pdf_code = _UNC_GEN + f"""
+import diive.flux.lowres.uncertainty as ru
+pdf = make_unc_df(77, {n_days}).set_index("TIMESTAMP")
+r = ru.RandomUncertaintyPAS20(df=pdf, fluxcol="NEE", fluxgapfilledcol="NEE_GF",
+                              tacol="TA", vpdcol="VPD", swincol="SW_IN",
+                              vpd_in_kpa=True)
+r._calc_random_uncertainty()
+res = r.randunc_results
+method = np.where(res["WINDOW_N_VALS_METHOD1"].notna(), 1,
+          np.where(res["WINDOW_N_VALS_METHOD2"].notna(), 2,
+           np.where(res["WINDOW_N_VALS_METHOD3"].notna(), 3,
+            np.where(res["WINDOW_N_VALS_METHOD4"].notna(), 4, 0))))
+unc = res["NEE_RANDUNC"]
+print(json.dumps({{
+    "unc": [None if not np.isfinite(x) else x for x in unc],
+    "method": [int(m) for m in method],
+}}))
+"""
+    ref = run_reference(pdf_code)
+    ns = {"np": np, "pd": pd}
+    exec(_UNC_GEN, ns)
+    pdf = ns["make_unc_df"](77, n_days)
+    df = spark.createDataFrame(pdf.assign(k="s"))
+    out = un.random_uncertainty_pas20(
+        df, ["k"], "TIMESTAMP", "NEE", "NEE_GF", "TA", "VPD", "SW_IN",
+        methods=(1, 2, 3, 4),
+    ).orderBy("TIMESTAMP").toPandas()
+    got_unc = out["NEE_RANDUNC"].to_numpy()
+    want_unc = np.array([np.nan if x is None else x for x in ref["unc"]])
+    assert np.allclose(got_unc, want_unc, equal_nan=True, rtol=1e-9,
+                       atol=1e-12)
+    got_method = np.where(out["RANDUNC_N_M1"].notna(), 1,
+                  np.where(out["RANDUNC_N_M2"].notna(), 2,
+                   np.where(out["RANDUNC_N_M3"].notna(), 3,
+                    np.where(out["RANDUNC_N_M4"].notna(), 4, 0))))
+    assert np.array_equal(got_method, np.array(ref["method"]))
+    served = np.array(ref["method"])
+    assert (served == 1).sum() > 100 and (served >= 2).sum() > 3
+
+
+def test_rollup_30min_matches_executed_reference(spark):
+    """resample.rollup's mean + mincounts gate vs the reference's own
+    resample_series_to_30MIN on a regular 5-min END-labelled series with
+    gaps (label-right convention, relative mincounts with the floor rule)."""
+    from diive_spark.operators import resample
+    import pandas as pd
+    gen = r"""
+def make_5min(seed, n):
+    rng = np.random.default_rng(seed)
+    ts = pd.date_range("2024-04-01 00:05", periods=n, freq="5min")
+    vals = 10 + np.sin(np.arange(n) / 30) * 4 + rng.normal(0, 0.5, n)
+    vals[rng.random(n) < 0.3] = np.nan
+    s = pd.Series(vals, index=ts, name="V")
+    s.index.name = "TIMESTAMP_END"
+    return s
+"""
+    n = 12 * 24 * 10
+    ref = run_reference(gen + f"""
+from diive.core.times.resampling import resample_series_to_30MIN
+s = make_5min(42, {n})
+out = resample_series_to_30MIN(s, agg="mean", mincounts_perc=0.9)
+print(json.dumps({{
+    "ts": [str(t) for t in out.index],
+    "v": [None if not np.isfinite(x) else x for x in out],
+}}))
+""")
+    ns = {"np": np, "pd": pd}
+    exec(gen, ns)
+    s = ns["make_5min"](42, n)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": "a", "ts": s.index, "v": s.values}))
+    # the reference's END->MIDDLE pre-shift, via the engine's convention op
+    from diive_spark.functions import timeparts
+    df = timeparts.shift_timestamp_convention(df, "ts", 300, "end", "middle")
+    out = resample.rollup(df, "ts", ["v"], "30m", key_cols=["k"],
+                          mincounts_perc=0.9, slots_per_window=6) \
+        .orderBy("window_end").toPandas()
+    got = dict(zip(out["window_end"].astype(str), out["v_mean"]))
+    want = dict(zip(ref["ts"], ref["v"]))
+    # every reference window with a PASSED gate must match exactly; gated
+    # (NaN) windows must be gated/absent on the engine side too
+    n_compared = 0
+    for t, wv in want.items():
+        gv = got.get(t)
+        if wv is None:
+            assert gv is None or pd.isna(gv), t
+        else:
+            assert gv is not None and not pd.isna(gv), t
+            assert gv == pytest.approx(wv, rel=1e-12), t
+            n_compared += 1
+    assert n_compared > 100
