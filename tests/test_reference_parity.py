@@ -383,3 +383,34 @@ print(json.dumps({{
             assert gv == pytest.approx(wv, rel=1e-12), t
             n_compared += 1
     assert n_compared > 100
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_ustar_vekuri_matches_executed_reference(spark, seed):
+    from diive_spark.operators import ustar
+    import pandas as pd
+    n_days = 180
+    pdf = _exec_ustar_gen(seed, n_days)
+    ref = run_reference(_USTAR_GEN + f"""
+from diive.flux.lowres.ustar_vekuri_detection import UstarVekuriThresholdDetection
+pdf = make_ustar_df({seed}, {n_days})
+det = UstarVekuriThresholdDetection(df=pdf.set_index("TIMESTAMP"),
+                                    nee_col="NEE", ta_col="TA",
+                                    ustar_col="USTAR", swin_col="SW_IN")
+res = det.detect()
+print(json.dumps({{"seasons": [None if not np.isfinite(x) else x
+                              for x in res["threshold"].tolist()]}}))
+""")
+    df = spark.createDataFrame(pdf.assign(k="site"))
+    thr = ustar.ustar_vekuri_thresholds(
+        df, ["k"], "TIMESTAMP", "NEE", "TA", "USTAR", swin_col="SW_IN",
+    ).orderBy("season").toPandas()
+    got = [None if pd.isna(x) else float(x) for x in thr["threshold"]]
+    want = ref["seasons"]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        if w is None:
+            assert g is None
+        else:
+            assert g == pytest.approx(w, rel=1e-12), (g, w)
+    assert any(w is not None for w in want)
