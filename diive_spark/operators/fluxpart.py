@@ -451,6 +451,28 @@ def _fit_lrc_afix(nee, rg, tfac, vpd, alpha, x0, with_vpd):
                            SIGM_LLOYDVPD_AFIX if with_vpd else SIGM_LLOYD_AFIX)
 
 
+SIGM_LLOYDTEMP = (800.0, 1000.0)   # (rref, e0) priors, ONEFlux
+E0_WINDOW_GUESS = 100.0            # FGUESS0[4]
+
+
+def _fit_lloydtemp(nee, bvec, rb):
+    """Per-window nighttime Lloyd-Taylor fit R = rref·exp(E0·b)
+    (reference daytime_oneflux.py:436-443 ``LloydTemp``): nonlinear,
+    prior-penalized, start (rb, 100). Returns (rref, e0) or None."""
+    def model(q):
+        r, e0 = q
+        return r * np.exp(e0 * bvec)
+
+    def jac(q):
+        r, e0 = q
+        e = np.exp(e0 * bvec)
+        return np.column_stack([e, r * bvec * e])
+
+    p, _rmse = _lm_fit_generic(model, jac, nee, (rb, E0_WINDOW_GUESS),
+                               SIGM_LLOYDTEMP)
+    return None if p is None else (float(p[0]), float(p[1]))
+
+
 def _params_valid(a, b, k, r):
     """Window acceptance (reference ``_check_parameters``,
     daytime_oneflux.py:311): 0 ≤ α ≤ 0.22, 0 ≤ β ≤ 250, k ≥ 0, Rref > 0.
@@ -461,7 +483,8 @@ def _params_valid(a, b, k, r):
 
 def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
                     winsize_days=LRC_WINSIZE_DAYS, step_days=LRC_STEP_DAYS,
-                    min_day_entries=LRC_MIN_DAY_ENTRIES, ts=None):
+                    min_day_entries=LRC_MIN_DAY_ENTRIES, ts=None,
+                    e0_ctx=None):
     """Per-window LRC fits with the ONEFlux degenerate-parameter fallback
     cascade (reference daytime_oneflux.py:375 ``_estimate_parasets``):
 
@@ -475,12 +498,26 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
     winner fails the validity bounds are dropped. ``vpd=None`` skips the
     VPD model entirely (the engine's pre-round-4 behaviour).
 
-    Returns (P, centers, models): P rows = (alpha, beta, k, rref); models =
-    0 full VPD, 1 no-VPD, 2 alpha-fixed no-VPD, 3 alpha-fixed VPD,
-    4 respiration-only. Pure numpy — unit-testable without Spark."""
-    params, centers, models = [], [], []
+    ``e0_ctx=(bvec, night_valid, min_night_entries)`` switches E0 to the
+    ONEFlux PER-WINDOW refit (daytime_oneflux.py:398-455 stage A): each
+    window's E0 comes from a nonlinear prior-penalized Lloyd-Taylor fit on
+    the surrounding ~12-day nighttime data (window i-2..i+2, clipped to
+    the record ends), with the ONEFlux fallback chain — too few nighttime
+    rows (<= min_night_entries) or E0 outside [50, 400] falls back to the
+    previous accepted window's E0 (bound-clamped when there is none).
+    ``tfac`` is ignored in that mode (recomputed per window from bvec).
+
+    Returns (P, centers, models, e0s): P rows = (alpha, beta, k, rref);
+    models = 0 full VPD, 1 no-VPD, 2 alpha-fixed no-VPD, 3 alpha-fixed
+    VPD, 4 respiration-only; e0s = the E0 used by each accepted window.
+    Pure numpy — unit-testable without Spark."""
+    params, centers, models, e0s = [], [], [], []
     if ts is None:
         ts = day0.astype(np.float64)
+    if e0_ctx is not None:
+        bvec, night_valid, min_night = e0_ctx
+        n_windows = int(day0.max()) // step_days + 1
+        max_day = int(day0.max())
 
     def resp_only(nee_w, tfac_w):
         den = float(tfac_w @ tfac_w)
@@ -489,10 +526,31 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
         r = float(tfac_w @ nee_w) / den
         return r
 
-    for start in range(0, int(day0.max()) + 1, step_days):
+    for wi, start in enumerate(range(0, int(day0.max()) + 1, step_days)):
         m = day_valid & (day0 >= start) & (day0 < start + winsize_days)
         if m.sum() < min_day_entries:
             continue
+        if e0_ctx is not None:
+            # ~12-day surrounding nighttime window (i-2 .. i+2, clipped to
+            # the record ends exactly as the reference clips day_begin2/2)
+            nb = 0 if wi <= 1 else (wi - 2) * step_days
+            ne = max_day if wi >= n_windows - 2                 else (wi + 2) * step_days + winsize_days
+            nmask = night_valid & (day0 >= nb) & (day0 < ne)
+            e0_w = None
+            if nmask.sum() > min_night:
+                rb = float(nee[nmask].mean())
+                fit = _fit_lloydtemp(nee[nmask], bvec[nmask], rb)
+                if fit is not None and 50.0 <= fit[1] <= 400.0:
+                    e0_w = fit[1]
+                elif fit is not None:
+                    # out-of-bounds: previous accepted window, else clamp
+                    e0_w = (e0s[-1] if e0s
+                            else min(max(fit[1], 50.0), 400.0))
+            if e0_w is None:
+                if not e0s:
+                    continue  # no nighttime signal yet: window dropped
+                e0_w = e0s[-1]
+            tfac = np.exp(e0_w * bvec)
         nee_w, rg_w, tfac_w = nee[m], rg[m], tfac[m]
         vpd_w = vpd[m] if vpd is not None else None
         prev_alpha = params[-1][0] if params else None
@@ -566,9 +624,11 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
         params.append(best[1])
         centers.append(float(ts[m].mean()))
         models.append(best[2])
+        e0s.append(float(e0_w) if e0_ctx is not None else np.nan)
     return (np.asarray(params, dtype=np.float64).reshape(-1, 4),
             np.asarray(centers, dtype=np.float64),
-            np.asarray(models, dtype=np.int64))
+            np.asarray(models, dtype=np.int64),
+            np.asarray(e0s, dtype=np.float64))
 
 
 def partition_nee_daytime(
@@ -577,6 +637,7 @@ def partition_nee_daytime(
     vpd_col: str | None = None,
     winsize_days: int = LRC_WINSIZE_DAYS, step_days: int = LRC_STEP_DAYS,
     min_day_entries: int = LRC_MIN_DAY_ENTRIES,
+    e0_mode: str = "global",
     reco_col: str = "RECO_DT", gpp_col: str = "GPP_DT",
 ):
     """Daytime flux partitioning — the Lasslop et al. (2010) / ONEFlux
@@ -598,11 +659,17 @@ def partition_nee_daytime(
       and combined with linear distance weights (constant beyond the
       first/last window) — the reference's compute_flux two-window scheme.
 
-    Documented simplifications vs the ONEFlux port: ONE nighttime E0 per
-    key (log-space Lloyd-Taylor fit on Rg<=4 records, as in the nighttime
-    method) instead of a per-window ~12-day E0 refit; fits are unweighted
-    (no uncertainty-gap-fill sigma) and use a hand-rolled LM instead of
-    scipy leastsq.
+    ``e0_mode``: ``'global'`` (default — ONE nighttime E0 per key,
+    closed-form log-space fit, SQL-replayable; the driver gate runs this)
+    or ``'per_window'`` — the ONEFlux per-window E0 refit
+    (daytime_oneflux.py:398-455): each window's E0 from a nonlinear
+    prior-penalized Lloyd-Taylor fit on the surrounding ~12-day nighttime
+    data with the previous-window / bound-clamp fallback chain, and RECO
+    evaluated under each window's own E0 in the two-window interpolation.
+
+    Remaining documented simplification vs the ONEFlux port: fits are
+    unweighted (no uncertainty-gap-fill sigma) and use a hand-rolled LM
+    instead of scipy leastsq.
 
     Execution: one grouped map per key (windows are bounded slices of a
     per-key series; the LM solves are <=4x4). Appends RECO_DT, GPP_DT and
@@ -644,7 +711,7 @@ def partition_nee_daytime(
                  & (rg <= RG_NIGHT_MAX) & (nee > 0))
         bvec = 1.0 / (TREF_K - T0_K) - 1.0 / (ta + 273.15 - T0_K)
         e0 = np.nan
-        if night.sum() >= 24:
+        if e0_mode != "per_window" and night.sum() >= 24:
             # closed-form simple regression (not lstsq/SVD): the exact same
             # sum formula a SQL oracle computes, so the driver gate can
             # replay the E0 fit value-for-value
@@ -657,27 +724,30 @@ def partition_nee_daytime(
                 slope = (nn * sxy - sx * sy) / denom
                 if np.isfinite(slope) and 50.0 <= slope <= 400.0:
                     e0 = float(slope)
-        if not np.isfinite(e0):
+        if e0_mode != "per_window" and not np.isfinite(e0):
             out[reco_col], out[gpp_col], out["E0_DT"] = nanv, nanv, nanv
             return out
 
-        tfac_all = np.exp(e0 * bvec)
+        tfac_all = np.exp(e0 * bvec) if e0_mode != "per_window" else None
         day_valid = (np.isfinite(nee) & np.isfinite(ta) & np.isfinite(rg)
                      & (rg > RG_NIGHT_MAX))
         if vpd is not None:
             day_valid &= np.isfinite(vpd)
         day0 = np.floor((ts - ts[0]) / 86400.0).astype(np.int64)
-        P, C, _models = fit_lrc_windows(
+        e0_ctx = ((bvec, night, 10) if e0_mode == "per_window" else None)
+        P, C, _models, E0s = fit_lrc_windows(
             nee, rg, tfac_all, vpd, day0, day_valid,
             winsize_days=winsize_days, step_days=step_days,
-            min_day_entries=min_day_entries, ts=ts)
+            min_day_entries=min_day_entries, ts=ts, e0_ctx=e0_ctx)
         if len(P) == 0:
             out[reco_col], out[gpp_col], out["E0_DT"] = nanv, nanv, nanv
             return out
 
         def flux_under(pi):
             a, b, k, r = P[pi]
-            reco = r * tfac_all
+            tf = (np.exp(E0s[pi] * bvec) if e0_mode == "per_window"
+                  else tfac_all)
+            reco = r * tf
             beff = b * _fvpd(vpd, k) if vpd is not None else np.full(n, b)
             num = a * beff * rg
             den = a * rg + beff
@@ -705,7 +775,15 @@ def partition_nee_daytime(
         gpp[bad] = np.nan
         out[reco_col] = reco
         out[gpp_col] = gpp
-        out["E0_DT"] = e0
+        if e0_mode == "per_window":
+            e0_rec = np.zeros(n)
+            for pi in range(len(C)):
+                lw, rw = (left == pi), (right == pi)
+                e0_rec += np.where(lw, (1 - wgt) * E0s[pi], 0.0) \
+                    + np.where(rw, wgt * E0s[pi], 0.0)
+            out["E0_DT"] = e0_rec
+        else:
+            out["E0_DT"] = e0
         return out
 
     parts = work.groupBy(*key_cols).applyInPandas(

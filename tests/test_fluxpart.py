@@ -226,7 +226,7 @@ def _window_inputs(pdf, e0=140.0):
 def test_fit_lrc_windows_recovers_k():
     pdf = make_daytime_data_vpd(k=0.08, noise=0.1)
     nee, rg, tfac, day0, day_valid = _window_inputs(pdf)
-    P, C, models = fluxpart.fit_lrc_windows(
+    P, C, models, _e0s = fluxpart.fit_lrc_windows(
         nee, rg, tfac, pdf["VPD"].to_numpy(float), day0, day_valid)
     assert len(P) > 10
     # most windows keep the full VPD model and recover k near the plant
@@ -248,7 +248,7 @@ def test_fit_lrc_windows_k_negative_drops_vpd_term():
            - pdf["GPP_TRUE"].to_numpy() * boost)
     nee_pdf = pdf.assign(NEE=nee)
     nee_arr, rg, tfac, day0, day_valid = _window_inputs(nee_pdf)
-    P, C, models = fluxpart.fit_lrc_windows(
+    P, C, models, _e0s = fluxpart.fit_lrc_windows(
         nee_arr, rg, tfac, pdf["VPD"].to_numpy(float), day0, day_valid)
     assert len(P) > 5
     assert np.all(P[:, 2] >= 0.0)           # no negative k survives
@@ -263,7 +263,7 @@ def test_fit_lrc_windows_respiration_only_fallback():
         + np.random.default_rng(0).normal(0, 0.1, len(pdf))
     nee_pdf = pdf.assign(NEE=nee)
     nee_arr, rg, tfac, day0, day_valid = _window_inputs(nee_pdf)
-    P, C, models = fluxpart.fit_lrc_windows(
+    P, C, models, _e0s = fluxpart.fit_lrc_windows(
         nee_arr, rg, tfac, pdf["VPD"].to_numpy(float), day0, day_valid)
     assert len(P) > 5
     assert (models == 4).mean() > 0.5
@@ -275,3 +275,31 @@ def test_fit_lrc_windows_respiration_only_fallback():
     # positive and bounded
     assert np.all(P[m4, 3] > 0)
     assert 2.5 < np.median(P[m4, 3]) < 8.0
+
+
+def test_daytime_per_window_e0_tracks_drifting_sensitivity(spark):
+    """ONEFlux per-window E0 refit: plant a temperature sensitivity that
+    CHANGES mid-record — per-window E0 must track both regimes (a single
+    global E0 cannot), and GPP must stay accurate in both halves."""
+    half_days = 24
+    p1 = make_daytime_data_vpd(n_days=half_days, k=0.0, e0=90.0, seed=2)
+    p2 = make_daytime_data_vpd(n_days=half_days, k=0.0, e0=220.0, seed=4)
+    p2 = p2.assign(ts=p2["ts"] + pd.Timedelta(days=half_days))
+    pdf = pd.concat([p1, p2], ignore_index=True)
+    out = fluxpart.partition_nee_daytime(
+        spark.createDataFrame(pdf), ["site"], "ts", "NEE", "TA", "SW_IN",
+        vpd_col="VPD", e0_mode="per_window",
+    ).orderBy("ts").toPandas()
+    ok = out["E0_DT"].notna() & (out["E0_DT"] > 0)
+    assert ok.mean() > 0.9
+    n_half = half_days * 48
+    e0_first = out.loc[: n_half - 1, "E0_DT"].iloc[100: n_half - 300].median()
+    e0_second = out.loc[n_half:, "E0_DT"].iloc[300:-100].median()
+    assert abs(e0_first - 90.0) < 40.0, e0_first
+    assert abs(e0_second - 220.0) < 60.0, e0_second
+    assert e0_second - e0_first > 60.0  # the drift is resolved
+    day = (pdf["GPP_TRUE"].to_numpy() > 2.0) & out["GPP_DT"].notna().to_numpy()
+    rel = (np.abs(out.loc[day, "GPP_DT"].to_numpy()
+                  - pdf.loc[day, "GPP_TRUE"].to_numpy())
+           / pdf.loc[day, "GPP_TRUE"].to_numpy())
+    assert np.median(rel) < 0.2
