@@ -314,7 +314,7 @@ def _fvpd(vpd, k):
         return np.minimum(np.exp(-k * (vpd - VPD0_HPA)), 1.0)
 
 
-def _lm_fit_generic(model, jac, nee, x0, sigm, n_iter=60):
+def _lm_fit_generic(model, jac, nee, x0, sigm, sigd=None, n_iter=60):
     """Prior-penalized damped Gauss-Newton (LM) with an analytic Jacobian.
     The ONEFlux daytime fits are UNCONSTRAINED but penalized: the residual
     vector is augmented with (par - mprior)/sigm, mprior = the starting
@@ -327,9 +327,15 @@ def _lm_fit_generic(model, jac, nee, x0, sigm, n_iter=60):
     p = np.asarray(x0, dtype=np.float64).copy()
     mprior = np.asarray(x0, dtype=np.float64).copy()
     inv_sigm = 1.0 / np.asarray(sigm, dtype=np.float64)
+    # per-record data sigma (ONEFlux sigd, _nlinlts2: r = (dep - pred)/sigd);
+    # None = unweighted. A tiny floor guards degenerate zero-SD pools.
+    inv_sigd = (1.0 / np.maximum(np.asarray(sigd, dtype=np.float64), 1e-9)
+                if sigd is not None else None)
 
     def objective(q):
         d = model(q) - nee
+        if inv_sigd is not None:
+            d = d * inv_sigd
         d = d[np.isfinite(d)]
         if d.size != len(nee):
             return np.inf, np.inf
@@ -343,6 +349,9 @@ def _lm_fit_generic(model, jac, nee, x0, sigm, n_iter=60):
     for _ in range(n_iter):
         J = jac(p)
         res = model(p) - nee
+        if inv_sigd is not None:
+            J = J * inv_sigd[:, None]
+            res = res * inv_sigd
         if not (np.all(np.isfinite(J)) and np.all(np.isfinite(res))):
             break
         J = np.vstack([J, np.diag(inv_sigm)])
@@ -370,7 +379,7 @@ def _lm_fit_generic(model, jac, nee, x0, sigm, n_iter=60):
     return p, math.sqrt(best_data / len(nee))
 
 
-def _fit_lrc_vpd(nee, rg, tfac, vpd, x0):
+def _fit_lrc_vpd(nee, rg, tfac, vpd, x0, sigd=None):
     """4-param HLRC_LloydVPD fit: NEE = -a·B·Rg/(a·Rg+B) + r·tfac with
     B = b·f(VPD) (reference daytime_oneflux.py:141 ``_hlrc_lloydvpd``)."""
     def parts(q):
@@ -396,10 +405,10 @@ def _fit_lrc_vpd(nee, rg, tfac, vpd, x0):
         dfv_dk = np.where(active, -(vpd - VPD0_HPA) * fv, 0.0)
         return np.column_stack([dA, dB * fv, dB * b * dfv_dk, tfac])
 
-    return _lm_fit_generic(model, jac, nee, x0, SIGM_LLOYDVPD)
+    return _lm_fit_generic(model, jac, nee, x0, SIGM_LLOYDVPD, sigd)
 
 
-def _fit_lrc_novpd(nee, rg, tfac, x0):
+def _fit_lrc_novpd(nee, rg, tfac, x0, sigd=None):
     """3-param HLRC_Lloyd fit (unconstrained — cascade variant of
     ``_lm_fit_lrc``; reference daytime_oneflux.py:135)."""
     def model(q):
@@ -415,10 +424,10 @@ def _fit_lrc_novpd(nee, rg, tfac, x0):
             tfac,
         ])
 
-    return _lm_fit_generic(model, jac, nee, x0, SIGM_LLOYD)
+    return _lm_fit_generic(model, jac, nee, x0, SIGM_LLOYD, sigd)
 
 
-def _fit_lrc_afix(nee, rg, tfac, vpd, alpha, x0, with_vpd):
+def _fit_lrc_afix(nee, rg, tfac, vpd, alpha, x0, with_vpd, sigd=None):
     """alpha-fixed variants: HLRC_Lloyd_afix (b, r) / HLRC_LloydVPD_afix
     (b, k, r) (reference daytime_oneflux.py:149,155)."""
     if with_vpd:
@@ -448,7 +457,8 @@ def _fit_lrc_afix(nee, rg, tfac, vpd, alpha, x0, with_vpd):
                 [-(alpha * alpha) * (rg * rg) / (den * den), tfac])
 
     return _lm_fit_generic(model, jac, nee, x0,
-                           SIGM_LLOYDVPD_AFIX if with_vpd else SIGM_LLOYD_AFIX)
+                           SIGM_LLOYDVPD_AFIX if with_vpd else SIGM_LLOYD_AFIX,
+                           sigd)
 
 
 SIGM_LLOYDTEMP = (800.0, 1000.0)   # (rref, e0) priors, ONEFlux
@@ -484,7 +494,7 @@ def _params_valid(a, b, k, r):
 def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
                     winsize_days=LRC_WINSIZE_DAYS, step_days=LRC_STEP_DAYS,
                     min_day_entries=LRC_MIN_DAY_ENTRIES, ts=None,
-                    e0_ctx=None):
+                    e0_ctx=None, sigd=None):
     """Per-window LRC fits with the ONEFlux degenerate-parameter fallback
     cascade (reference daytime_oneflux.py:375 ``_estimate_parasets``):
 
@@ -519,12 +529,13 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
         n_windows = int(day0.max()) // step_days + 1
         max_day = int(day0.max())
 
-    def resp_only(nee_w, tfac_w):
-        den = float(tfac_w @ tfac_w)
+    def resp_only(nee_w, tfac_w, sigd_w):
+        wgt = (1.0 / np.maximum(sigd_w, 1e-9) ** 2
+               if sigd_w is not None else np.ones_like(tfac_w))
+        den = float((tfac_w * tfac_w * wgt).sum())
         if den <= 0:
             return None
-        r = float(tfac_w @ nee_w) / den
-        return r
+        return float((tfac_w * nee_w * wgt).sum()) / den
 
     for wi, start in enumerate(range(0, int(day0.max()) + 1, step_days)):
         m = day_valid & (day0 >= start) & (day0 < start + winsize_days)
@@ -553,6 +564,13 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
             tfac = np.exp(e0_w * bvec)
         nee_w, rg_w, tfac_w = nee[m], rg[m], tfac[m]
         vpd_w = vpd[m] if vpd is not None else None
+        sigd_w = None
+        if sigd is not None:
+            sigd_w = np.asarray(sigd, dtype=np.float64)[m].copy()
+            # ONEFlux rule (daytime_oneflux.py:414-417): any undefined
+            # sigma in the window -> ALL weights 1 for that window
+            if not np.all(np.isfinite(sigd_w)):
+                sigd_w = None
         prev_alpha = params[-1][0] if params else None
         best = None  # (rmse, (a, b, k, r), model)
         for f in LRC_BETA_FACTORS:
@@ -562,7 +580,7 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
             if vpd_w is not None:
                 p4, rmse = _fit_lrc_vpd(
                     nee_w, rg_w, tfac_w, vpd_w,
-                    (LRC_GUESS[0], beta0, 0.0, LRC_GUESS[2]))
+                    (LRC_GUESS[0], beta0, 0.0, LRC_GUESS[2]), sigd=sigd_w)
                 if p4 is not None:
                     a, b, k, r = p4
                     wm = 0
@@ -570,14 +588,16 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
                         p4 = None
                 if p4 is None:
                     p3, rmse = _fit_lrc_novpd(
-                        nee_w, rg_w, tfac_w, (LRC_GUESS[0], beta0, LRC_GUESS[2]))
+                        nee_w, rg_w, tfac_w, (LRC_GUESS[0], beta0, LRC_GUESS[2]),
+                        sigd=sigd_w)
                     if p3 is None:
                         continue
                     a, b, r = p3
                     k, wm = 0.0, 1
             else:
                 p3, rmse = _fit_lrc_novpd(
-                    nee_w, rg_w, tfac_w, (LRC_GUESS[0], beta0, LRC_GUESS[2]))
+                    nee_w, rg_w, tfac_w, (LRC_GUESS[0], beta0, LRC_GUESS[2]),
+                    sigd=sigd_w)
                 if p3 is None:
                     continue
                 a, b, r = p3
@@ -587,14 +607,16 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
                 if vpd_w is not None and wm == 0:
                     pf, rmse = _fit_lrc_afix(
                         nee_w, rg_w, tfac_w, vpd_w, prev_alpha,
-                        (beta0, 0.0, LRC_GUESS[2]), with_vpd=True)
+                        (beta0, 0.0, LRC_GUESS[2]), with_vpd=True,
+                        sigd=sigd_w)
                     if pf is not None and pf[1] >= 0:
                         b, k, r = pf
                         a, wm = prev_alpha, 3
                     else:  # k went negative again: alpha-fixed, no VPD
                         pf, rmse = _fit_lrc_afix(
                             nee_w, rg_w, tfac_w, None, prev_alpha,
-                            (beta0, LRC_GUESS[2]), with_vpd=False)
+                            (beta0, LRC_GUESS[2]), with_vpd=False,
+                            sigd=sigd_w)
                         if pf is None:
                             continue
                         b, r = pf
@@ -602,14 +624,14 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
                 else:
                     pf, rmse = _fit_lrc_afix(
                         nee_w, rg_w, tfac_w, None, prev_alpha,
-                        (beta0, LRC_GUESS[2]), with_vpd=False)
+                        (beta0, LRC_GUESS[2]), with_vpd=False, sigd=sigd_w)
                     if pf is None:
                         continue
                     b, r = pf
                     a, k, wm = prev_alpha, 0.0, 2
             # light response collapsed: respiration-only window
             if a < 0 or b < 0:
-                r0 = resp_only(nee_w, tfac_w)
+                r0 = resp_only(nee_w, tfac_w, sigd_w)
                 if r0 is None:
                     continue
                 a, b, k, r, wm = 0.0, 0.0, 0.0, r0, 4
@@ -638,6 +660,7 @@ def partition_nee_daytime(
     winsize_days: int = LRC_WINSIZE_DAYS, step_days: int = LRC_STEP_DAYS,
     min_day_entries: int = LRC_MIN_DAY_ENTRIES,
     e0_mode: str = "global",
+    weighted: bool = False,
     reco_col: str = "RECO_DT", gpp_col: str = "GPP_DT",
 ):
     """Daytime flux partitioning — the Lasslop et al. (2010) / ONEFlux
@@ -667,9 +690,16 @@ def partition_nee_daytime(
     data with the previous-window / bound-clamp fallback chain, and RECO
     evaluated under each window's own E0 in the two-window interpolation.
 
-    Remaining documented simplification vs the ONEFlux port: fits are
-    unweighted (no uncertainty-gap-fill sigma) and use a hand-rolled LM
-    instead of scipy leastsq.
+    ``weighted=True`` reproduces the ONEFlux sigma weighting: per-record
+    NEE uncertainty from the MDS cascade in its uncertainty mode
+    (operators/mds.py fill_all, min_samples=10 — the engine's
+    _uncert_via_gapfill analogue, daytime_oneflux.py:344) divides the fit
+    residuals; windows containing any undefined sigma fall back to unit
+    weights (the reference's rule). Requires ``vpd_col``.
+
+    Remaining documented simplification vs the ONEFlux port: the LM is
+    hand-rolled (not scipy leastsq) and the MDS sigma runs in float64
+    (the reference keeps ONEFlux's float32 boundary behaviour).
 
     Execution: one grouped map per key (windows are bounded slices of a
     per-key series; the LM solves are <=4x4). Appends RECO_DT, GPP_DT and
@@ -735,10 +765,23 @@ def partition_nee_daytime(
             day_valid &= np.isfinite(vpd)
         day0 = np.floor((ts - ts[0]) / 86400.0).astype(np.int64)
         e0_ctx = ((bvec, night, 10) if e0_mode == "per_window" else None)
+        sigd = None
+        if weighted:
+            if vpd is None:
+                raise ValueError("weighted fits need vpd_col (MDS drivers)")
+            from diive_spark.operators.mds import mds_cascade_arrays
+            dt = np.median(np.diff(ts)) if n > 1 else 1800.0
+            nperday = max(int(round(86400.0 / dt)), 1)
+            hr_arr = (pdf["_ts"].dt.hour.to_numpy()
+                      + pdf["_ts"].dt.minute.to_numpy() / 60.0)
+            unc = mds_cascade_arrays(nee, rg, ta, vpd, hr_arr, nperday,
+                                     min_samples=10, fill_all=True)
+            sigd = unc["sd"]
         P, C, _models, E0s = fit_lrc_windows(
             nee, rg, tfac_all, vpd, day0, day_valid,
             winsize_days=winsize_days, step_days=step_days,
-            min_day_entries=min_day_entries, ts=ts, e0_ctx=e0_ctx)
+            min_day_entries=min_day_entries, ts=ts, e0_ctx=e0_ctx,
+            sigd=sigd)
         if len(P) == 0:
             out[reco_col], out[gpp_col], out["E0_DT"] = nanv, nanv, nanv
             return out

@@ -303,3 +303,33 @@ def test_daytime_per_window_e0_tracks_drifting_sensitivity(spark):
                   - pdf.loc[day, "GPP_TRUE"].to_numpy())
            / pdf.loc[day, "GPP_TRUE"].to_numpy())
     assert np.median(rel) < 0.2
+
+
+def test_daytime_weighted_fits_with_mds_sigma(spark):
+    """ONEFlux sigma weighting: heteroscedastic noise (afternoon noise 6x)
+    with the MDS-uncertainty weights — the weighted fit must still recover
+    the planted model, and at least match the unweighted GPP accuracy."""
+    pdf = make_daytime_data_vpd(k=0.05, noise=0.15, seed=8)
+    hod = pdf["ts"].dt.hour.to_numpy() + pdf["ts"].dt.minute.to_numpy() / 60.0
+    extra = np.where((hod >= 12) & (hod < 17), 1.0, 0.0)
+    rng = np.random.default_rng(1)
+    pdf = pdf.assign(NEE=pdf["NEE"] + rng.normal(0, 0.9, len(pdf)) * extra)
+    sdf = spark.createDataFrame(pdf)
+    wtd = fluxpart.partition_nee_daytime(
+        sdf, ["site"], "ts", "NEE", "TA", "SW_IN", vpd_col="VPD",
+        weighted=True, gpp_col="GPP_W", reco_col="RECO_W",
+    ).orderBy("ts").toPandas()
+    unw = fluxpart.partition_nee_daytime(
+        sdf, ["site"], "ts", "NEE", "TA", "SW_IN", vpd_col="VPD",
+        gpp_col="GPP_U", reco_col="RECO_U",
+    ).orderBy("ts").toPandas()
+    day = (pdf["GPP_TRUE"].to_numpy() > 2.0)
+    okw = wtd["GPP_W"].notna().to_numpy() & day
+    oku = unw["GPP_U"].notna().to_numpy() & day
+    assert okw.mean() > 0.3 and oku.mean() > 0.3
+    err_w = np.median(np.abs(wtd.loc[okw, "GPP_W"].to_numpy()
+                             - pdf.loc[okw, "GPP_TRUE"].to_numpy()))
+    err_u = np.median(np.abs(unw.loc[oku, "GPP_U"].to_numpy()
+                             - pdf.loc[oku, "GPP_TRUE"].to_numpy()))
+    assert err_w < 1.0          # recovers the planted model
+    assert err_w <= err_u * 1.1  # weighting never hurts here
