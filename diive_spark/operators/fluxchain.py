@@ -249,21 +249,31 @@ def run_level41(
     interp_limit: int = 3,
     window_tiers: list[int] = (5, 13, 49),
     model_features: list[str] | None = None,
+    model: str = "linear",
 ) -> DataFrame:
     """Level-4.1 gap-filling per scenario (level41.py:125): cascade
-    (interp + rolling-median tiers) then the closed-form model fill on
-    timestamp features [+ drivers] for what remains — the engine's stand-in
-    for MDS/RF (same flag model, observed never overwritten). Appends
-    ``{scenario}_L41`` plus per-scenario flag columns."""
+    (interp + rolling-median tiers) then a model fill for what remains
+    (same flag model, observed never overwritten). ``model`` picks the
+    leftover-filler: ``'linear'`` (closed-form, default),
+    ``'random_forest'`` / ``'gbt'`` (Spark MLlib tree ensembles,
+    operators/mlfill.py — the reference chain's RandomForestTS class of
+    fill). Appends ``{scenario}_L41`` plus per-scenario flag columns."""
     out = df
     for sc in scenario_cols:
         filled = gapfill.gapfill_cascade(
             out, key_cols, ts_col, sc, tier_seconds=tier_seconds,
             interp_limit=interp_limit, window_tiers=list(window_tiers),
         )
-        filled = gapfill.linear_model_fill(
-            filled, key_cols, ts_col, sc, feature_cols=model_features,
-        )
+        if model == "linear":
+            filled = gapfill.linear_model_fill(
+                filled, key_cols, ts_col, sc, feature_cols=model_features,
+            )
+        else:
+            from diive_spark.operators.mlfill import tree_model_fill
+            filled = tree_model_fill(
+                filled, key_cols, ts_col, sc, feature_cols=model_features,
+                model=model,
+            )
         out = (
             filled.withColumnRenamed("filled", f"{sc}_L41")
             .withColumnRenamed("fill_flag", f"FLAG_L41_{sc}_FILL")

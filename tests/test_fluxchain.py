@@ -122,3 +122,28 @@ def test_levels_are_pure_and_composable(spark, fluxdata):
     pz = z.select("NEE", "NEE_L31").toPandas()
     nn = pz["NEE"].notna()
     np.testing.assert_allclose(pz.loc[nn, "NEE_L31"], pz.loc[nn, "NEE"], rtol=0)
+
+
+def test_level41_tree_model_fills_leftovers(spark):
+    import pandas as pd
+    import numpy as np
+    from diive_spark.operators import fluxchain
+    rng = np.random.default_rng(6)
+    n = 48 * 12
+    ts = pd.date_range("2023-06-01", periods=n, freq="30min")
+    hod = ts.hour.to_numpy() + ts.minute.to_numpy() / 60.0
+    truth = 4 + 3 * np.sin(2 * np.pi * hod / 24)
+    vals = truth + rng.normal(0, 0.3, n)
+    # a long gap the cascade can't fully serve -> model fill takes over
+    vals[200:340] = np.nan
+    vals[rng.random(n) < 0.05] = np.nan
+    df = spark.createDataFrame(pd.DataFrame({
+        "site": "s", "ts": ts, "NEE_CUT_50": vals}))
+    out = fluxchain.run_level41(
+        df, ["site"], "ts", ["NEE_CUT_50"], model="random_forest",
+    ).toPandas()
+    assert out["NEE_CUT_50_L41"].notna().all()
+    flags = out["FLAG_L41_NEE_CUT_50_FILL"]
+    assert (flags == 4).sum() > 50       # tree model served the long gap
+    filled_long = out.loc[200:339, "NEE_CUT_50_L41"].to_numpy()
+    assert np.median(np.abs(filled_long - truth[200:340])) < 1.0
