@@ -414,3 +414,93 @@ print(json.dumps({{"seasons": [None if not np.isfinite(x) else x
         else:
             assert g == pytest.approx(w, rel=1e-12), (g, w)
     assert any(w is not None for w in want)
+
+
+def test_histogram_matches_executed_reference(spark):
+    """n_bins + uniques binning and the top-5 peakbins vs the reference's
+    own Histogram class on identical values."""
+    from diive_spark.operators import sstats
+    import pandas as pd
+    gen = r"""
+def make_vals(seed, n):
+    rng = np.random.default_rng(seed)
+    v = np.concatenate([rng.normal(10, 2, n // 2), rng.normal(20, 1, n // 2)])
+    v[rng.random(n) < 0.03] = np.nan
+    return v
+"""
+    n = 4000
+    ref = run_reference(gen + f"""
+from diive.analysis.histogram import Histogram
+v = make_vals(12, {n})
+h = Histogram(series=pd.Series(v, name="x"), method="n_bins", n_bins=15)
+u = Histogram(series=pd.Series(v, name="x"), method="uniques")
+print(json.dumps({{
+    "starts": h.results["BIN_START_INCL"].tolist(),
+    "counts": h.results["COUNTS"].tolist(),
+    "peakbins": h.peakbins,
+    "n_uniques": len(u.results),
+    "uniq_total": int(u.results["COUNTS"].sum()),
+}}))
+""")
+    ns = {"np": np}
+    exec(gen, ns)
+    v = ns["make_vals"](12, n)
+    df = spark.createDataFrame(pd.DataFrame({"x": v}))
+    got = sstats.histogram(df, "x", method="n_bins", n_bins=15) \
+        .orderBy("bin").toPandas()
+    assert np.allclose(got["bin_start"].to_numpy(), ref["starts"], rtol=1e-12)
+    assert got["counts"].tolist() == ref["counts"]
+    pb = sstats.peak_bins(
+        sstats.histogram(df, "x", method="n_bins", n_bins=15), k=5
+    ).toPandas()["bin_start"].tolist()
+    # tie order within equal counts is unspecified on both sides
+    assert np.allclose(sorted(pb), sorted(ref["peakbins"]), rtol=1e-12)
+    # reference 'uniques' = np.histogram over unique-value EDGES: len is
+    # (#distinct - 1) with the last two values sharing a bin; the engine's
+    # cleaner per-value counts derive it exactly
+    uq = sstats.histogram(df, "x", method="uniques").toPandas()
+    uq = uq[uq["bin_value"].notna() & ~np.isnan(uq["bin_value"])]
+    assert len(uq) == ref["n_uniques"] + 1
+    assert int(uq["counts"].sum()) == ref["uniq_total"]
+
+
+def test_diel_cycle_matches_executed_reference(spark):
+    from diive_spark.operators import resample
+    import pandas as pd
+    gen = r"""
+def make_diel(seed, n):
+    rng = np.random.default_rng(seed)
+    ts = pd.date_range("2024-01-01", periods=n, freq="30min")
+    hod = ts.hour.to_numpy() + ts.minute.to_numpy() / 60.0
+    v = 5 + 4 * np.sin(2 * np.pi * hod / 24) + rng.normal(0, 1, n)
+    v[rng.random(n) < 0.1] = np.nan
+    return ts, v
+"""
+    n = 48 * 40
+    ref = run_reference(gen + f"""
+from diive.core.times.resampling import diel_cycle
+ts, v = make_diel(3, {n})
+out = diel_cycle(pd.Series(v, index=ts, name="V"), mincounts=1, mean=True,
+                 std=True, median=True, quantiles=True)
+recs = []
+for idx, row in out.iterrows():
+    t = idx[1]  # MultiIndex (month-tag, time-of-day)
+    recs.append({{"hour": int(t.hour), "minute": int(t.minute),
+                 "count": int(row["count"]), "mean": row["mean"],
+                 "std": row["std"], "median": row["median"],
+                 "q25": row["q25"], "q75": row["q75"]}})
+print(json.dumps(recs))
+""")
+    ns = {"np": np, "pd": pd}
+    exec(gen, ns)
+    ts, v = ns["make_diel"](3, n)
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": v}))
+    got = resample.diel_cycle(df, "ts", "v").orderBy("hour", "minute") \
+        .toPandas().set_index(["hour", "minute"])
+    assert len(got) == len(ref)
+    for rec in ref:
+        row = got.loc[(rec["hour"], rec["minute"])]
+        assert int(row["n_vals"]) == rec["count"]
+        for k in ("mean", "std", "median", "q25", "q75"):
+            assert float(row[k]) == pytest.approx(rec[k], rel=1e-9), (
+                rec["hour"], rec["minute"], k)
