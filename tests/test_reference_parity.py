@@ -504,3 +504,45 @@ print(json.dumps(recs))
         for k in ("mean", "std", "median", "q25", "q75"):
             assert float(row[k]) == pytest.approx(rec[k], rel=1e-9), (
                 rec["hour"], rec["minute"], k)
+
+
+def test_gap_table_matches_executed_reference(spark):
+    """Consecutive-null run detection vs the reference's own GapFinder."""
+    from diive_spark.operators import grid
+    import pandas as pd
+    gen = r"""
+def make_gappy(seed, n):
+    rng = np.random.default_rng(seed)
+    ts = pd.date_range("2024-02-01", periods=n, freq="30min")
+    v = rng.normal(0, 1, n)
+    # runs of various lengths incl. leading/trailing gaps
+    v[:3] = np.nan
+    v[100:115] = np.nan
+    v[500:501] = np.nan
+    v[n - 5:] = np.nan
+    v[rng.random(n) < 0.04] = np.nan
+    return ts, v
+"""
+    n = 48 * 20
+    ref = run_reference(gen + f"""
+from diive.analysis.gapfinder import GapFinder
+ts, v = make_gappy(8, {n})
+gf = GapFinder(pd.Series(v, index=ts, name="V"), sort_results=False)
+res = gf.results
+print(json.dumps([
+    {{"start": str(r["GAP_START"]), "end": str(r["GAP_END"]),
+     "length": int(r["GAP_LENGTH"])}}
+    for _, r in res.iterrows()]))
+""")
+    ns = {"np": np, "pd": pd}
+    exec(gen, ns)
+    ts, v = ns["make_gappy"](8, n)
+    df = spark.createDataFrame(pd.DataFrame({"k": "a", "ts": ts, "v": v}))
+    got = grid.gap_table(df, ["k"], "v", ts_col="ts") \
+        .orderBy("gap_start").toPandas()
+    assert len(got) == len(ref)
+    for grow, rrec in zip(got.itertuples(), ref):
+        assert str(grow.gap_start) == rrec["start"]
+        assert str(grow.gap_end) == rrec["end"]
+        assert int(grow.gap_length) == rrec["length"]
+    assert len(ref) > 10
