@@ -546,3 +546,36 @@ print(json.dumps([
         assert str(grow.gap_end) == rrec["end"]
         assert int(grow.gap_length) == rrec["length"]
     assert len(ref) > 10
+
+
+@pytest.mark.parametrize("freq,gap_frac", [("30min", 0.0), ("30min", 0.1),
+                                           ("5min", 0.02), ("1h", 0.15)])
+def test_detect_frequency_matches_executed_reference(spark, freq, gap_frac):
+    """3-method frequency vote vs the reference's own DetectFrequency on
+    regular and gappy (row-dropped) indexes."""
+    from diive_spark.sources import sanitizer
+    import pandas as pd
+    gen = f"""
+rng = np.random.default_rng(4)
+ts = pd.date_range("2024-03-01", periods=2000, freq="{freq}")
+keep = rng.random(2000) >= {gap_frac}
+ts = ts[keep]
+"""
+    ref = run_reference(gen + """
+from diive.core.times.times import DetectFrequency
+det = DetectFrequency(index=pd.DatetimeIndex(ts))
+f = det.freq
+if f and not any(c.isdigit() for c in f):
+    f = "1" + f   # pandas infer_freq drops the 1 ('h', 'min')
+print(json.dumps({"freq": str(det.freq),
+                  "secs": float(pd.Timedelta(f).total_seconds())
+                          if f else None}))
+""")
+    ns = {"np": np, "pd": pd}
+    exec(gen, ns)
+    ts = ns["ts"]
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "v": 1.0}))
+    got = sanitizer.detect_frequency(df, "ts")
+    assert ref["secs"] is not None
+    assert got.freq_seconds == ref["secs"], (got, ref)
+    assert got.confidence > 0.5
