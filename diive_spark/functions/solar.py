@@ -25,8 +25,16 @@ PHI_R = math.radians(23.45)
 def potential_radiation(
     ts: Column, lat: float, lon: float, utc_offset: int,
     use_atmospheric_transmission: bool = False,
+    method: str = "eot",
 ) -> Column:
-    """Potential shortwave radiation [W m-2] (radiation.py:15-100 formula)."""
+    """Potential shortwave radiation [W m-2].
+
+    ``method='eot'`` (default) is the reference's equation-of-time variant
+    (radiation.py:15 ``potrad_eot``: Woolf EoT, eccentricity factor,
+    optional clear-sky transmission); ``method='stull'`` is the plain
+    Stull (1988) formulation (radiation.py:100 ``potrad``: S=1361, hour
+    angle ``pi·h/12 + lambda_e`` with the minus-cosine convention, no
+    eccentricity). Both reference-execution parity-tested."""
     if not -90 <= lat <= 90:
         raise ValueError(f"latitude {lat} out of range")
     if not -180 <= lon <= 180:
@@ -42,6 +50,14 @@ def potential_radiation(
     )
 
     delta = PHI_R * F.cos(2 * math.pi * (doy - D_R) / D_Y)
+    if method == "stull":
+        lambda_e = math.radians(lon)
+        sin_psi = (
+            math.sin(phi) * F.sin(delta)
+            - math.cos(phi) * F.cos(delta)
+            * F.cos(math.pi * utc_h / 12.0 + lambda_e)
+        )
+        return F.greatest(F.lit(1361.0) * sin_psi, F.lit(0.0))
     b = 2 * math.pi * (doy - 81) / 365.0
     eot_h = (9.87 * F.sin(2 * b) - 7.53 * F.cos(b) - 1.5 * F.sin(b)) / 60.0
     solar_time_h = utc_h + lon / 15.0 + eot_h
