@@ -35,12 +35,60 @@ def set_exact_values_to_missing(col: Column, values: list[float]) -> Column:
     return F.when(col.isin(values), F.lit(None)).otherwise(col)
 
 
-def remove_relativehumidity_offset(col: Column) -> Column:
-    """Shift down by the amount the series exceeds 100 %, clamp at 0
-    (offsetcorrection.py:130): offset = max(series) - 100 where > 100."""
-    over = F.max(F.when(col > 100, col - 100)).over(_all())
-    shifted = F.when(over.isNotNull(), col - over).otherwise(col)
-    return F.greatest(shifted, F.lit(0.0))
+def remove_relativehumidity_offset(
+    df: DataFrame, ts_col: str, rh_col: str, out_col: str | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Day-resolved RH > 100 % offset correction (offsetcorrection.py:130,
+    exact semantics): per-day mean of the exceeding values minus 100 is the
+    day's offset; records on days without exceedances get the offset
+    POSITIONALLY interpolated between the neighbouring offset-days' records
+    (the reference's aggregated_as_hires + .interpolate() idiom), constant
+    beyond the ends (ffill/bfill); all-days-clean means offset 0.
+    Corrected = RH - offset, capped at 100 (no zero floor — faithful).
+
+    One groupBy(date) + broadcast join + two running windows; appends
+    ``out_col`` (default ``{rh_col}_corrected``). Pass ``key_cols`` for
+    multi-series frames (windows partition per key; without it the running
+    windows are global — single-series use only, like the reference)."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols or [])
+    out_col = out_col or f"{rh_col}_corrected"
+    rh = F.col(rh_col)
+    day = F.date_trunc("day", F.col(ts_col))
+    offsets = (
+        df.filter(rh > 100)
+        .groupBy(*keys, day.alias("_day"))
+        .agg((F.avg(rh) - 100.0).alias("_day_off"))
+    )
+    work = df.withColumn("_day", day).join(F.broadcast(offsets),
+                                           [*keys, "_day"], "left")
+    ow = (Window.partitionBy(*keys).orderBy(ts_col) if keys
+          else Window.orderBy(ts_col))
+    rn = F.row_number().over(ow).cast("double")
+    work = work.withColumn("_rn", rn)
+    fwd = ow.rowsBetween(Window.unboundedPreceding, 0)
+    bwd = ow.rowsBetween(0, Window.unboundedFollowing)
+    off = F.col("_day_off")
+    pv = F.last(off, ignorenulls=True).over(fwd)
+    pt = F.last(F.when(off.isNotNull(), F.col("_rn")),
+                ignorenulls=True).over(fwd)
+    nv = F.first(off, ignorenulls=True).over(bwd)
+    nt = F.first(F.when(off.isNotNull(), F.col("_rn")),
+                 ignorenulls=True).over(bwd)
+    frac = (F.col("_rn") - pt) / F.nullif(nt - pt, F.lit(0.0))
+    interp = (
+        F.when(off.isNotNull(), off)
+        .when(pv.isNotNull() & nv.isNotNull(),
+              pv + (nv - pv) * F.coalesce(frac, F.lit(0.0)))
+        .otherwise(F.coalesce(pv, nv))
+    )
+    corrected = F.least(rh - F.coalesce(interp, F.lit(0.0)), F.lit(100.0))
+    return (
+        work.withColumn(out_col, corrected)
+        .drop("_day", "_day_off", "_rn")
+    )
 
 
 def _all():
@@ -52,24 +100,64 @@ def _all():
 def remove_nighttime_zero_offset(
     df: DataFrame, ts_col: str, value_col: str, nighttime_col: str,
     out_col: str | None = None,
+    clamp_negatives: bool = True,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Subtract each day's nighttime median from all of that day's records
-    (groupBy(date) offset agg + broadcast join-back, offsetcorrection.py:296);
-    negatives clamped to 0."""
+    """Nighttime-zero offset removal, exact reference semantics
+    (offsetcorrection.py:234 ``_nighttime_zero_offset``): the offset is the
+    DAILY NIGHTTIME MEAN broadcast to every record of its day, positionally
+    interpolated across days without nighttime data and any remainder
+    filled with the MEDIAN of the per-record offsets; corrected = value −
+    offset; nighttime records are then FORCED to exactly 0, and remaining
+    (daytime) negatives are clamped to 0 unless ``clamp_negatives=False``.
+    The day/night split comes from the caller's ``nighttime_col`` (the
+    reference derives it from solar geometry — use
+    solar.daytime_nighttime_flag)."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols or [])
     out_col = out_col or f"{value_col}_corrected"
-    day = F.date_trunc("day", F.col(ts_col)).alias("_day")
+    v = F.col(value_col)
+    day = F.date_trunc("day", F.col(ts_col))
     offsets = (
         df.filter(F.col(nighttime_col) == 1)
-        .groupBy(day)
-        .agg(F.percentile(F.col(value_col), F.lit(0.5)).alias("_offset"))
+        .groupBy(*keys, day.alias("_day"))
+        .agg(F.avg(v).alias("_day_off"))
     )
-    joined = df.withColumn("_day", F.date_trunc("day", F.col(ts_col))).join(
-        F.broadcast(offsets), "_day", "left"
+    work = df.withColumn("_day", day).join(F.broadcast(offsets),
+                                           [*keys, "_day"], "left")
+    ow = (Window.partitionBy(*keys).orderBy(ts_col) if keys
+          else Window.orderBy(ts_col))
+    rn = F.row_number().over(ow).cast("double")
+    work = work.withColumn("_rn", rn)
+    fwd = ow.rowsBetween(Window.unboundedPreceding, 0)
+    bwd = ow.rowsBetween(0, Window.unboundedFollowing)
+    off = F.col("_day_off")
+    pv = F.last(off, ignorenulls=True).over(fwd)
+    pt = F.last(F.when(off.isNotNull(), F.col("_rn")),
+                ignorenulls=True).over(fwd)
+    nv = F.first(off, ignorenulls=True).over(bwd)
+    nt = F.first(F.when(off.isNotNull(), F.col("_rn")),
+                 ignorenulls=True).over(bwd)
+    frac = (F.col("_rn") - pt) / F.nullif(nt - pt, F.lit(0.0))
+    interp = (
+        F.when(off.isNotNull(), off)
+        .when(pv.isNotNull() & nv.isNotNull(),
+              pv + (nv - pv) * F.coalesce(frac, F.lit(0.0)))
+        .otherwise(F.coalesce(pv, nv))
     )
-    corrected = F.greatest(
-        F.col(value_col) - F.coalesce(F.col("_offset"), F.lit(0.0)), F.lit(0.0)
+    work = work.withColumn("_interp", interp)
+    medw = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    med = F.percentile(F.col("_interp"), F.lit(0.5)).over(medw)
+    offset_full = F.coalesce(F.col("_interp"), med, F.lit(0.0))
+    corrected = v - offset_full
+    corrected = F.when(F.col(nighttime_col) == 1, F.lit(0.0))         .otherwise(corrected)
+    if clamp_negatives:
+        corrected = F.greatest(corrected, F.lit(0.0))
+    return (
+        work.withColumn(out_col, corrected)
+        .drop("_day", "_day_off", "_rn", "_interp")
     )
-    return joined.withColumn(out_col, corrected).drop("_day", "_offset")
 
 
 def wind_direction_offset(col: Column, offset_deg: float) -> Column:

@@ -657,3 +657,70 @@ print(json.dumps({k: list(map(float, v)) for k, v in {
     ratio = np.median(et_got[et_ref > 1e-12] / et_ref[et_ref > 1e-12])
     assert np.allclose(et_got, et_ref * ratio, rtol=1e-9)
     assert ratio > 0
+
+
+def test_rh_offset_correction_matches_executed_reference(spark):
+    """Day-resolved RH>100 offset removal vs the reference's own
+    remove_relativehumidity_offset (daily exceedance means, positional
+    interpolation across clean days, ffill/bfill ends, cap at 100)."""
+    from diive_spark.functions import corrections
+    import pandas as pd
+    gen = r"""
+rng = np.random.default_rng(14)
+n = 48 * 9
+ts = pd.date_range("2024-03-01", periods=n, freq="30min")
+rh = np.clip(75 + 20 * np.sin(2 * np.pi * np.arange(n) / 48)
+             + rng.normal(0, 6, n), 20, 115)
+# days 0-1 drift +8, days 4-5 drift +3, others clean
+day = np.arange(n) // 48
+rh = rh + np.where(day <= 1, 8.0, 0.0) + np.where((day >= 4) & (day <= 5),
+                                                  3.0, 0.0)
+"""
+    ref = run_reference(gen + """
+from diive.preprocessing.corrections.offsetcorrection import remove_relativehumidity_offset
+out = remove_relativehumidity_offset(pd.Series(rh, index=ts, name="RH"))
+print(json.dumps(list(map(float, out))))
+""")
+    ns = {"np": np, "pd": pd}
+    exec(gen, ns)
+    df = spark.createDataFrame(pd.DataFrame({"ts": ns["ts"], "RH": ns["rh"]}))
+    got = corrections.remove_relativehumidity_offset(df, "ts", "RH") \
+        .orderBy("ts").toPandas()["RH_corrected"].to_numpy()
+    assert np.allclose(got, ref, rtol=1e-9, atol=1e-9)
+    assert (np.array(ref) <= 100 + 1e-9).all()
+
+
+def test_nighttime_zero_offset_matches_executed_reference(spark):
+    """Nighttime-zero offset removal vs the reference's own
+    _nighttime_zero_offset (daily nighttime MEAN, positional interpolation,
+    median fallback, nighttime forced to 0, negative clamp) — the solar
+    day/night flag is computed by the reference and fed to the engine so
+    both operate on the identical split."""
+    from diive_spark.functions import corrections
+    import pandas as pd
+    gen = r"""
+rng = np.random.default_rng(33)
+n = 48 * 8
+ts = pd.date_range("2024-05-01", periods=n, freq="30min")
+hod = ts.hour.to_numpy() + ts.minute.to_numpy() / 60.0
+v = np.maximum(0.0, 500 * np.sin(np.pi * (hod - 6) / 13)) \
+    + rng.normal(2.0, 1.0, n)   # nighttime floats around +2 (the offset)
+"""
+    ref = run_reference(gen + """
+from diive.preprocessing.corrections.offsetcorrection import _nighttime_zero_offset
+res = _nighttime_zero_offset(pd.Series(v, index=ts, name="SW"),
+                             lat=46.58, lon=9.79, utc_offset=1)
+print(json.dumps({
+    "corrected": list(map(float, res.corrected)),
+    "night": [int(x) for x in res.nighttime_flag],
+}))
+""")
+    ns = {"np": np, "pd": pd}
+    exec(gen, ns)
+    df = spark.createDataFrame(pd.DataFrame({
+        "ts": ns["ts"], "v": ns["v"], "NIGHT": ref["night"]}))
+    got = corrections.remove_nighttime_zero_offset(
+        df, "ts", "v", "NIGHT").orderBy("ts").toPandas()
+    assert np.allclose(got["v_corrected"].to_numpy(), ref["corrected"],
+                       rtol=1e-9, atol=1e-9)
+    assert sum(ref["night"]) > 100
