@@ -724,3 +724,53 @@ print(json.dumps({
     assert np.allclose(got["v_corrected"].to_numpy(), ref["corrected"],
                        rtol=1e-9, atol=1e-9)
     assert sum(ref["night"]) > 100
+
+
+def test_optimum_range_matches_executed_reference(spark):
+    """FindOptimumRange vs the reference's own class: chosen bins and the
+    optimum x-range/means must agree (bin EDGES may differ infinitesimally:
+    exact Spark quantiles vs pandas qcut interpolation)."""
+    from diive_spark.operators import analysis
+    import pandas as pd
+    gen = r"""
+rng = np.random.default_rng(19)
+n = 48 * 60
+ts = pd.date_range("2022-06-01", periods=n, freq="30min")
+x = rng.uniform(0, 30, n)                     # driver (e.g. TA)
+y = 10 - 0.08 * (x - 18) ** 2 + rng.normal(0, 0.8, n)   # peak at x=18
+"""
+    ref = run_reference(gen + """
+from diive.analysis.optimumrange import FindOptimumRange
+df = pd.DataFrame({"X": x, "Y": y}, index=ts)
+fo = FindOptimumRange(df=df, xcol="X", ycol="Y", n_bins=60,
+                      bins_agg="median", rwinsize=0.1, ragg="mean",
+                      define_optimum="max", threshold=0.95)
+fo.find_optimum()
+r = fo.results_optrange
+print(json.dumps({
+    "xstart": float(r["optimum_xstart"]), "xend": float(r["optimum_xend"]),
+    "ymean": float(r["optimum_ymean"]),
+    "start_left": float(r["optimum_start_bin"].left),
+    "end_right": float(r["optimum_end_bin"].right),
+    "ropt_mid": float(r["roptimum_bin"].mid),
+}))
+""")
+    ns = {"np": np, "pd": pd}
+    exec(gen, ns)
+    df = spark.createDataFrame(pd.DataFrame({
+        "ts": ns["ts"], "X": ns["x"], "Y": ns["y"]}))
+    got = analysis.find_optimum_range(
+        df, "X", "Y", n_bins=60, bins_agg="median", rwinsize=0.1,
+        ragg="mean", define_optimum="max", threshold=0.95)
+    # edges: exact quantiles vs qcut interpolation — sub-bin-width agreement
+    binw = 30.0 / 60
+    assert abs(got["optimum_xstart"] - ref["xstart"]) < binw
+    assert abs(got["optimum_xend"] - ref["xend"]) < binw
+    assert abs(got["optimum_xstart"] - ref["start_left"]) < binw
+    assert abs(got["optimum_xend"] - ref["end_right"]) < binw
+    # ymean aggregates the rows INSIDE the optimum bins: the edge
+    # interpolation difference moves a handful of boundary rows between
+    # bins, so agreement is statistical (~0.3% here), not bitwise
+    assert got["optimum_ymean"] == pytest.approx(ref["ymean"], rel=2e-2)
+    # the rolling optimum sits at the planted peak on both sides
+    assert abs(ref["ropt_mid"] - 18.0) < 2 * binw
