@@ -485,16 +485,39 @@ def _fit_lloydtemp(nee, bvec, rb):
 
 def _params_valid(a, b, k, r):
     """Window acceptance (reference ``_check_parameters``,
-    daytime_oneflux.py:311): 0 ≤ α ≤ 0.22, 0 ≤ β ≤ 250, k ≥ 0, Rref > 0.
-    α = β = 0 is the valid respiration-only outcome."""
-    return (0.0 <= a <= ALPHA_MAX and 0.0 <= b <= BETA_MAX
-            and k >= 0.0 and r > 0.0)
+    daytime_oneflux.py:311-318): strict bounds 0 ≤ α < 0.22, 0 ≤ β < 250,
+    k ≥ 0, Rref > 0, and α must have MOVED off its starting guess
+    (``p[0] != FGUESS0[0]`` — a fit whose alpha never left 0.01 is
+    rejected). α = β = 0 is the valid respiration-only outcome.
+
+    Documented divergence: the reference additionally rejects β > 100 when
+    β < its standard error; the hand-rolled LM here does not propagate
+    parameter std-errors, so that SE rule is intentionally skipped."""
+    return (0.0 <= a < ALPHA_MAX and 0.0 <= b < BETA_MAX
+            and k >= 0.0 and r > 0.0 and a != LRC_GUESS[0])
+
+
+def _window_beta_guess(values):
+    """Beta starting guess = |p03 − p97| of the window's NEE, with the
+    reference's exact order-statistic indexing (daytime_oneflux.py:323-336
+    ``_percentiles_fn``: idx = int(v·n) for v ≤ 0.5 else int(v·(n+1)),
+    clipped). Falls back to the fixed FGUESS0 beta when the window is
+    empty or degenerate."""
+    v = values[np.isfinite(values)]
+    n = v.shape[0]
+    if n <= 0:
+        return LRC_GUESS[1]
+    order = np.argsort(v)
+    lo = v[order[min(int(0.03 * n), n - 1)]]
+    hi = v[order[min(int(0.97 * (n + 1)), n - 1)]]
+    b = abs(float(lo) - float(hi))
+    return b if b > 0 else LRC_GUESS[1]
 
 
 def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
                     winsize_days=LRC_WINSIZE_DAYS, step_days=LRC_STEP_DAYS,
                     min_day_entries=LRC_MIN_DAY_ENTRIES, ts=None,
-                    e0_ctx=None, sigd=None):
+                    e0_ctx=None, sigd=None, night_valid=None):
     """Per-window LRC fits with the ONEFlux degenerate-parameter fallback
     cascade (reference daytime_oneflux.py:375 ``_estimate_parasets``):
 
@@ -517,6 +540,15 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
     previous accepted window's E0 (bound-clamped when there is none).
     ``tfac`` is ignored in that mode (recomputed per window from bvec).
 
+    Starting guesses follow the reference per window
+    (daytime_oneflux.py:430-434): beta0 = |p03 − p97| of the window's NEE
+    (times the three BETAFAC multipliers) and rref0 = the surrounding
+    ~12-day nighttime NEE mean; ``night_valid`` supplies the nighttime mask
+    for the rref guess (taken from ``e0_ctx`` when present). The LM prior is
+    centred on these guesses exactly as the reference centres mprior on
+    fguess. Only when no nighttime mask is available at all does rref0 fall
+    back to the fixed FGUESS0 value — the one documented guess divergence.
+
     Returns (P, centers, models, e0s): P rows = (alpha, beta, k, rref);
     models = 0 full VPD, 1 no-VPD, 2 alpha-fixed no-VPD, 3 alpha-fixed
     VPD, 4 respiration-only; e0s = the E0 used by each accepted window.
@@ -524,10 +556,12 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
     params, centers, models, e0s = [], [], [], []
     if ts is None:
         ts = day0.astype(np.float64)
+    max_day = int(day0.max())
+    n_windows = max_day // step_days + 1
     if e0_ctx is not None:
-        bvec, night_valid, min_night = e0_ctx
-        n_windows = int(day0.max()) // step_days + 1
-        max_day = int(day0.max())
+        bvec, night_e0, min_night = e0_ctx
+        if night_valid is None:
+            night_valid = night_e0
 
     def resp_only(nee_w, tfac_w, sigd_w):
         wgt = (1.0 / np.maximum(sigd_w, 1e-9) ** 2
@@ -541,15 +575,25 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
         m = day_valid & (day0 >= start) & (day0 < start + winsize_days)
         if m.sum() < min_day_entries:
             continue
+        # ~12-day surrounding nighttime window (i-2 .. i+2, clipped to the
+        # record ends; the reference's day_end2 clip is INCLUSIVE of the
+        # final day — max(julday) with julday <= day_end2 — hence max_day+1)
+        nb = 0 if wi <= 1 else (wi - 2) * step_days
+        ne = (max_day + 1 if wi >= n_windows - 2
+              else (wi + 2) * step_days + winsize_days)
+        nmask = (night_valid & (day0 >= nb) & (day0 < ne)
+                 if night_valid is not None else None)
+        # per-window starting guesses (reference daytime_oneflux.py:430-434)
+        allm = m | (night_valid & (day0 >= start)
+                    & (day0 < start + winsize_days)) \
+            if night_valid is not None else m
+        beta_base = _window_beta_guess(nee[allm])
+        rref0 = (float(nee[nmask].mean())
+                 if nmask is not None and nmask.sum() > 0 else LRC_GUESS[2])
         if e0_ctx is not None:
-            # ~12-day surrounding nighttime window (i-2 .. i+2, clipped to
-            # the record ends exactly as the reference clips day_begin2/2)
-            nb = 0 if wi <= 1 else (wi - 2) * step_days
-            ne = max_day if wi >= n_windows - 2                 else (wi + 2) * step_days + winsize_days
-            nmask = night_valid & (day0 >= nb) & (day0 < ne)
             e0_w = None
             if nmask.sum() > min_night:
-                rb = float(nee[nmask].mean())
+                rb = rref0
                 fit = _fit_lloydtemp(nee[nmask], bvec[nmask], rb)
                 if fit is not None and 50.0 <= fit[1] <= 400.0:
                     e0_w = fit[1]
@@ -574,13 +618,13 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
         prev_alpha = params[-1][0] if params else None
         best = None  # (rmse, (a, b, k, r), model)
         for f in LRC_BETA_FACTORS:
-            beta0 = LRC_GUESS[1] * f
+            beta0 = beta_base * f
             a = b = k = r = None
             wm = None
             if vpd_w is not None:
                 p4, rmse = _fit_lrc_vpd(
                     nee_w, rg_w, tfac_w, vpd_w,
-                    (LRC_GUESS[0], beta0, 0.0, LRC_GUESS[2]), sigd=sigd_w)
+                    (LRC_GUESS[0], beta0, 0.0, rref0), sigd=sigd_w)
                 if p4 is not None:
                     a, b, k, r = p4
                     wm = 0
@@ -588,7 +632,7 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
                         p4 = None
                 if p4 is None:
                     p3, rmse = _fit_lrc_novpd(
-                        nee_w, rg_w, tfac_w, (LRC_GUESS[0], beta0, LRC_GUESS[2]),
+                        nee_w, rg_w, tfac_w, (LRC_GUESS[0], beta0, rref0),
                         sigd=sigd_w)
                     if p3 is None:
                         continue
@@ -596,7 +640,7 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
                     k, wm = 0.0, 1
             else:
                 p3, rmse = _fit_lrc_novpd(
-                    nee_w, rg_w, tfac_w, (LRC_GUESS[0], beta0, LRC_GUESS[2]),
+                    nee_w, rg_w, tfac_w, (LRC_GUESS[0], beta0, rref0),
                     sigd=sigd_w)
                 if p3 is None:
                     continue
@@ -607,7 +651,7 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
                 if vpd_w is not None and wm == 0:
                     pf, rmse = _fit_lrc_afix(
                         nee_w, rg_w, tfac_w, vpd_w, prev_alpha,
-                        (beta0, 0.0, LRC_GUESS[2]), with_vpd=True,
+                        (beta0, 0.0, rref0), with_vpd=True,
                         sigd=sigd_w)
                     if pf is not None and pf[1] >= 0:
                         b, k, r = pf
@@ -615,7 +659,7 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
                     else:  # k went negative again: alpha-fixed, no VPD
                         pf, rmse = _fit_lrc_afix(
                             nee_w, rg_w, tfac_w, None, prev_alpha,
-                            (beta0, LRC_GUESS[2]), with_vpd=False,
+                            (beta0, rref0), with_vpd=False,
                             sigd=sigd_w)
                         if pf is None:
                             continue
@@ -624,7 +668,7 @@ def fit_lrc_windows(nee, rg, tfac, vpd, day0, day_valid,
                 else:
                     pf, rmse = _fit_lrc_afix(
                         nee_w, rg_w, tfac_w, None, prev_alpha,
-                        (beta0, LRC_GUESS[2]), with_vpd=False, sigd=sigd_w)
+                        (beta0, rref0), with_vpd=False, sigd=sigd_w)
                     if pf is None:
                         continue
                     b, r = pf
@@ -781,7 +825,7 @@ def partition_nee_daytime(
             nee, rg, tfac_all, vpd, day0, day_valid,
             winsize_days=winsize_days, step_days=step_days,
             min_day_entries=min_day_entries, ts=ts, e0_ctx=e0_ctx,
-            sigd=sigd)
+            sigd=sigd, night_valid=night)
         if len(P) == 0:
             out[reco_col], out[gpp_col], out["E0_DT"] = nanv, nanv, nanv
             return out

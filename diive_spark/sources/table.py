@@ -30,22 +30,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def is_table_identifier(source: str) -> bool:
-    """Heuristic contract: paths contain '/', a parquet suffix, an explicit
-    URI scheme (file:/, hdfs://, s3a://...), or exist on the local
+def resolve_source(source: str) -> tuple[bool, str]:
+    """Resolve ``source`` to (is_identifier, stripped_source).
+
+    Explicit routing wins: ``table:name`` always reads the catalog,
+    ``path:dir`` always reads the filesystem (prefix stripped). Otherwise
+    the heuristic contract applies: paths contain '/', a parquet suffix, an
+    explicit URI scheme (file:/, hdfs://, s3a://...), or exist on the local
     filesystem; catalog identifiers are dotted names (catalog.db.table) or
     bare names. The local-existence check keeps a relative single-segment
     directory (e.g. 'tier_1m_out') from being silently routed to
-    spark.read.table and failing with a confusing catalog error."""
+    spark.read.table and failing with a confusing catalog error — but it
+    makes routing depend on driver CWD state, so when it flips a bare name
+    to path routing a warning names the colliding entry (use the ``table:``
+    prefix to pin catalog routing)."""
     import os
     import re
+    import warnings
+    if source.startswith("table:"):
+        return True, source[len("table:"):]
+    if source.startswith("path:"):
+        return False, source[len("path:"):]
     if "/" in source or source.endswith(".parquet"):
-        return False
+        return False, source
     if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", source):  # URI scheme
-        return False
+        return False, source
     if os.path.exists(source):
-        return False
-    return True
+        warnings.warn(
+            f"'{source}' looks like a catalog identifier but matches a local "
+            f"filesystem entry; routing to spark.read.parquet — prefix with "
+            f"'table:' to force catalog routing", stacklevel=3)
+        return False, source
+    return True, source
+
+
+def is_table_identifier(source: str) -> bool:
+    """Back-compat wrapper over :func:`resolve_source` (routing only)."""
+    return resolve_source(source)[0]
 
 
 def read_table(
@@ -54,7 +75,8 @@ def read_table(
 ) -> DataFrame:
     """Read a catalog table or a parquet path. ``snapshot_id`` / ``as_of``
     (Iceberg time travel) apply only to catalog identifiers."""
-    if is_table_identifier(source):
+    is_ident, source = resolve_source(source)
+    if is_ident:
         reader = spark.read
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
@@ -76,12 +98,21 @@ def write_tier_table(
     mode: str = "overwrite", n_time_ranges: int = 64,
 ) -> None:
     """Write a rollup tier to ``target`` (catalog identifier or path)."""
-    if is_table_identifier(target):
+    is_ident, target = resolve_source(target)
+    if is_ident:
         try:
+            # Spark 4 moved partition transforms to functions.partitioning
+            # (plain F.days is deprecated); keep the old name as a fallback
+            # for Spark 3 clusters
+            try:
+                from pyspark.sql.functions import partitioning as _pt
+                days_of = _pt.days
+            except ImportError:  # Spark < 4
+                days_of = F.days
             writer = (
                 df.writeTo(target)
                 .using("iceberg")
-                .partitionedBy(F.days(F.col(ts_col)))
+                .partitionedBy(days_of(F.col(ts_col)))
             )
             if mode == "append":
                 writer.append()
@@ -117,7 +148,8 @@ def expire_tier_before(
     so the engine's retention tick is a metadata-only partition drop (no
     data rewrite). On the parquet layout the date directories make the same
     statement a pruned overwrite (documented cost)."""
-    if is_table_identifier(target):
+    is_ident, target = resolve_source(target)
+    if is_ident:
         # Validate the interpolated pieces before building the statement:
         # cutoff must parse as a timestamp and ts_col / target segments must
         # be plain identifiers (backtick-quoted in the SQL) — a malformed

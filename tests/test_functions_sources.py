@@ -499,7 +499,14 @@ def test_table_adapter_dispatch_and_retention(spark, tmp_path):
     cwd0 = _os0.getcwd()
     _os0.chdir(tmp_path)
     try:
-        assert not tbl.is_table_identifier("tier_1m_out")
+        import warnings as _w
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            assert not tbl.is_table_identifier("tier_1m_out")
+        # the CWD-dependent flip is announced, and explicit prefixes pin it
+        assert any("table:" in str(c.message) for c in caught)
+        assert tbl.resolve_source("table:tier_1m_out") == (True, "tier_1m_out")
+        assert tbl.resolve_source("path:some_table") == (False, "some_table")
     finally:
         _os0.chdir(cwd0)
 
