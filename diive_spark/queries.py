@@ -3032,6 +3032,222 @@ QUERIES["rollup_stream_1m"] = q_rollup_stream_1m
 ORACLES["rollup_stream_1m"] = SQL_ROLLUP_STREAM_1M
 
 
+def q_timestamp_shift(spark, sf_dir):
+    """Timestamp-shift detection (operators/timeshift.py; reference
+    preprocessing/qaqc/detect_timestamp_shifts.py): a 14-day 30-min
+    radiation grid anchored at the events table's first date carries a
+    planted 30-minute clock error (measured = potential shifted one slot
+    earlier, scaled 0.85). Variants: 'fft' = k=1 Fourier phase method
+    (expects 30.0 every day), 'noon' = daily peak-time difference. The
+    crosscorr method is per-day Arrow (non-SQL) — covered by pytest +
+    reference-execution parity instead."""
+    import math as _math
+
+    from diive_spark.operators import timeshift
+    ev = _t(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    grid = (spark.range(14 * 48).crossJoin(F.broadcast(d0))
+            .withColumn("ts", F.timestamp_seconds(
+                F.unix_timestamp(F.col("d0").cast("timestamp"))
+                + F.col("id") * 1800))
+            .withColumn("hf", (F.col("id") % 48).cast("double") * 0.5))
+    pot = F.greatest(F.lit(0.0),
+                     900.0 * F.sin(_math.pi * (F.col("hf") - 6.0) / 12.0))
+    meas = 0.85 * F.greatest(
+        F.lit(0.0), 900.0 * F.sin(_math.pi * (F.col("hf") + 0.5 - 6.0) / 12.0))
+    grid = grid.withColumn("pot", pot).withColumn("meas", meas) \
+               .withColumn("site", F.lit("S"))
+    fft = timeshift.fft_phase_shift(grid, ["site"], "ts", "meas", "pot")
+    noon = timeshift.noon_shift(grid, ["site"], "ts", "meas", "pot")
+    a = fft.select(
+        F.lit("fft").alias("variant"), "date",
+        _r6("shift_minutes").alias("shift_minutes"),
+        _r6("amplitude_meas").alias("amplitude"))
+    b = noon.select(
+        F.lit("noon").alias("variant"), "date",
+        _r6("shift_minutes").alias("shift_minutes"),
+        F.lit(None).cast("double").alias("amplitude"))
+    return a.unionByName(b)
+
+
+SQL_TIMESTAMP_SHIFT = """
+WITH d0 AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+g AS (
+  SELECT CAST(d0 AS TIMESTAMP) + to_minutes(30 * i) AS ts,
+         ((i % 48) * 0.5) AS hf
+  FROM d0, (SELECT unnest(generate_series(0, 14 * 48 - 1)) AS i)
+),
+v AS (
+  SELECT ts, CAST(ts AS DATE) AS date,
+         greatest(0, 900 * sin(pi() * (hf - 6.0) / 12.0)) AS pot,
+         0.85 * greatest(0, 900 * sin(pi() * (hf + 0.5 - 6.0) / 12.0)) AS meas
+  FROM g
+),
+fr AS (
+  SELECT date, meas, pot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY date ORDER BY ts) - 1
+              AS DOUBLE) AS n,
+         CAST(COUNT(*) OVER (PARTITION BY date) AS DOUBLE) AS nn
+  FROM v
+),
+ffta AS (
+  SELECT date, count(*) AS cnt,
+         sum(meas * cos(-2 * pi() * n / nn)) AS mre,
+         sum(meas * sin(-2 * pi() * n / nn)) AS mim,
+         sum(pot * cos(-2 * pi() * n / nn)) AS pre,
+         sum(pot * sin(-2 * pi() * n / nn)) AS pim,
+         sum(meas) AS msum, sum(pot) AS psum
+  FROM fr GROUP BY 1
+),
+fft AS (
+  SELECT date,
+         cnt >= 0.9 * 48 AND psum > 0 AND msum / psum >= 0.6 AS ok,
+         (((atan2(mim, mre) - atan2(pim, pre) + pi()) % (2 * pi())
+           + 2 * pi()) % (2 * pi()) - pi()) / (2 * pi()) * 1440 AS shift_raw,
+         sqrt(mre * mre + mim * mim) AS amp
+  FROM ffta
+),
+noon AS (
+  SELECT date,
+         -(max(struct_pack(v := meas, nt := -epoch(ts)))).nt AS tm,
+         -(max(struct_pack(v := pot, nt := -epoch(ts)))).nt AS tp,
+         sum(meas) AS msum, sum(pot) AS psum
+  FROM v GROUP BY 1
+)
+SELECT 'fft' AS variant, date,
+       CASE WHEN ok THEN round(1e-9 + shift_raw, 6) END AS shift_minutes,
+       CASE WHEN ok THEN round(1e-9 + amp, 6) ELSE 0.0 END AS amplitude
+FROM fft
+UNION ALL
+SELECT 'noon', date, round(1e-9 + (tp - tm) / 60.0, 6),
+       CAST(NULL AS DOUBLE)
+FROM noon WHERE msum / psum > 0.7
+"""
+
+QUERIES["timestamp_shift"] = q_timestamp_shift
+ORACLES["timestamp_shift"] = SQL_TIMESTAMP_SHIFT
+
+
+def q_wind_rot_lag(spark, sf_dir):
+    """Wind double rotation + MaxCovariance lag search
+    (operators/windlag.py; reference flux/hires/windrotation.py +
+    lag.py). Deterministic wind components from event_id; variants:
+    'rotation' = per-event_type rotation angles + rotated-component means
+    (v2/w2 means ≈ 0 certify the rotation), 'lag' = per-shift
+    pairwise-complete sample covariance of value vs its 7-record lag
+    (flag_max marks the detected lag = +7). The find_peaks auto
+    validation is non-SQL — pytest-covered."""
+    from diive_spark.operators import windlag
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    wind = (ev
+            .withColumn("u", 3.0 + 2.0 * F.sin(F.col("event_id") * 0.017))
+            .withColumn("v", 1.0 + F.sin(F.col("event_id") * 0.031))
+            .withColumn("w", 0.3 + 0.2 * F.sin(F.col("event_id") * 0.057)))
+    rot = windlag.double_rotation(wind, ["event_type"], "u", "v", "w")
+    rota = rot.groupBy("event_type").agg(
+        _r6(F.min("theta")).alias("theta"), _r6(F.min("phi")).alias("phi"),
+        _r6(F.avg("u_rot")).alias("u2_mean"),
+        _r6(F.avg("v_rot")).alias("v2_mean"),
+        _r6(F.avg("w_rot")).alias("w2_mean"))
+    a = rota.select(
+        F.lit("rotation").alias("variant"), "event_type", "theta", "phi",
+        "u2_mean", "v2_mean", "w2_mean",
+        F.lit(None).cast("bigint").alias("shift"),
+        F.lit(None).cast("double").alias("cov"),
+        F.lit(None).cast("double").alias("cov_abs"),
+        F.lit(None).cast("int").alias("flag_max"))
+    kw = Window.partitionBy("event_type").orderBy("event_id")
+    lagged = (ev.withColumn("ref", F.col("value") / 100.0)
+              .withColumn("lagv", F.lag(F.col("value") / 100.0, 7).over(kw)))
+    mc = windlag.max_covariance(lagged, ["event_type"], "event_id",
+                                "ref", "lagv",
+                                winsize_from=-12, winsize_to=12)
+    b = mc.select(
+        F.lit("lag").alias("variant"), "event_type",
+        F.lit(None).cast("double").alias("theta"),
+        F.lit(None).cast("double").alias("phi"),
+        F.lit(None).cast("double").alias("u2_mean"),
+        F.lit(None).cast("double").alias("v2_mean"),
+        F.lit(None).cast("double").alias("w2_mean"),
+        F.col("shift"), _r6("cov").alias("cov"),
+        _r6("cov_abs").alias("cov_abs"),
+        F.col("flag_peak_max_cov_abs").cast("int").alias("flag_max"))
+    return a.unionByName(b)
+
+
+SQL_WIND_ROT_LAG = """
+WITH w AS (
+  SELECT event_id, event_type, value,
+         3.0 + 2.0 * sin(event_id * 0.017) AS u,
+         1.0 + sin(event_id * 0.031) AS v,
+         0.3 + 0.2 * sin(event_id * 0.057) AS w
+  FROM events
+),
+m AS (
+  SELECT event_type, avg(u) AS um, avg(v) AS vm, avg(w) AS wm
+  FROM w GROUP BY 1
+),
+ang AS (
+  SELECT event_type, atan2(vm, um) AS theta,
+         atan2(wm, um * cos(atan2(vm, um)) + vm * sin(atan2(vm, um))) AS phi
+  FROM m
+),
+rot AS (
+  SELECT w.event_type, theta, phi,
+         (w.u * cos(theta) + w.v * sin(theta)) * cos(phi)
+           + w.w * sin(phi) AS u2,
+         -w.u * sin(theta) + w.v * cos(theta) AS v2,
+         -(w.u * cos(theta) + w.v * sin(theta)) * sin(phi)
+           + w.w * cos(phi) AS w2
+  FROM w JOIN ang USING (event_type)
+),
+rota AS (
+  SELECT event_type,
+         round(1e-9 + min(theta), 6) AS theta,
+         round(1e-9 + min(phi), 6) AS phi,
+         round(1e-9 + avg(u2), 6) AS u2_mean,
+         round(1e-9 + avg(v2), 6) AS v2_mean,
+         round(1e-9 + avg(w2), 6) AS w2_mean
+  FROM rot GROUP BY 1
+),
+r AS (
+  SELECT event_type, value / 100.0 AS ref,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+),
+rl AS (
+  SELECT event_type, ref, rn,
+         lag(ref, 7) OVER (PARTITION BY event_type ORDER BY rn) AS lagv
+  FROM r
+),
+shifts AS (SELECT unnest(generate_series(-12, 12)) AS shift),
+cv AS (
+  SELECT a.event_type, s.shift, covar_samp(a.ref, b.lagv) AS cov
+  FROM rl a JOIN shifts s ON TRUE
+  JOIN rl b ON b.event_type = a.event_type AND b.rn = a.rn + s.shift
+  GROUP BY 1, 2
+),
+mx AS (
+  SELECT event_type, shift, cov, abs(cov) AS cov_abs,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY abs(cov) DESC, shift ASC) = 1
+              THEN 1 ELSE 0 END AS flag_max
+  FROM cv
+)
+SELECT 'rotation' AS variant, event_type, theta, phi, u2_mean, v2_mean,
+       w2_mean, CAST(NULL AS BIGINT) AS shift, CAST(NULL AS DOUBLE) AS cov,
+       CAST(NULL AS DOUBLE) AS cov_abs, CAST(NULL AS INTEGER) AS flag_max
+FROM rota
+UNION ALL
+SELECT 'lag', event_type, NULL, NULL, NULL, NULL, NULL, shift,
+       round(1e-9 + cov, 6), round(1e-9 + cov_abs, 6), flag_max
+FROM mx
+"""
+
+QUERIES["wind_rot_lag"] = q_wind_rot_lag
+ORACLES["wind_rot_lag"] = SQL_WIND_ROT_LAG
+
+
 # ---------------------------------------------------------------------------
 # Gate consolidation: the driver records at most 50 queries() entries
 # (r3 evidence: 53 registered -> exactly the first 50 in registration order
@@ -3202,7 +3418,55 @@ SQL_GAPFILL_FILLS_1H = _variant_union_sql([
      _SINGLE_ORACLES["climatology_fill_1h"]),
 ])
 
+def q_grid_agg(spark, sf_dir):
+    """GridAggregator equal-width + quantile binning as one union."""
+    a = _SINGLE_QUERIES["grid_agg_2d"](spark, sf_dir).select(
+        F.lit("equal_width").alias("variant"), "xbin", "ybin", "n_vals",
+        "mean_z")
+    b = _SINGLE_QUERIES["grid_agg_2d_quantile"](spark, sf_dir).select(
+        F.lit("quantile").alias("variant"), "xbin", "ybin", "n_vals",
+        "mean_z")
+    return a.unionByName(b)
+
+
+SQL_GRID_AGG = _variant_union_sql([
+    ("equal_width", ["xbin", "ybin", "n_vals", "mean_z"],
+     _SINGLE_ORACLES["grid_agg_2d"]),
+    ("quantile", ["xbin", "ybin", "n_vals", "mean_z"],
+     _SINGLE_ORACLES["grid_agg_2d_quantile"]),
+])
+
+_SSTATS_COLS = ["mean_v", "sd_v", "min_v", "p05", "p25", "median_v",
+                "p75", "p95", "max_v", "skew_m"]
+
+
+def q_series_stats(spark, sf_dir):
+    """sstats summary + percentiles101 grid as one union."""
+    a = _SINGLE_QUERIES["sstats"](spark, sf_dir).select(
+        F.lit("sstats").alias("variant"), "n", *_SSTATS_COLS,
+        F.lit(None).cast("bigint").alias("pct"),
+        F.lit(None).cast("double").alias("pv"))
+    b = _SINGLE_QUERIES["percentiles"](spark, sf_dir).select(
+        F.lit("percentiles").alias("variant"),
+        F.lit(None).cast("long").alias("n"),
+        *[F.lit(None).cast("double").alias(c) for c in _SSTATS_COLS],
+        "pct", "pv")
+    return a.unionByName(b)
+
+
+SQL_SERIES_STATS = _variant_union_sql([
+    ("sstats", ["n", *_SSTATS_COLS,
+                "CAST(NULL AS BIGINT) AS pct", "CAST(NULL AS DOUBLE) AS pv"],
+     _SINGLE_ORACLES["sstats"]),
+    ("percentiles", ["CAST(NULL AS BIGINT) AS n",
+                     *[f"CAST(NULL AS DOUBLE) AS {c}" for c in _SSTATS_COLS],
+                     "pct", "pv"],
+     _SINGLE_ORACLES["percentiles"]),
+])
+
 _MERGED_QUERIES = {
+    "grid_agg": q_grid_agg,
+    "series_stats": q_series_stats,
     "histogram_modes": q_histogram_modes,
     "zscore_family": q_zscore_family,
     "limit_flags": q_limit_flags,
@@ -3211,6 +3475,8 @@ _MERGED_QUERIES = {
     "gapfill_fills_1h": q_gapfill_fills_1h,
 }
 _MERGED_ORACLES = {
+    "grid_agg": SQL_GRID_AGG,
+    "series_stats": SQL_SERIES_STATS,
     "histogram_modes": SQL_HISTOGRAM_MODES,
     "zscore_family": SQL_ZSCORE_FAMILY,
     "limit_flags": SQL_LIMIT_FLAGS,
@@ -3225,6 +3491,7 @@ _MERGED_AWAY = {
     "abs_limits", "trim_low", "ale_linear", "ale_interaction_2d",
     "doy_cumulative", "quadrature_cumulative", "interp_linear_1h",
     "median_fill_1h", "climatology_fill_1h",
+    "grid_agg_2d", "grid_agg_2d_quantile", "sstats", "percentiles",
 }
 
 #: final driver registry: exactly 50 entries; previously-unrecorded and
@@ -3232,15 +3499,16 @@ _MERGED_AWAY = {
 #: driver still reaches them
 _FINAL_ORDER = [
     "rollup_1m",
+    "timestamp_shift", "wind_rot_lag",
     "flux_partition_night", "ale_1d2d", "histogram_modes",
     "mds_fill", "ustar_bootstrap", "flux_partition_day", "rollup_stream_1m",
     "rollup_1h_gate90", "cascade_1d", "daily_agg_gate",
     "monthly_matrix_ranks", "diel_cycle", "gap_table_1h",
-    "gapfill_fills_1h", "zscore_family", "limit_flags", "sstats",
-    "percentiles", "daily_correlation", "time_since", "dedup_exact",
+    "gapfill_fills_1h", "zscore_family", "limit_flags", "series_stats",
+    "daily_correlation", "time_since", "dedup_exact",
     "ngram_jaccard", "text_quality", "lang_id", "fingerprint",
     "token_count", "simhash", "ann_cosine_topk", "embedding_near_dups",
-    "minhash_lsh", "ann_ivf", "grid_agg_2d", "grid_agg_2d_quantile",
+    "minhash_lsh", "ann_ivf", "grid_agg",
     "cumulatives", "agg_as_hires", "keep_records_where",
     "stepwise_screening", "profile_lineitem", "minhash_signatures",
     "json_props", "gap_stats_monthly", "classical_decompose", "harmonics",
