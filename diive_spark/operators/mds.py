@@ -230,6 +230,7 @@ def mds_fill(
     fill_all: bool = False,
     longest_marginal_gap: int = 60,
     max_passes: int | None = None,
+    max_records_per_key: int = 2_000_000,
 ) -> DataFrame:
     """Gap-fill ``flux_col`` by marginal distribution sampling per key.
 
@@ -241,6 +242,14 @@ def mds_fill(
     ``grid.gridded`` first); ``nperday`` is records per day (48 half-hourly).
 
     One shuffle (groupBy key) + one Arrow-batched kernel; no driver data.
+
+    100 TB posture: the cascade's pass-6 ±420-day window makes slab+halo
+    degenerate, so each KEY is one task (parallelism is across keys —
+    sites/sources). That concentrates a very long single key in one
+    executor; ``max_records_per_key`` (default 2M records ≈ 114 years of
+    half-hourly data ≈ a few hundred MB of kernel arrays) turns the silent
+    executor-OOM failure mode into a loud per-key error naming the limit
+    and this knob. Raise it deliberately if the executors have the memory.
     """
     import pandas as pd
     from pyspark.sql.types import (DoubleType, LongType, StructField,
@@ -270,6 +279,13 @@ def mds_fill(
     ])
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_records_per_key:
+            key_desc = {f.name: pdf[f.name].iloc[0] for f in key_fields}
+            raise ValueError(
+                f"mds_fill key {key_desc} has {len(pdf)} records, over the "
+                f"max_records_per_key={max_records_per_key} single-task "
+                "bound (the pass-6 ±420-day window pins each key to one "
+                "task); split the key or raise max_records_per_key")
         pdf = pdf.sort_values("_ts").reset_index(drop=True)
         res = mds_cascade_arrays(
             pdf["_flux"].to_numpy(), pdf["_swin"].to_numpy(),

@@ -246,3 +246,25 @@ def test_mds_fill_spark_matches_kernel(spark):
         meas = np.isfinite(flux)
         assert np.all(sub.loc[meas, "FLAG_nee_gfMDS_ISFILLED"] == 0)
         assert np.allclose(sub.loc[meas, "nee_gfMDS"], flux[meas])
+
+
+def test_mds_fill_long_key_guardrail(spark):
+    """A key over max_records_per_key fails LOUDLY with an error naming
+    the key, the size and the knob — not a silent executor OOM."""
+    import pytest
+    rng = np.random.default_rng(4)
+    nperday = 24
+    n = nperday * 10
+    flux, swin, ta, vpd, hrs = _make_series(rng, n, nperday)
+    pdf = pd.DataFrame({
+        "source": "century", "ts": pd.date_range("2024-03-01", periods=n,
+                                                 freq="1h"),
+        "nee": flux, "swin": swin, "ta": ta, "vpd": vpd})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="max_records_per_key"):
+        mds.mds_fill(df, ["source"], "ts", "nee", "swin", "ta", "vpd",
+                     nperday, max_records_per_key=100).toPandas()
+    # at/under the bound: runs normally
+    out = mds.mds_fill(df, ["source"], "ts", "nee", "swin", "ta", "vpd",
+                       nperday, max_records_per_key=n).toPandas()
+    assert len(out) == n
