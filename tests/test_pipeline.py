@@ -92,3 +92,31 @@ def test_select_records_to_code_logs_query_text(spark, tmp_path):
     # replay from lineage reproduces the selection
     pred = row["query_text"].split("WHERE ", 1)[1]
     assert df.filter(pred).count() == 1
+
+
+def test_pyfiles_zip_matches_tree():
+    """dist/diive_spark.zip (the spark-submit --py-files artifact) must
+    contain EXACTLY the package's .py files with identical bytes — a stale
+    committed zip ships old code to executors (ADVICE r4)."""
+    import os
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(repo, "dist", "diive_spark.zip")
+    assert os.path.exists(zpath), "dist/diive_spark.zip missing — run scripts/make_pyfiles_zip.py"
+    tree = {}
+    pkg = os.path.join(repo, "diive_spark")
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                tree[os.path.relpath(full, repo)] = open(full, "rb").read()
+    with zipfile.ZipFile(zpath) as z:
+        names = set(z.namelist())
+        assert names == set(tree), (
+            f"zip drift: only-in-zip={sorted(names - set(tree))[:5]} "
+            f"only-in-tree={sorted(set(tree) - names)[:5]} — rerun "
+            "scripts/make_pyfiles_zip.py and commit the zip")
+        for name, want in tree.items():
+            assert z.read(name) == want, (
+                f"zip stale for {name} — rerun scripts/make_pyfiles_zip.py")
