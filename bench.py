@@ -169,6 +169,13 @@ def main() -> None:
               for k in trial_extras[0]}
 
     total = round(sum(queries.values()), 3)
+    # the r1-r4 workload subset: comparable across rounds even as the suite
+    # grows (round 5 added tree fill / CC clustering / new operators)
+    legacy = ["token_tier_cascade", "gapfill_1m_grid", "gorilla_pack_1m",
+              "gorilla_unpack_1m", "rollup_1m", "rollup_1h_gate90",
+              "cascade_1d", "gap_table_1h", "interp_linear_1h",
+              "zscore_outliers", "diel_cycle", "sstats", "time_since"]
+    legacy_total = round(sum(queries[n] for n in legacy if n in queries), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf = float(sf)
@@ -179,6 +186,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "value_r4_comparable": legacy_total,
         "sf": sf,
         "trials": N_TRIALS,
         "per_trial": per_trial,
