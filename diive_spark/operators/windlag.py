@@ -225,3 +225,96 @@ def max_covariance(
 
     return work.groupBy(*key_cols).applyInPandas(
         lambda _, pdf: kernel(pdf), schema=schema)
+
+
+R_GAS = 8.31446261815324  # universal gas constant, m3 Pa K-1 mol-1
+
+
+def flux_detection_limit(
+    df: DataFrame, key_cols: list[str], order_col: str, *,
+    u_col: str, v_col: str, w_col: str, c_col: str,
+    sonic_temp_col: str, h2o_col: str, press_col: str,
+    default_lag: float, noise_range: int = 20,
+    lag_range: tuple[int, int] = (-180, 180),
+    lag_stepsize: int = 1, sampling_rate: int = 20,
+) -> DataFrame:
+    """Flux detection limit per segment — Langford et al. (2015) noise
+    criterion (reference flux/hires/fluxdetectionlimit.py, composition
+    mirrored):
+
+    1. air pressure split: e = h2o·press, p_d = press − e; sonic→air
+       temperature Ta = Tsonic/(1 + 0.32·h2o) (fluxdetectionlimit.py
+       :241-258);
+    2. turbulent fluctuations w′, c′ via double rotation + Reynolds
+       decomposition (:337-347);
+    3. cross-covariance over the record-shift window (:348-380,
+       :func:`max_covariance`);
+    4. covariance → flux units with 1/(R·T̄a/p̄_d) (SAB18 eq. 16, :382-406);
+    5. noise RMSE from the two edge lag windows (±[160, 180] s by
+       default), LAN15 eq. 9 in the STR20 form
+       sqrt(0.5·(sd_L² + mean_L² + sd_R² + mean_R²)); FDL = 3·RMSE
+       (:408-444);
+    6. signal = flux at ``−default_lag·sampling_rate`` records and at the
+       max-|cov| lag; signal-to-noise ratios (:284-303).
+
+    One row per key. (The reference's ``_max_abs_covariance`` helper with
+    its site-specific −28-record fallback is not called by its own
+    ``run()`` — not mirrored.) Everything after the bounded per-key
+    covariance kernel is plain grouped aggregation."""
+    from diive_spark.functions.thermo import air_temp_from_sonic_temp
+
+    lag_from = lag_range[0] * sampling_rate
+    lag_to = lag_range[1] * sampling_rate
+    winsize = noise_range * sampling_rate
+
+    work = df.select(
+        *key_cols, F.col(order_col).alias("_ord"),
+        F.col(u_col).alias("_u"), F.col(v_col).alias("_v"),
+        F.col(w_col).alias("_w"), F.col(c_col).alias("_c"),
+        air_temp_from_sonic_temp(F.col(sonic_temp_col).cast("double"),
+                                 F.col(h2o_col).cast("double")).alias("_ta"),
+        (F.col(press_col) - F.col(h2o_col) * F.col(press_col)).alias("_pd"),
+    )
+    rot = double_rotation(work, key_cols, "_u", "_v", "_w")
+    rot = reynolds_fluctuations(rot, key_cols, ["_w_rot", "_c"])
+    cov = max_covariance(rot, key_cols, "_ord", "_w_rot_prime", "_c_prime",
+                         winsize_from=lag_from, winsize_to=lag_to,
+                         shift_stepsize=lag_stepsize)
+    factor = work.groupBy(*key_cols).agg(
+        (F.lit(1.0) / (F.lit(R_GAS) * F.avg("_ta") / F.avg("_pd")))
+        .alias("_factor"))
+    cov = cov.join(F.broadcast(factor), key_cols) \
+        .withColumn("cov_flux", F.col("cov") * F.col("_factor"))
+
+    sig_shift = int(-default_lag * sampling_rate)
+    left = (F.col("shift") >= lag_from) & (F.col("shift")
+                                           <= lag_from + winsize)
+    right = (F.col("shift") >= abs(lag_to) - winsize) & (F.col("shift")
+                                                         <= abs(lag_to))
+    agg = cov.groupBy(*key_cols).agg(
+        F.stddev_samp(F.when(left, F.col("cov_flux"))).alias("_sdl"),
+        F.avg(F.when(left, F.col("cov_flux"))).alias("_ml"),
+        F.stddev_samp(F.when(right, F.col("cov_flux"))).alias("_sdr"),
+        F.avg(F.when(right, F.col("cov_flux"))).alias("_mr"),
+        F.first(F.when(F.col("shift") == sig_shift, F.col("cov_flux")),
+                ignorenulls=True).alias("flux_signal_at_default_lag"),
+        F.first(F.when(F.col("flag_peak_max_cov_abs"), F.col("cov_flux")),
+                ignorenulls=True).alias("flux_signal_at_cov_max_lag"),
+        F.first(F.when(F.col("flag_peak_max_cov_abs"), F.col("shift")),
+                ignorenulls=True).alias("cov_max_shift"),
+    )
+    rmse = F.sqrt(0.5 * (F.col("_sdl") ** 2 + F.col("_ml") ** 2
+                         + F.col("_sdr") ** 2 + F.col("_mr") ** 2))
+    sig = F.col("flux_signal_at_default_lag")
+    out = agg.withColumn("flux_noise_rmse", rmse) \
+        .withColumn("flux_detection_limit", rmse * 3.0) \
+        .withColumn("signal_to_noise",
+                    F.when(sig != 0, F.abs(sig) / F.col("flux_noise_rmse"))) \
+        .withColumn("signal_to_detection_limit",
+                    F.when(sig != 0,
+                           F.abs(sig) / F.col("flux_detection_limit")))
+    return out.select(
+        *key_cols, "flux_detection_limit", "flux_noise_rmse",
+        "cov_max_shift", "flux_signal_at_default_lag",
+        "flux_signal_at_cov_max_lag", "signal_to_noise",
+        "signal_to_detection_limit")

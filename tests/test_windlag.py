@@ -128,3 +128,74 @@ def test_auto_peak_rejects_flat_profile():
     fmax, fauto = windlag.auto_peak_flags(cov_abs)
     assert fmax.sum() == 1 and int(np.flatnonzero(fmax)[0]) == 40
     assert fauto.sum() == 0
+
+
+def test_flux_detection_limit_matches_pandas_oracle(spark):
+    """flux_detection_limit == an independent pandas implementation of
+    the reference's composition (rotation + Reynolds + pandas .cov lag
+    search + SAB18 conversion + LAN15/STR20 noise RMSE) on a planted
+    10 Hz segment with a known scalar lag."""
+    rng = np.random.default_rng(7)
+    hz = 10
+    n = 600 * hz  # 10-minute segment
+    w = rng.normal(0, 0.4, n)
+    u = 2.5 + rng.normal(0, 0.7, n)
+    v = rng.normal(0, 0.5, n)
+    lag_rec = 14  # scalar delayed 1.4 s behind the wind signal
+    c = 320.0 + np.r_[np.full(lag_rec, 0.0), 5.0 * w[:-lag_rec]] \
+        + rng.normal(0, 0.3, n)
+    sonic_k = 293.15 + rng.normal(0, 0.5, n)
+    h2o = np.full(n, 0.01) + rng.normal(0, 1e-4, n)
+    press = np.full(n, 96000.0) + rng.normal(0, 50, n)
+    pdf = pd.DataFrame({"rec": np.arange(n), "seg": "S",
+                        "u": u, "v": v, "w": w, "c": c,
+                        "t_sonic": sonic_k, "h2o": h2o, "press": press})
+    # a scalar DELAYED by k records peaks at shift +k under the
+    # reference's pairing (ref[n] vs lagged[n+shift]); its signal lookup
+    # reads shift == -default_lag*rate, so default_lag=-1.4 points at it
+    lag_range, noise_range, default_lag = (-60, 60), 10, -1.4
+
+    out = windlag.flux_detection_limit(
+        spark.createDataFrame(pdf), ["seg"], "rec",
+        u_col="u", v_col="v", w_col="w", c_col="c",
+        sonic_temp_col="t_sonic", h2o_col="h2o", press_col="press",
+        default_lag=default_lag, noise_range=noise_range,
+        lag_range=lag_range, sampling_rate=hz,
+    ).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+
+    # ---- independent pandas oracle --------------------------------------
+    ta = sonic_k / (1 + 0.32 * h2o)
+    pd_pa = press - h2o * press
+    um, vm, wm = u.mean(), v.mean(), w.mean()
+    theta = np.arctan2(vm, um)
+    u1 = u * np.cos(theta) + v * np.sin(theta)
+    phi = np.arctan2(wm, um * np.cos(theta) + vm * np.sin(theta))
+    w2 = -u1 * np.sin(phi) + w * np.cos(phi)
+    wp = pd.Series(w2 - w2.mean())
+    cp = pd.Series(c - c.mean())
+    shifts = list(range(lag_range[0] * hz, lag_range[1] * hz + 1))
+    covs = pd.Series([wp.cov(cp.shift(-s)) for s in shifts], index=shifts)
+    factor = 1 / (8.31446261815324 * ta.mean() / pd_pa.mean())
+    cov_flux = covs * factor
+    lag_from, lag_to = lag_range[0] * hz, lag_range[1] * hz
+    winsize = noise_range * hz
+    leftw = cov_flux[(covs.index >= lag_from)
+                     & (covs.index <= lag_from + winsize)]
+    rightw = cov_flux[(covs.index >= abs(lag_to) - winsize)
+                      & (covs.index <= abs(lag_to))]
+    rmse = np.sqrt(0.5 * (leftw.std() ** 2 + leftw.mean() ** 2
+                          + rightw.std() ** 2 + rightw.mean() ** 2))
+    sig = cov_flux.loc[int(-default_lag * hz)]
+    max_shift = cov_flux.abs().idxmax()
+
+    assert abs(row["flux_noise_rmse"] - rmse) < 1e-12
+    assert abs(row["flux_detection_limit"] - 3 * rmse) < 1e-12
+    assert abs(row["flux_signal_at_default_lag"] - sig) < 1e-12
+    assert row["cov_max_shift"] == max_shift
+    assert abs(row["signal_to_noise"] - abs(sig) / rmse) < 1e-9
+    # the planted 14-record delay -> positive shift under the pairing
+    assert row["cov_max_shift"] == lag_rec
+    # a real flux signal clears its own detection limit
+    assert row["signal_to_detection_limit"] > 1.0
