@@ -1897,9 +1897,17 @@ ORACLES["rank_drivers"] = _rank_drivers_sql()
 
 def q_quadrature_cumulative(spark, sf_dir):
     """Uncertainty-propagation cumulative sqrt(cumsum(x^2)) per event_type
-    (SURVEY §2.4; diive CLAUDE.md uncertainty idiom), event_id tie-break."""
+    (SURVEY §2.4; diive CLAUDE.md uncertainty idiom), event_id tie-break.
+
+    The gate feeds INTEGER centi-units (round(value*100)) so every term
+    and every partial sum of squares is an exactly-representable double
+    (≤ 8e12 « 2^53): the running sum is then bit-identical regardless of
+    each engine's window-sum association (Spark sequential vs DuckDB
+    segment tree) — at sf0.1 the raw-double version flipped one 6th
+    decimal in ~96k cumulative rows."""
     from diive_spark.operators import features
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 100, 0))
     out = features.quadrature_cumulative(ev, ["event_type"], "ts", "value",
                                          tiebreak_cols=["event_id"])
     return out.select("event_id", "event_type",
@@ -1908,7 +1916,7 @@ def q_quadrature_cumulative(spark, sf_dir):
 
 SQL_QUADRATURE_CUMULATIVE = """
 SELECT event_id, event_type,
-       round(1e-9 + sqrt(sum(value * value) OVER (
+       round(1e-9 + sqrt(sum(round(value * 100) * round(value * 100)) OVER (
            PARTITION BY event_type ORDER BY ts, event_id
            ROWS UNBOUNDED PRECEDING)), 6) AS cumq_v
 FROM events
