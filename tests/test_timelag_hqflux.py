@@ -1,0 +1,145 @@
+"""Time-lag window recommendation (operators/timelag.py) and
+highest-quality flux analysis (operators/hqflux.py) vs the reference
+flux/lowres/timelag_analysis.py + hqflux.py, both reference-EXECUTED."""
+
+import numpy as np
+import pandas as pd
+
+from diive_spark.operators import hqflux, timelag
+from tests.reference_harness import run_reference
+
+LAT, LON, UTC = 46.58, 11.43, 1
+
+
+def _tlag_series(seed=3, n=4000):
+    """Discrete 0.05 s lag steps: a sharp physical peak near 0.35 s plus
+    uniform junk across the search range (fringe accumulation)."""
+    rng = np.random.default_rng(seed)
+    peak = rng.normal(0.35, 0.06, int(n * 0.7))
+    junk = rng.uniform(-1.0, 5.0, int(n * 0.3))
+    v = np.round(np.concatenate([peak, junk]) / 0.05) * 0.05
+    return np.abs(v)
+
+
+def test_recommendation_matches_executed_reference():
+    vals = _tlag_series()
+    ref = run_reference(f"""
+import numpy as np
+vals = np.array({[float(v) for v in vals]!r})
+idx = pd.date_range("2024-01-01", periods=len(vals), freq="30min")
+df = pd.DataFrame({{"CO2_TLAG_ACTUAL": vals}}, index=idx)
+from diive.flux.lowres.timelag_analysis import TimeLagAnalysis
+tla = TimeLagAnalysis(df=df)
+a = tla.analyze_gas("CO2")
+print(json.dumps({{
+    "peak": float(a["peak"]), "peak_min": float(a["peak_min"]),
+    "peak_max": float(a["peak_max"]),
+    "eddypro_min": float(a["eddypro_min"]),
+    "eddypro_max": float(a["eddypro_max"]),
+    "hist_bins": [float(b) for b in a["histogram_results"]["BIN_START_INCL"]],
+    "hist_counts": [int(c) for c in a["histogram_results"]["COUNTS"]],
+}}))
+""")
+    rec = timelag.recommend_lag_window(vals)
+    assert rec["peak"] == ref["peak"]
+    assert rec["peak_min"] == ref["peak_min"]
+    assert rec["peak_max"] == ref["peak_max"]
+    assert abs(rec["eddypro_min"] - ref["eddypro_min"]) < 1e-12
+    assert abs(rec["eddypro_max"] - ref["eddypro_max"]) < 1e-12
+    # the display-filtered histogram itself matches
+    bins, counts = timelag.uniques_edge_histogram(vals)
+    keep = (bins >= 0.0) & (bins <= 10.0)
+    assert np.allclose(bins[keep], ref["hist_bins"])
+    assert list(counts[keep]) == ref["hist_counts"]
+
+
+def test_timelag_recommendation_spark(spark):
+    frames = []
+    for i, gas in enumerate(("CO2", "CH4")):
+        frames.append(pd.DataFrame({
+            "gas": gas, "tlag": _tlag_series(seed=3 + i)}))
+    out = timelag.timelag_recommendation(
+        spark.createDataFrame(pd.concat(frames)), ["gas"], "tlag"
+    ).toPandas().set_index("gas")
+    assert len(out) == 2
+    for i, gas in enumerate(("CO2", "CH4")):
+        want = timelag.recommend_lag_window(_tlag_series(seed=3 + i))
+        for k, v in want.items():
+            assert out.loc[gas, k] == v, (gas, k)
+    # the recommendation brackets the planted 0.35 s peak
+    assert out.loc["CO2", "eddypro_min"] <= 0.35 <= out.loc["CO2",
+                                                            "eddypro_max"]
+
+
+def _flux_frame(n_days=40, seed=9):
+    rng = np.random.default_rng(seed)
+    idx = pd.date_range("2023-06-01 00:15", periods=n_days * 48,
+                        freq="30min")
+    hours = idx.hour.to_numpy(float) + idx.minute.to_numpy(float) / 60.0
+    base = -8 * np.maximum(0, np.sin((hours - 6) / 12 * np.pi)) \
+        + 3 + rng.normal(0, 0.8, len(idx))
+    base[rng.integers(0, len(idx), 25)] += rng.choice([-40, 40], 25)
+    base[rng.integers(0, len(idx), 60)] = np.nan
+    q = lambda a: np.round(a * 64) / 64  # noqa: E731
+    return pd.DataFrame({"ts": idx, "NEE": q(base)})
+
+
+def test_hqflux_matches_executed_reference(spark, tmp_path):
+    pdf = _flux_frame()
+    payload = tmp_path / "flux.json"
+    payload.write_text(pdf.to_json())
+    ref = run_reference(f"""
+pdf = pd.read_json({str(payload)!r})
+pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ms")
+flux = pd.Series(pdf["NEE"].to_numpy(), index=pdf["ts"], name="NEE")
+from diive.flux.lowres.hqflux import analyze_highest_quality_flux
+hqdf, summary = analyze_highest_quality_flux(
+    flux=flux, lat={LAT}, lon={LON}, utc_offset={UTC}, showplot=False,
+    return_summary=True)
+def ser(s):
+    return [None if not np.isfinite(v) else float(v)
+            for v in np.asarray(s, float)]
+print(json.dumps({{
+    "day": ser(hqdf["FLUX_DAYTIME"]), "night": ser(hqdf["FLUX_NIGHTTIME"]),
+    "rmed_day": ser(hqdf["ROLLING_MEDIAN_DAYTIME"]),
+    "rmed_night": ser(hqdf["ROLLING_MEDIAN_NIGHTTIME"]),
+    "sd_day": float(hqdf["SD_DAYTIME"].dropna().iloc[0]),
+    "sd_night": float(hqdf["SD_NIGHTTIME"].dropna().iloc[0]),
+    "win_day": int(hqdf["WINSIZE_DAYTIME"].dropna().iloc[0]),
+    "win_night": int(hqdf["WINSIZE_NIGHTTIME"].dropna().iloc[0]),
+    "total": int(summary["total_records"]),
+    "valid": int(summary["valid_records"]),
+    "outliers": int(summary["outliers_found"]),
+    "window_length": int(summary["window_length"]),
+}}))
+""", timeout=600)
+    hqdf, summary = hqflux.analyze_highest_quality_flux(
+        spark.createDataFrame(pdf.assign(site="A")), ["site"], "ts", "NEE",
+        lat=LAT, lon=LON, utc_offset=UTC)
+    got = hqdf.toPandas().sort_values("ts").reset_index(drop=True)
+    s = summary.toPandas().iloc[0]
+    assert int(s["total_records"]) == ref["total"]
+    assert int(s["valid_records"]) == ref["valid"]
+    assert int(s["outliers_found"]) == ref["outliers"]
+    assert int(s["window_length"]) == ref["window_length"]
+
+    def side(period):
+        sub = got[got["period"] == period].sort_values("ts")
+        return sub
+
+    for period, fkey, rkey, sdkey, wkey in (
+            ("DAYTIME", "day", "rmed_day", "sd_day", "win_day"),
+            ("NIGHTTIME", "night", "rmed_night", "sd_night", "win_night")):
+        sub = side(period)
+        want_f = np.array([np.nan if v is None else v for v in ref[fkey]])
+        want_r = np.array([np.nan if v is None else v for v in ref[rkey]])
+        # the reference frame is full-length with NaN off-period; restrict
+        # to this period's timestamps via the finite positions of the
+        # engine's rows
+        pos = pdf["ts"].isin(sub["ts"]).to_numpy()
+        assert np.allclose(sub["FLUX_FILTERED"].to_numpy(), want_f[pos],
+                           equal_nan=True)
+        assert np.allclose(sub["ROLLING_MEDIAN"].to_numpy(), want_r[pos],
+                           equal_nan=True)
+        assert abs(sub["SD"].iloc[0] - ref[sdkey]) < 1e-9
+        assert int(sub["WINSIZE"].iloc[0]) == ref[wkey]
