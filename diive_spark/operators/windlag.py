@@ -318,3 +318,32 @@ def flux_detection_limit(
         "cov_max_shift", "flux_signal_at_default_lag",
         "flux_signal_at_cov_max_lag", "signal_to_noise",
         "signal_to_detection_limit")
+
+
+def apply_time_lag(
+    df: DataFrame, key_cols: list[str], order_col: str,
+    scalar_cols: list[str], lags: DataFrame,
+    lag_col: str = "lag_records", suffix: str = "_LAGGED",
+) -> DataFrame:
+    """Apply per-segment detected time lags to scalar columns — the
+    numeric core of the reference's ``TlagApplier``
+    (flux/hires/apply_tlag.py:346-608: each scalar column is shifted
+    BACKWARD by the segment's ``round(tlag_s · hz)`` records; everything
+    else passes through; the file/CLI orchestration layer is out of
+    scope).
+
+    ``lags`` maps key → integer record lag (positive = the scalar lags
+    behind the wind: row n takes the scalar from row n + lag). A variable
+    per-key shift cannot use the constant-offset ``F.lag``; it is one
+    self-equi-join on (key, rn + lag) — rn from a per-key window — with
+    the tiny lag table broadcast onto both sides."""
+    kw = Window.partitionBy(*key_cols).orderBy(order_col)
+    with_rn = df.join(F.broadcast(lags.select(*key_cols, lag_col)),
+                      key_cols, "left") \
+        .withColumn("_rn", F.row_number().over(kw))
+    donor = with_rn.select(
+        *key_cols,
+        (F.col("_rn") - F.coalesce(F.col(lag_col), F.lit(0))).alias("_rn"),
+        *[F.col(c).alias(c + suffix) for c in scalar_cols])
+    return with_rn.join(donor, [*key_cols, "_rn"], "left") \
+        .drop("_rn")

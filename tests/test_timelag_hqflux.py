@@ -143,3 +143,59 @@ print(json.dumps({{
                            equal_nan=True)
         assert abs(sub["SD"].iloc[0] - ref[sdkey]) < 1e-9
         assert int(sub["WINSIZE"].iloc[0]) == ref[wkey]
+
+
+def test_encoded_value_matches_executed_reference(spark):
+    """functions/binary.encoded_value (JVM arithmetic) == the reference's
+    string-slicing get_encoded_value_series, incl. null passthrough."""
+    from pyspark.sql import functions as F
+
+    from diive_spark.functions import binary
+
+    ints = [18, 250, 0, 255, 129, None, 77]
+    ref = run_reference(f"""
+import numpy as np
+from diive.io.binary.extract import get_encoded_value_series
+s = pd.Series([np.nan if v is None else float(v) for v in {ints!r}])
+out1 = get_encoded_value_series(s.copy(), 4, 8, gain=6.25, n_bits=8)
+out2 = get_encoded_value_series(s.copy(), 0, 3, gain=1, n_bits=8)
+def ser(x):
+    return [None if not np.isfinite(v) else float(v) for v in x]
+print(json.dumps({{"a": ser(out1), "b": ser(out2)}}))
+""")
+    pdf = pd.DataFrame({"i": pd.array(ints, dtype="Int64"),
+                        "rn": range(len(ints))})
+    out = spark.createDataFrame(pdf).select(
+        "rn",
+        binary.encoded_value("i", 4, 8, gain=6.25).alias("a"),
+        binary.encoded_value("i", 0, 3).alias("b"),
+    ).toPandas().sort_values("rn")
+    for col in ("a", "b"):
+        want = [np.nan if v is None else v for v in ref[col]]
+        assert np.allclose(out[col].astype(float), want, equal_nan=True)
+
+
+def test_apply_time_lag_shifts_scalars_per_key(spark):
+    from diive_spark.operators import windlag
+    n = 50
+    pdf = pd.concat([
+        pd.DataFrame({"seg": "A", "rec": range(n),
+                      "w": np.arange(n, dtype=float),
+                      "c": 100.0 + np.arange(n)}),
+        pd.DataFrame({"seg": "B", "rec": range(n),
+                      "w": np.arange(n, dtype=float),
+                      "c": 200.0 + np.arange(n)}),
+    ])
+    lags = pd.DataFrame({"seg": ["A", "B"], "lag_records": [3, 0]})
+    out = windlag.apply_time_lag(
+        spark.createDataFrame(pdf), ["seg"], "rec", ["c"],
+        spark.createDataFrame(lags),
+    ).toPandas().sort_values(["seg", "rec"]).reset_index(drop=True)
+    a = out[out["seg"] == "A"]
+    # row n takes the scalar from row n + 3 (scalar shifted backward)
+    assert np.allclose(a["c_LAGGED"].to_numpy()[:-3], 100.0 + np.arange(3, n))
+    assert a["c_LAGGED"].isna().tail(3).all()
+    # wind column untouched
+    assert np.allclose(a["w"], np.arange(n))
+    b = out[out["seg"] == "B"]
+    assert np.allclose(b["c_LAGGED"], b["c"])
