@@ -129,6 +129,18 @@ def flag_vm97(
     return out
 
 
+def flag_steadiness_horizontal_wind(
+    df: DataFrame, flux: str, nshwcol: str | None = None,
+) -> DataFrame:
+    """Steadiness-of-horizontal-wind flag (VM97 par. 6g), digit 1 of
+    EddyPro's ``VM97_NSHW_HF`` 9-digit code, hard (eddyproflags.py:115):
+    systematic along/crosswind drift over the averaging period."""
+    code = F.coalesce(F.col(nshwcol or "VM97_NSHW_HF").cast("double"),
+                      F.lit(_VM97_MISSING))
+    return df.withColumn(f"FLAG_L2_{flux}_VM97_NSHW_HF_TEST",
+                         _diive_flag(_digit(code, 1), hard=True))
+
+
 def flag_angle_of_attack(
     df: DataFrame, ts_col: str, flux: str,
     application_dates: list | None = None, aoacol: str | None = None,

@@ -189,3 +189,35 @@ def yearmonth_matrix_to_longform(
 def detect_new_columns(df: DataFrame, other: DataFrame) -> list[str]:
     """Schema diff (frames.py:240)."""
     return [c for c in df.columns if c not in set(other.columns)]
+
+
+def combine_variables(
+    df: DataFrame, col1: str, col2: str, method: str = "multiply",
+    keep_overlap_only: bool = True, out_col: str | None = None,
+) -> DataFrame:
+    """Element-wise combination of two variables (reference
+    variables/utilities.py:24-82 ``combine_variables``): add / subtract /
+    multiply / divide, plus ``'fillgaps'`` (keep ``col1``, fill its nulls
+    from ``col2`` — ``combine_first``). With ``keep_overlap_only=False``
+    a one-sided record survives via the operation's identity (0 for
+    add/subtract, 1 for multiply/divide)."""
+    a, b = F.col(col1), F.col(col2)
+    out_col = out_col or f"{col1}_{method.upper()}_{col2}"
+    if method == "fillgaps":
+        expr = F.coalesce(a, b)
+    else:
+        ops = {"add": (lambda x, y: x + y, 0.0),
+               "subtract": (lambda x, y: x - y, 0.0),
+               "multiply": (lambda x, y: x * y, 1.0),
+               "divide": (lambda x, y: x / y, 1.0)}
+        if method not in ops:
+            raise ValueError(f"Unknown method {method!r}. Choose from "
+                             f"{sorted(list(ops) + ['fillgaps'])}.")
+        op, identity = ops[method]
+        if keep_overlap_only:
+            expr = op(a, b)  # null where either side is null
+        else:
+            expr = F.when(a.isNull() & b.isNull(), F.lit(None)).otherwise(
+                op(F.coalesce(a, F.lit(identity)),
+                   F.coalesce(b, F.lit(identity))))
+    return df.withColumn(out_col, expr)

@@ -199,3 +199,60 @@ def test_apply_time_lag_shifts_scalars_per_key(spark):
     assert np.allclose(a["w"], np.arange(n))
     b = out[out["seg"] == "B"]
     assert np.allclose(b["c_LAGGED"], b["c"])
+
+
+def test_steadiness_flag_and_combine_variables_match_reference(spark):
+    from diive_spark.functions import eddypro
+    from diive_spark.operators import frames
+
+    codes = [800000000, 810000000, None, 890000000, 819999999]
+    vals1 = [1.0, None, 3.0, 4.0, None]
+    vals2 = [10.0, 20.0, None, 40.0, None]
+    ref = run_reference(f"""
+import numpy as np
+from diive.flux.lowres.quality_flags import FluxQualityFlagsEddyPro
+from diive.preprocessing.qaqc import flag_steadiness_horizontal_wind_eddypro_test
+from diive.variables.utilities import combine_variables
+idx = pd.date_range("2024-01-01", periods=5, freq="30min")
+df = pd.DataFrame({{"VM97_NSHW_HF":
+    [np.nan if v is None else float(v) for v in {codes!r}]}}, index=idx)
+fl = flag_steadiness_horizontal_wind_eddypro_test(df=df, flux="FC")
+s1 = pd.Series([np.nan if v is None else v for v in {vals1!r}], index=idx,
+               name="A")
+s2 = pd.Series([np.nan if v is None else v for v in {vals2!r}], index=idx,
+               name="B")
+def ser(x):
+    return [None if not np.isfinite(v) else float(v)
+            for v in np.asarray(x, float)]
+print(json.dumps({{
+    "flag": ser(fl),
+    "mult_overlap": ser(combine_variables(s1, s2, "multiply", True)),
+    "add_union": ser(combine_variables(s1, s2, "add", False)),
+    "fillgaps": ser(combine_variables(s1, s2, "fillgaps")),
+}}))
+""")
+    pdf = pd.DataFrame({
+        "rn": range(5),
+        "VM97_NSHW_HF": pd.array(codes, dtype="Int64"),
+        "A": [np.nan if v is None else v for v in vals1],
+        "B": [np.nan if v is None else v for v in vals2]})
+    sdf = eddypro.flag_steadiness_horizontal_wind(
+        spark.createDataFrame(pdf), "FC")
+    sdf = frames.combine_variables(sdf, "A", "B", "multiply", True,
+                                   out_col="res_m")
+    sdf = frames.combine_variables(sdf, "A", "B", "add", False,
+                                   out_col="res_a")
+    sdf = frames.combine_variables(sdf, "A", "B", "fillgaps", out_col="res_f")
+    got = sdf.toPandas().sort_values("rn")
+
+    def w(key):
+        return [np.nan if v is None else v for v in ref[key]]
+
+    assert np.allclose(got["FLAG_L2_FC_VM97_NSHW_HF_TEST"].astype(float),
+                       w("flag"), equal_nan=True)
+    assert np.allclose(got["res_m"].astype(float), w("mult_overlap"),
+                       equal_nan=True)
+    assert np.allclose(got["res_a"].astype(float), w("add_union"),
+                       equal_nan=True)
+    assert np.allclose(got["res_f"].astype(float), w("fillgaps"),
+                       equal_nan=True)
