@@ -256,3 +256,59 @@ print(json.dumps({{
                        equal_nan=True)
     assert np.allclose(got["res_f"].astype(float), w("fillgaps"),
                        equal_nan=True)
+
+
+def test_files_overview_matches_executed_reference(spark, tmp_path):
+    """sources/discovery.files_overview == the reference's FileDetector
+    EXECUTED on the same (real) files — expected grid, availability,
+    unexpected files, expected end/duration/records, file limit."""
+    from diive_spark.sources import discovery
+
+    names = ["202406010000.csv", "202406010600.csv",  # regular 6h grid
+             "202406011800.csv",                       # 12:00 missing
+             "202406011causedrop",                     # (not created)
+             "202406020300.csv"]                       # unexpected start
+    names = [n for n in names if n.endswith(".csv")]
+    paths = []
+    for i, n in enumerate(names):
+        p = tmp_path / n
+        p.write_text("x" * (10 + i))
+        paths.append(str(p))
+    ref = run_reference(f"""
+from pathlib import Path
+from diive.core.io.filedetector import FileDetector
+fd = FileDetector(filelist=[Path(p) for p in {paths!r}],
+                  file_date_format="%Y%m%d%H%M.csv",
+                  file_generation_res="6h", data_res=0.05,
+                  files_how_many=None)
+fd.run()
+res = fd.get_results()
+def ser(x):
+    import numpy as np
+    return [None if (v is None or (isinstance(v, float) and not np.isfinite(v))) else float(v)
+            for v in x]
+print(json.dumps({{
+    "idx": [str(v) for v in res.index],
+    "avail": ser(res["file_available"]),
+    "size": ser(res["filesize"]),
+    "dur": ser(res["expected_duration"]),
+    "recs": ser(res["expected_records"]),
+    "names": [None if not isinstance(v, str) else v for v in res["filename"]],
+}}))
+""")
+    out = discovery.files_overview(
+        spark, paths, "%Y%m%d%H%M.csv", "6h", 0.05
+    ).toPandas().sort_values("expected_start").reset_index(drop=True)
+    assert [str(v) for v in out["expected_start"]] == ref["idx"]
+    assert list(out["file_available"]) == ref["avail"]
+    for col, key in (("filesize", "size"), ("expected_duration", "dur"),
+                     ("expected_records", "recs")):
+        want = [np.nan if v is None else v for v in ref[key]]
+        assert np.allclose(out[col].astype(float), want, equal_nan=True), col
+    assert [v if isinstance(v, str) else None
+            for v in out["filename"]] == ref["names"]
+    # the file limit trims to the first N available
+    lim = discovery.files_overview(
+        spark, paths, "%Y%m%d%H%M.csv", "6h", 0.05, files_how_many=2
+    ).toPandas()
+    assert lim["file_available"].sum() == 2
