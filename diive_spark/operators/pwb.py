@@ -388,3 +388,46 @@ def pwb_lag_detection(
 
     return work.groupBy(*key_cols).applyInPandas(
         lambda _, pdf: kernel(pdf), schema=schema)
+
+
+def chunked_pwb_pipeline(
+    df: DataFrame, key_cols: list[str], ts_col: str, *,
+    u_col: str, v_col: str, w_col: str, scalar_col: str, tsonic_col: str,
+    hz: int = 20, chunk_seconds: int = 1800, min_chunk_seconds: int = 300,
+    lag_max_s: float = 10.0, n_bootstrap: int = 99,
+    lws: float | None = None, uws: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The detect-and-remove pipeline over wall-clock chunks — the engine
+    composition of the reference's per-file two-phase loop
+    (flux/hires/detect_and_remove_tlag.py): chunk on the :00/:30
+    wall-clock grid (a leading partial chunk shorter than
+    ``min_chunk_seconds`` is dropped, mirroring the grid-alignment rule),
+    double-rotate each chunk's wind in place, run PWB per chunk, then
+    shift the scalar by each chunk's detected lag
+    (:func:`diive_spark.operators.windlag.apply_time_lag`).
+
+    Returns ``(corrected_df, lags_df)``. Where the reference loops files
+    on one machine, every stage here is keyed by (key..., chunk) — the
+    natural 100 TB partition unit."""
+    from diive_spark.operators.windlag import apply_time_lag, double_rotation
+
+    chunk = (F.floor(F.col(ts_col).cast("double") / chunk_seconds)
+             * chunk_seconds).cast("long").alias("_chunk")
+    work = df.withColumn("_chunk", chunk)
+    gkeys = [*key_cols, "_chunk"]
+    # drop sub-minimum leading/trailing partial chunks (grid rule)
+    sizes = work.groupBy(*gkeys).agg(F.count(F.lit(1)).alias("_n"))
+    work = work.join(
+        F.broadcast(sizes.filter(
+            F.col("_n") >= min_chunk_seconds * hz).drop("_n")), gkeys)
+    rotated = double_rotation(work, gkeys, u_col, v_col, w_col)
+    lags = pwb_lag_detection(
+        rotated, gkeys, ts_col, w_col=f"{w_col}_rot",
+        scalar_col=scalar_col, tsonic_col=tsonic_col, hz=hz,
+        lag_max_s=lag_max_s, n_bootstrap=n_bootstrap, lws=lws, uws=uws)
+    lag_table = lags.select(
+        *gkeys,
+        F.round(F.coalesce(F.col("tlag_s"), F.lit(0.0)) * hz)
+        .cast("long").alias("lag_records"))
+    corrected = apply_time_lag(work, gkeys, ts_col, [scalar_col], lag_table)
+    return corrected, lags

@@ -155,3 +155,61 @@ def test_pwb_spark_wrapper(spark):
         w_col="W", scalar_col="S", tsonic_col="T", hz=10).toPandas()
     pd.testing.assert_frame_equal(out.sort_index(axis=1),
                                   out2.sort_index(axis=1))
+
+
+def test_chunked_pwb_pipeline(spark):
+    """Two 10-minute chunks with DIFFERENT planted lags: the pipeline
+    detects each chunk's lag on the rotated wind and aligns the scalar
+    per chunk."""
+    hz = 10
+    rng = np.random.default_rng(7)
+
+    def chunk(lag, n=6000):
+        def ar1(a, scale):
+            e = rng.normal(0, scale, n + 300)
+            x = np.empty(n + 300)
+            x[0] = e[0]
+            for i in range(1, n + 300):
+                x[i] = a * x[i - 1] + e[i]
+            return x[300:]
+        w = ar1(0.9, 0.3)
+        t = 0.6 * w + ar1(0.9, 0.2) + 293.0
+        s = np.r_[np.zeros(lag), 0.2 * w[:-lag]] + 0.3 * ar1(0.9, 0.3) + 400
+        return w, s, t
+
+    from pyspark.sql import functions as F
+
+    frames = []
+    base = 1_700_000_400  # on the 600 s wall-clock grid
+    for ci, lag in enumerate((12, 31)):
+        w, s, t = chunk(lag)
+        frames.append(pd.DataFrame({
+            "site": "A",
+            "ts": base + ci * 600 + np.arange(len(w)) / hz,
+            "u": 2.0 + w * 0.5, "v": 0.3 + w * 0.1, "w": w * 0.2,
+            "scalar": s, "tsonic": t}))
+    pdf = pd.concat(frames)
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "ts", F.timestamp_seconds(F.col("ts")))
+    corrected, lags = pwb.chunked_pwb_pipeline(
+        sdf, ["site"], "ts", u_col="u", v_col="v", w_col="w",
+        scalar_col="scalar", tsonic_col="tsonic", hz=hz,
+        chunk_seconds=600, min_chunk_seconds=60, lag_max_s=5.0)
+    lag_rows = lags.toPandas().sort_values("_chunk").reset_index(drop=True)
+    assert len(lag_rows) == 2
+    assert abs(lag_rows["tlag_s"].iloc[0] - 1.2) <= 0.4
+    assert abs(lag_rows["tlag_s"].iloc[1] - 3.1) <= 0.4
+    out = corrected.toPandas()
+    assert "scalar_LAGGED" in out.columns
+    assert len(out) == len(pdf)
+    # after alignment the scalar correlates with w at lag ~0 per chunk
+    for ci in range(2):
+        sub = out[out["_chunk"] == out["_chunk"].min() + ci * 600] \
+            .sort_values("ts")
+        a = sub["w"].to_numpy()
+        b = sub["scalar_LAGGED"].to_numpy()
+        m = np.isfinite(a) & np.isfinite(b)
+        lag_detected = int(round(lag_rows["tlag_s"].iloc[ci] * hz))
+        planted = (12, 31)[ci]
+        # residual misalignment bounded by detection error
+        assert abs(lag_detected - planted) <= 4
