@@ -157,10 +157,9 @@ def is_valid_night(nee_w, temp_w, isnight_w):
     """Night-valid mask; freezing (≤ −1 °C) records are dropped when ≥12
     non-freezing remain (REddyProc isFilterMeteoQualityFlag path)."""
     v = isnight_w & ~np.isnan(nee_w) & np.isfinite(temp_w)
-    freezing = temp_w[v] <= -1
-    if int(np.sum(~freezing)) >= 12:
-        vi = np.nonzero(v)[0]
-        v[vi[freezing]] = False
+    warm_enough = temp_w > -1
+    if int((v & warm_enough).sum()) >= 12:
+        v &= warm_enough
     return v
 
 
@@ -273,12 +272,11 @@ def smooth_tempsens(e0fit, sde0fit, i_central, start_days):
     e0[np.concatenate([[False], np.diff(e0) == 0])] = np.nan
     sde0 = sde0fit.astype(float)
     year = np.ceil(start_days / 365).astype(int)
-    out_e0 = np.full(e0.size, np.nan)
-    out_sd = np.full(e0.size, np.nan)
+    out_e0, out_sd = (np.full(e0.size, np.nan) for _ in range(2))
     for yr in np.unique(year):
         ym = year == yr
         fin = ym & np.isfinite(e0)
-        if fin.sum() == 0:
+        if not fin.any():
             continue
         ef, sf, xf = e0[fin], sde0[fin], i_central[fin].astype(float)
         if np.std(ef, ddof=1) / np.mean(ef) < 0.01:
@@ -287,14 +285,16 @@ def smooth_tempsens(e0fit, sde0fit, i_central, start_days):
             continue
         predict, nugget = gp_smooth(xf, ef, sf ** 2)
         fit, se = predict(i_central[ym].astype(float))
-        nug_all = np.full(int(ym.sum()), np.quantile(nugget, 0.9))
+        # windows without their own fit take the 90 %-quantile nugget
+        nug_all = np.repeat(np.quantile(nugget, 0.9), int(ym.sum()))
         nug_all[np.isfinite(e0[ym])] = nugget
         out_e0[ym] = fit
         out_sd[ym] = se + np.sqrt(nug_all)
-    nf = ~np.isfinite(out_e0)
-    if nf.any() and (~nf).any():
-        out_e0[nf] = np.mean(out_e0[~nf])
-        out_sd[nf] = np.quantile(out_sd[~nf], 0.9) * 1.5
+    still = ~np.isfinite(out_e0)
+    if still.any() and not still.all():
+        out_e0 = np.where(still, out_e0[~still].mean(), out_e0)
+        out_sd = np.where(still, 1.5 * np.quantile(out_sd[~still], 0.9),
+                          out_sd)
     return out_e0, out_sd
 
 
@@ -316,14 +316,12 @@ def rref_windows(nee, temp, is_night, e0_smooth, i_central, dts, n):
             tfac = np.exp(e0_smooth[w] * (1.0 / (TREF_K - T0_K)
                                           - 1.0 / (tk - T0_K)))
             rref[w] = max(0.0, float(tfac @ reco) / float(tfac @ tfac))
+    # forward fill (first value padded backwards): vectorized locf
     fin = np.isfinite(rref)
     if fin.any():
-        cur = rref[fin][0]
-        for w in range(nw):
-            if np.isfinite(rref[w]):
-                cur = rref[w]
-            else:
-                rref[w] = cur
+        src = np.maximum.accumulate(np.where(fin, np.arange(nw), -1))
+        src = np.where(src < 0, int(np.flatnonzero(fin)[0]), src)
+        rref = rref[src]
     return rref
 
 
@@ -372,13 +370,14 @@ def _fit_lrc_subset(theta_full, iopt, flux, sdflux, prior, sdprior, rg,
 
 
 def _get_iopt(fixed_vpd, fixed_alpha):
-    if not fixed_vpd and not fixed_alpha:
-        return [0, 1, 2, 3]
-    if fixed_vpd and not fixed_alpha:
-        return [1, 2, 3]
-    if not fixed_vpd and fixed_alpha:
-        return [0, 1, 3]
-    return [1, 3]
+    """Free-parameter index set: k (0) drops when the VPD term is fixed,
+    alpha (2) drops when pinned to the previous window."""
+    free = [1, 3]
+    if not fixed_vpd:
+        free.insert(0, 0)
+    if not fixed_alpha:
+        free.insert(-1, 2)
+    return sorted(free)
 
 
 def _lrc_bounds_cascade(theta0, prior, day, last_good):
@@ -432,15 +431,14 @@ def _lrc_bounds_cascade(theta0, prior, day, last_good):
 def fit_lrc_window(day, e0, sde0, rref_night, last_good):
     """Three-start LRC fit + admissibility (REddyProc semantics); returns
     the winning dict or None."""
-    nee = day[0]
-    nee_fin = nee[np.isfinite(nee)]
+    nee_fin = day[0][np.isfinite(day[0])]
     beta_prior = abs(np.quantile(nee_fin, 0.03) - np.quantile(nee_fin, 0.97))
     prior = np.array([0.05, beta_prior, 0.1, rref_night, e0])
-    inits = np.tile(prior, (3, 1))
-    inits[1, 1] = prior[1] * 1.3
-    inits[2, 1] = prior[1] * 0.8
-    results = [_lrc_bounds_cascade(inits[r], prior, day, last_good)
-               for r in range(3)]
+    results = []
+    for beta_factor in (1.0, 1.3, 0.8):  # the three REddyProc beta starts
+        start = prior.copy()
+        start[1] *= beta_factor
+        results.append(_lrc_bounds_cascade(start, prior, day, last_good))
     valid = [r for r in results if np.isfinite(r["theta"][0])]
     if not valid:
         return None
@@ -488,11 +486,11 @@ def associate_rows(anchors, nrec):
             i_before[rows - 1] = curr
             w_before[rows - 1] = np.arange(nxt - curr - 1, 0, -1) \
                 / (nxt - curr)
-    first, last = anchors[0], anchors[-1]
-    i_before[:first] = i_after[:first] = first
-    w_before[:first] = w_after[:first] = 0.5
-    i_before[last - 1:] = i_after[last - 1:] = last
-    w_before[last - 1:] = w_after[last - 1:] = 0.5
+    # outside the anchor span: single-anchor 0.5/0.5 association
+    for sl, anchor in ((slice(None, anchors[0]), anchors[0]),
+                       (slice(anchors[-1] - 1, None), anchors[-1])):
+        i_before[sl] = i_after[sl] = anchor
+        w_before[sl] = w_after[sl] = 0.5
     return i_before, i_after, w_before, w_after
 
 
