@@ -3065,7 +3065,12 @@ def q_timestamp_shift(spark, sf_dir):
         F.lit(0.0), 900.0 * F.sin(_math.pi * (F.col("hf") + 0.5 - 6.0) / 12.0))
     grid = grid.withColumn("pot", pot).withColumn("meas", meas) \
                .withColumn("site", F.lit("S"))
-    fft = timeshift.fft_phase_shift(grid, ["site"], "ts", "meas", "pot")
+    # dt_min passed explicitly: the gate's constant literal key would
+    # constant-fold the inference window into an unpartitioned global
+    # window (harmless at 672 rows, but noisy and needless — the oracle
+    # SQL hardcodes the 30-min grid too)
+    fft = timeshift.fft_phase_shift(grid, ["site"], "ts", "meas", "pot",
+                                    dt_min=30.0)
     noon = timeshift.noon_shift(grid, ["site"], "ts", "meas", "pot")
     a = fft.select(
         F.lit("fft").alias("variant"), "date",
