@@ -336,6 +336,27 @@ def connected_components(
     labels = edges.select(F.col("u").alias("id")).distinct() \
                   .withColumn("label", F.col("id"))
 
+    # size the per-round shuffles to the GRAPH, not the session default:
+    # near-dup graphs are usually tiny relative to the corpus (hundreds of
+    # edges from millions of documents), and every round otherwise pays
+    # full-width exchanges of near-empty partitions. ~100k edges per
+    # partition, capped at the session setting — so a billion-edge graph
+    # still spreads across the cluster. The conf change is scoped to this
+    # loop (restored in the finally below); iterative localCheckpoint
+    # plans defeat AQE's runtime coalescing, hence the explicit bound.
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = int(max(1, min(int(old_sp), n_edges // 100_000 + 1)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        labels = _cc_loop(edges, labels, max_iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def _cc_loop(edges, labels, max_iters):
     for _ in range(max_iters):
         # propagate: every node adopts the minimum label in its closed
         # neighbourhood (its own ∪ its neighbours') — simple min-label
@@ -378,7 +399,7 @@ def connected_components(
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
-    return labels.select("id", F.col("label").alias("component"))
+    return labels
 
 
 def dedup_clusters(

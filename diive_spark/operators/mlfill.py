@@ -123,7 +123,18 @@ def tree_model_fill(
     else:
         train, holdout = observed, None
 
+    # MLlib tree training runs one job per tree-depth level over the
+    # training partitions; after the upstream aggregates AQE often leaves
+    # this frame on ONE partition, serialising every level job on a
+    # single core. Spread it (bounded: ≥5k rows per partition so tiny
+    # frames don't drown in task overhead) and cache — the dozens of
+    # level jobs each rescan it.
+    sc = df.sparkSession.sparkContext
     n_train = train.count()
+    n_parts = int(max(1, min(sc.defaultParallelism, n_train // 5000)))
+    if train.rdd.getNumPartitions() < n_parts:
+        train = train.repartition(n_parts)
+    train = train.cache()
     if n_train < min_train:
         out = work.drop(*fnames)
         if flag_col not in df.columns:
@@ -148,6 +159,7 @@ def tree_model_fill(
         raise ValueError(f"unknown model {model!r}")
 
     fitted = _make_reg().fit(train)
+    train.unpersist()
 
     if reduce_features_below is not None and len(fnames) > 1:
         # the reference's reduce_features() step (randomforest_ts.py:70,
