@@ -98,7 +98,10 @@ def run_suite(spark) -> tuple[dict, dict]:
 
     # --- near-dup clustering: LSH pairs -> connected components -------------
     t0 = time.time()
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # single-file parquet reads land on ONE partition; spread the docs so
+    # shingling/minhash run wide (at real scale the input is many files)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .repartition(int(CPUS))
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.02,
                                     max_doc_freq=5)
     n_clustered = dedup.connected_components(pairs).count()
