@@ -153,10 +153,15 @@ def detect_seasonality(
     df: DataFrame, key_cols: list[str], ts_col: str, value_col: str,
     max_period: int | None = None, n_top: int = 5,
 ) -> DataFrame:
-    """Dominant seasonal period per series via the full power spectrum
-    (decomposition_utils.py:425-530): numpy rfft per series in an
-    applyInPandas task; returns primary_period (records), its power fraction
-    ``strength`` and the top-n (period, power) alternatives as arrays."""
+    """Dominant seasonal period per series via the detrended periodogram
+    (decomposition_utils.py:425-530, semantics mirrored exactly): linear
+    detrend, rfft power, periods 2..max_period, spectral PEAKS (local
+    maxima) ranked by power — primary = strongest peak (max-power bin when
+    the spectrum has no interior peak), ``strength`` = peak power over
+    total power in the period band, the reference's 365/[7,30]/0 fallback
+    when no period fits the band. Returns primary_period, strength and
+    the ranked (period, power) peak lists per series; one applyInPandas
+    task per key."""
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     schema = ", ".join(
         [f"`{c}` {types[c]}" for c in key_cols]
@@ -173,25 +178,40 @@ def detect_seasonality(
             out.update(primary_period=[None], strength=[0.0],
                        top_periods=[[]], top_power=[[]])
             return pd.DataFrame(out)
-        mp = max_period or n // 2
-        fft = np.fft.rfft(s - s.mean()) / n
-        power = np.abs(fft) ** 2
+        from diive_spark.operators.pwb import linear_detrend
+        from diive_spark.operators.windlag import find_peaks_numpy
+
+        mp = min(max_period or 730, n // 2)
+        power = np.abs(np.fft.rfft(linear_detrend(s))) ** 2
         freqs = np.fft.rfftfreq(n)
-        valid = (freqs > 0) & (1.0 / np.maximum(freqs, 1e-12) <= mp)
-        idx = np.where(valid)[0]
-        if len(idx) == 0:
-            out.update(primary_period=[None], strength=[0.0],
-                       top_periods=[[]], top_power=[[]])
+        band = []
+        for i in range(1, len(freqs)):
+            if freqs[i] > 0:
+                period = 1.0 / freqs[i]
+                if 2 <= period <= mp:
+                    band.append((int(np.round(period)), float(power[i])))
+        if not band:
+            # reference fallback: no period fits the band
+            out.update(primary_period=[365], strength=[0.0],
+                       top_periods=[[365, 7, 30]], top_power=[[]])
             return pd.DataFrame(out)
-        order = idx[np.argsort(-power[idx])][:n_top]
-        periods = np.round(1.0 / freqs[order]).astype(int)
-        total = power[idx].sum()
-        strength = float(power[order[0]] / total) if total > 0 else 0.0
+        periods = [p for p, _ in band]
+        pw = np.array([w for _, w in band])
+        peaks = find_peaks_numpy(pw)[0]
+        if len(peaks):
+            ranked = sorted(((periods[p], float(pw[p])) for p in peaks),
+                            key=lambda t: -t[1])[:n_top]
+            strength = float(pw[peaks].sum() / pw.sum()) if pw.sum() > 0 \
+                else 0.0
+        else:
+            m = int(np.argmax(pw))
+            ranked = [(periods[m], float(pw[m]))]
+            strength = 0.0
         out.update(
-            primary_period=[int(periods[0])],
+            primary_period=[int(ranked[0][0])],
             strength=[min(strength, 1.0)],
-            top_periods=[[int(p) for p in periods]],
-            top_power=[[float(power[o]) for o in order]],
+            top_periods=[[int(p) for p, _ in ranked]],
+            top_power=[[w for _, w in ranked]],
         )
         return pd.DataFrame(out)
 

@@ -774,3 +774,89 @@ print(json.dumps({
     assert got["optimum_ymean"] == pytest.approx(ref["ymean"], rel=2e-2)
     # the rolling optimum sits at the planted peak on both sides
     assert abs(ref["ropt_mid"] - 18.0) < 2 * binw
+
+
+def test_gridaggregator_matches_executed_reference(spark):
+    """Engine grid_aggregate == the reference GridAggregator EXECUTED on
+    identical values (equal_width and quantiles binning): cell-for-cell
+    aggregated means with the min-count mask."""
+    import pandas as pd
+    from diive_spark.operators import gridagg
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-10, 10, 800)
+    y = rng.uniform(0, 24, 800)
+    z = rng.normal(5, 2, 800)
+    q = lambda a: np.round(a * 4096) / 4096  # noqa: E731
+    x, y, z = q(x), q(y), q(z)
+    ref = run_reference(f"""
+import numpy as np
+x = pd.Series(np.array({[float(v) for v in x]!r}), name="x")
+y = pd.Series(np.array({[float(v) for v in y]!r}), name="y")
+z = pd.Series(np.array({[float(v) for v in z]!r}), name="z")
+from diive.analysis.gridaggregator import GridAggregator
+out = {{}}
+for bt in ("equal_width", "quantiles"):
+    ga = GridAggregator(x=x, y=y, z=z, binning_type=bt, n_bins=4,
+                        min_n_vals_per_bin=3, aggfunc="mean")
+    long = ga.df_agg_long.sort_values(["BIN_x", "BIN_y"])
+    out[bt] = [None if not np.isfinite(v) else float(v)
+               for v in long["z"]]
+print(json.dumps(out))
+""")
+    pdf = pd.DataFrame({"x": x, "y": y, "z": z})
+    sdf = spark.createDataFrame(pdf)
+    for bt, kwargs in (
+            ("equal_width", dict(x_range=(float(x.min()), float(x.max())),
+                                 y_range=(float(y.min()), float(y.max())))),
+            ("quantiles", {})):
+        eng_bt = "quantile" if bt == "quantiles" else bt
+        out = gridagg.grid_aggregate(
+            sdf, "x", "y", "z", eng_bt, n_bins_x=4, n_bins_y=4,
+            aggfunc="mean", min_n_vals_per_bin=3, **kwargs,
+        ).toPandas().sort_values(["xbin", "ybin"]).reset_index(drop=True)
+        want = np.array([np.nan if v is None else v for v in ref[bt]])
+        got = out["agg_value"].to_numpy(dtype=float)
+        assert len(got) == len(want), bt
+        assert np.allclose(got, want, equal_nan=True, rtol=1e-12), bt
+
+
+def test_detect_seasonality_matches_executed_reference(spark):
+    """Engine detect_seasonality (now the exact reference semantics:
+    linear detrend + spectral peaks) == the reference EXECUTED with numpy
+    shims for scipy detrend/find_peaks."""
+    import pandas as pd
+    from diive_spark.operators import analysis
+    rng = np.random.default_rng(5)
+    t = np.arange(24 * 40)
+    vals = (4 * np.sin(2 * np.pi * t / 24)
+            + 1.5 * np.sin(2 * np.pi * t / 168)
+            + rng.normal(0, 0.5, len(t)))
+    vals = np.round(vals * 4096) / 4096
+    ref = run_reference(f"""
+import numpy as np
+import scipy, scipy.signal
+scipy.__version__ = "1.11.0"
+sys.path.insert(0, "/root/repo")
+from diive_spark.operators.pwb import linear_detrend
+from diive_spark.operators.windlag import find_peaks_numpy
+scipy.signal.detrend = lambda x, type='linear': linear_detrend(x)
+scipy.signal.find_peaks = lambda x, **kw: (find_peaks_numpy(x)[0], {{}})
+import diive.core.times.decomposition_utils as du
+du.signal = scipy.signal
+res = du.detect_seasonality(pd.Series(np.array({[float(v) for v in vals]!r})),
+                            max_period=730, top_n=5)
+print(json.dumps({{
+    "primary": int(res["primary_period"]),
+    "secondary": [int(v) for v in res["secondary_periods"]],
+    "strength": float(res["strength"]),
+}}))
+""")
+    idx = pd.date_range("2024-01-01", periods=len(vals), freq="1h")
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"key": "A", "ts": idx, "value": vals}))
+    row = analysis.detect_seasonality(sdf, ["key"], "ts", "value",
+                                      n_top=5).collect()[0]
+    assert row["primary_period"] == ref["primary"] == 24
+    assert row["top_periods"][1:] == ref["secondary"][:len(
+        row["top_periods"]) - 1]
+    assert abs(row["strength"] - ref["strength"]) < 1e-9
