@@ -607,3 +607,64 @@ def compound_extremes(
         f1.alias("var1_extreme"), f2.alias("var2_extreme"),
         category.alias("category"),
     )
+
+
+def harmonic_spectrum(
+    df: DataFrame, key_cols: list[str], ts_col: str, value_col: str,
+    n_harmonics: int = 10, window: str = "hamming",
+) -> DataFrame:
+    """Windowed harmonic (Fourier) decomposition per series — the
+    reference's ``harmonic_decompose`` (decomposition_utils.py:214-316),
+    semantics mirrored: drop NaN, apply the taper window (hamming / hann
+    / blackman — numpy's cosine-sum tapers, the same coefficients scipy
+    builds), one-sided FFT amplitudes 2·|X_k|/n with DC excluded, top
+    ``n_harmonics`` by power ordered by FREQUENCY, plus the cosine
+    reconstruction RMSE against the tapered signal. One bounded
+    applyInPandas task per key; returns one row per (key, harmonic).
+
+    Documented taper divergence: numpy's windows are SYMMETRIC while
+    scipy's ``get_window`` default is the periodic (fftbins) variant —
+    an O(1/n) end-point difference."""
+    windows = {"hamming": np.hamming, "hann": np.hanning,
+               "blackman": np.blackman}
+    taper = windows.get(window, np.hamming)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = ", ".join(
+        [f"`{c}` {types[c]}" for c in key_cols]
+        + ["rank int", "amplitude double", "phase double",
+           "frequency double", "period double", "recon_rmse double"]
+    )
+    vcol, tcol = value_col, ts_col
+
+    def kernel(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(tcol)[vcol].dropna().to_numpy(dtype=np.float64)
+        n = len(s)
+        base = {c: keys[i] for i, c in enumerate(key_cols)}
+        if n < 4:
+            return pd.DataFrame(columns=list(base) + [
+                "rank", "amplitude", "phase", "frequency", "period",
+                "recon_rmse"])
+        sw = s * taper(n)
+        fft = np.fft.rfft(sw) / n
+        freqs = np.fft.rfftfreq(n)
+        amps = 2 * np.abs(fft[1:])
+        top = np.sort(np.argsort(-(amps ** 2))[:n_harmonics])
+        rows = []
+        recon = np.zeros(n)
+        t = np.arange(n)
+        for rank, idx in enumerate(top):
+            f_norm = freqs[idx + 1]
+            if f_norm <= 0:
+                continue
+            amp = float(amps[idx])
+            ph = float(np.angle(fft[idx + 1]))
+            recon += amp * np.cos(2 * np.pi * f_norm * t + ph)
+            rows.append({**base, "rank": rank, "amplitude": amp,
+                         "phase": ph, "frequency": float(f_norm),
+                         "period": float(1.0 / f_norm)})
+        rmse = float(np.sqrt(np.mean((sw - recon) ** 2)))
+        for r in rows:
+            r["recon_rmse"] = rmse
+        return pd.DataFrame(rows)
+
+    return df.groupBy(*key_cols).applyInPandas(kernel, schema=schema)

@@ -860,3 +860,47 @@ print(json.dumps({{
     assert row["top_periods"][1:] == ref["secondary"][:len(
         row["top_periods"]) - 1]
     assert abs(row["strength"] - ref["strength"]) < 1e-9
+
+
+def test_harmonic_spectrum_matches_executed_reference(spark):
+    """Engine harmonic_spectrum == the reference harmonic_decompose
+    EXECUTED with the engine's (numpy symmetric) taper as the
+    scipy.get_window shim: top-harmonic amplitudes/phases/periods and the
+    reconstruction exactly."""
+    import pandas as pd
+    from diive_spark.operators import analysis
+    rng = np.random.default_rng(9)
+    t = np.arange(24 * 20)
+    vals = (3 * np.sin(2 * np.pi * t / 24 + 0.4)
+            + 1.2 * np.sin(2 * np.pi * t / 12)
+            + rng.normal(0, 0.3, len(t)))
+    vals = np.round(vals * 4096) / 4096
+    ref = run_reference(f"""
+import numpy as np
+import scipy, scipy.signal
+scipy.__version__ = "1.11.0"
+scipy.signal.get_window = lambda w, n: {{'hamming': np.hamming,
+    'hann': np.hanning, 'blackman': np.blackman}}[w](n)
+import diive.core.times.decomposition_utils as du
+du.signal = scipy.signal
+res = du.harmonic_decompose(pd.Series(np.array({[float(v) for v in vals]!r})),
+                            n_harmonics=6)
+print(json.dumps({{
+    "amp": [float(h["amplitude"]) for h in res["harmonics"]],
+    "phase": [float(h["phase"]) for h in res["harmonics"]],
+    "period": [float(h["period"]) for h in res["harmonics"]],
+    "resid_rms": float(np.sqrt(np.mean(res["residual"].to_numpy() ** 2))),
+}}))
+""")
+    idx = pd.date_range("2024-01-01", periods=len(vals), freq="1h")
+    out = analysis.harmonic_spectrum(
+        spark.createDataFrame(pd.DataFrame(
+            {"key": "A", "ts": idx, "value": vals})),
+        ["key"], "ts", "value", n_harmonics=6,
+    ).toPandas().sort_values("rank").reset_index(drop=True)
+    assert np.allclose(out["amplitude"], ref["amp"], rtol=1e-12)
+    assert np.allclose(out["phase"], ref["phase"], rtol=1e-12)
+    assert np.allclose(out["period"], ref["period"], rtol=1e-12)
+    # strongest harmonic is the planted 24-record cycle
+    top = out.loc[out["amplitude"].idxmax()]
+    assert abs(top["period"] - 24.0) < 0.6
