@@ -189,3 +189,50 @@ def time_since(
     out = df.withColumn("_run", run)
     w2 = Window.partitionBy(*key_cols, "_run").orderBy(ts_col)
     return out.withColumn(out_col, (F.row_number().over(w2) - 1).cast("bigint")).drop("_run")
+
+
+def add_rolling_stats_advanced(
+    df: DataFrame, key_cols: list[str], ts_col: str,
+    value_cols: list[str], windows: list[int],
+    stats: tuple[str, ...] = ("median", "min", "max"),
+) -> DataFrame:
+    """Advanced trailing rolling statistics — the reference
+    FeatureEngineer's ``_rolling_features_advanced``
+    (core/ml/feature_engineer.py:596-632): per column and window,
+    median / min / max / population SD / q25 / q75 over
+    ``rolling(window=w, min_periods=1)``. Column naming follows the
+    reference's ``{col}_ROLL{STAT}{w}`` (without its leading dot —
+    dotted names fight Spark's struct-field resolution). Pure window
+    expressions; pandas' linear-interpolated rolling quantiles match
+    Spark's exact ``percentile``."""
+    exprs = {
+        "median": ("MEDIAN", lambda c: F.percentile(c, F.lit(0.5))),
+        "min": ("MIN", F.min), "max": ("MAX", F.max),
+        "std": ("SD", F.stddev_pop),
+        "q25": ("Q25", lambda c: F.percentile(c, F.lit(0.25))),
+        "q75": ("Q75", lambda c: F.percentile(c, F.lit(0.75))),
+    }
+    base = Window.partitionBy(*key_cols).orderBy(ts_col)
+    for w in windows:
+        frame = base.rowsBetween(-(w - 1), 0)
+        for col in value_cols:
+            for stat in stats:
+                if stat not in exprs:
+                    raise ValueError(f"unknown rolling statistic {stat!r}")
+                name, fn = exprs[stat]
+                df = df.withColumn(f"{col}_ROLL{name}{w}",
+                                   fn(F.col(col)).over(frame))
+    return df
+
+
+def add_polynomial(df: DataFrame, value_cols: list[str],
+                   degree: int) -> DataFrame:
+    """Polynomial feature expansion (FeatureEngineer
+    ``_polynomial_features``, feature_engineer.py:679-698):
+    ``{col}_POL{d}`` = col**d for d in 2..degree."""
+    if degree < 2:
+        return df
+    for d in range(2, degree + 1):
+        for col in value_cols:
+            df = df.withColumn(f"{col}_POL{d}", F.pow(F.col(col), d))
+    return df

@@ -185,3 +185,40 @@ def test_yearmonth_matrix_to_longform(spark):
     assert set(long.columns) == {"year", "month", "value"}
     got = long.set_index(["year", "month"])["value"]
     assert got.loc[(2024, "2")] == 21.0
+
+
+def test_rolling_stats_advanced_and_polynomial_match_pandas(spark):
+    """features.add_rolling_stats_advanced == pandas
+    rolling(min_periods=1) stats — the exact computation the reference's
+    FeatureEngineer._rolling_features_advanced performs — and the
+    polynomial expansion."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.operators import features
+
+    rng = np.random.default_rng(4)
+    idx = pd.date_range("2024-01-01", periods=200, freq="30min")
+    v = rng.normal(10, 3, 200)
+    v[[5, 50, 51]] = np.nan
+    pdf = pd.DataFrame({"key": "A", "ts": idx, "TA": v})
+    out = features.add_rolling_stats_advanced(
+        spark.createDataFrame(pdf), ["key"], "ts", ["TA"], [5, 13],
+        stats=("median", "min", "max", "std", "q25", "q75"),
+    )
+    out = features.add_polynomial(out, ["TA"], 3) \
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    s = pd.Series(v)
+    for w in (5, 13):
+        r = s.rolling(window=w, min_periods=1)
+        for name, want in (
+                (f"TA_ROLLMEDIAN{w}", r.median()),
+                (f"TA_ROLLMIN{w}", r.min()),
+                (f"TA_ROLLMAX{w}", r.max()),
+                (f"TA_ROLLSD{w}", r.std(ddof=0)),
+                (f"TA_ROLLQ25{w}", r.quantile(0.25)),
+                (f"TA_ROLLQ75{w}", r.quantile(0.75))):
+            assert np.allclose(out[name].to_numpy(), want.to_numpy(),
+                               equal_nan=True), name
+    assert np.allclose(out["TA_POL2"], v ** 2, equal_nan=True)
+    assert np.allclose(out["TA_POL3"], v ** 3, equal_nan=True)
