@@ -18,6 +18,8 @@ oracle matches bit-for-bit):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -52,3 +54,28 @@ def latent_heat_of_vaporization(ta_c: Column) -> Column:
 def et_from_le(le: Column, ta_c: Column, interval_seconds: int) -> Column:
     """Evapotranspiration [mm per interval] from latent heat flux [W m-2]."""
     return le / latent_heat_of_vaporization(ta_c) * interval_seconds
+
+
+def wind_direction_agg(angle_col: Column, agg: str = "mean") -> Column:
+    """Circular wind-direction aggregate in degrees [0, 360) — the
+    reference's Kanda vector aggregation (core/funcs/funcs.py:85-118):
+    aggregate the sin/cos components (mean / median / P25 / P75), then
+    atan2 back to a direction. A plain average of angles breaks across
+    the 0/360 wrap (e.g. 350° and 10° must average to 0°, not 180°);
+    the vector form is the standard fix, here as a pure JVM aggregation
+    expression usable inside any groupBy/rollup."""
+    rad = angle_col * (math.pi / 180.0)
+    comps = {
+        "mean": (F.avg(F.sin(rad)), F.avg(F.cos(rad))),
+        "median": (F.percentile(F.sin(rad), F.lit(0.5)),
+                   F.percentile(F.cos(rad), F.lit(0.5))),
+        "P25": (F.percentile(F.sin(rad), F.lit(0.25)),
+                F.percentile(F.cos(rad), F.lit(0.25))),
+        "P75": (F.percentile(F.sin(rad), F.lit(0.75)),
+                F.percentile(F.cos(rad), F.lit(0.75))),
+    }
+    if agg not in comps:
+        raise ValueError(f"unknown agg {agg!r}; choose from {list(comps)}")
+    s, c = comps[agg]
+    deg = F.atan2(s, c) * (180.0 / math.pi)
+    return F.when(deg < 0, deg + 360.0).otherwise(deg)

@@ -312,3 +312,32 @@ print(json.dumps({{
         spark, paths, "%Y%m%d%H%M.csv", "6h", 0.05, files_how_many=2
     ).toPandas()
     assert lim["file_available"].sum() == 2
+
+
+def test_wind_direction_agg_matches_executed_reference(spark):
+    """functions/thermo.wind_direction_agg == the reference's Kanda
+    circular aggregation, all four modes, incl. the 0/360 wrap."""
+    from diive_spark.functions.thermo import wind_direction_agg
+    rng = np.random.default_rng(11)
+    angles = np.concatenate([
+        (350 + rng.uniform(0, 20, 40)) % 360,  # wraps the north
+        rng.uniform(80, 120, 20)])
+    angles = np.round(angles, 3)
+    ref = run_reference(f"""
+import numpy as np
+from diive.core.funcs.funcs import winddirection_agg_kanda
+s = pd.Series(np.array({[float(v) for v in angles]!r}))
+print(json.dumps({{a: float(winddirection_agg_kanda(s, a))
+                  for a in ("mean", "median", "P25", "P75")}}))
+""")
+    from pyspark.sql import functions as F
+    sdf = spark.createDataFrame(pd.DataFrame({"wd": angles}))
+    got = sdf.agg(*[
+        wind_direction_agg(F.col("wd"), a).alias(a)
+        for a in ("mean", "median", "P25", "P75")]).collect()[0]
+    for a in ("mean", "median", "P25", "P75"):
+        assert abs(got[a] - ref[a]) < 1e-9, a
+    # wrap sanity: 350 and 10 average to 0, not 180
+    two = spark.createDataFrame(pd.DataFrame({"wd": [350.0, 10.0]}))
+    v = two.agg(wind_direction_agg(F.col("wd")).alias("m")).collect()[0]["m"]
+    assert min(v, 360 - v) < 1e-9
