@@ -80,3 +80,68 @@ def classify_variable_expr(name_col: Column) -> Column:
             F.struct(F.lit(kind).alias("kind"), F.lit(category).alias("category")),
         )
     return expr
+
+
+# ---------------------------------------------------------------------------
+# Measurement registry + applicable-corrections dispatch
+# (reference preprocessing/qaqc/measurements.py — the metadata that routes
+# each meteo variable to the corrections that physically apply to it; the
+# correction implementations themselves live in functions/corrections.py)
+# ---------------------------------------------------------------------------
+
+#: measurement code -> description (measurements.py:35-49)
+MEASUREMENTS: dict[str, str] = {
+    "TA": "air temperature", "RH": "relative humidity",
+    "VPD": "vapor pressure deficit", "SW": "shortwave radiation",
+    "LW": "longwave radiation", "PPFD": "photosynthetic photon flux density",
+    "PA": "air pressure", "PREC": "precipitation", "WS": "wind speed",
+    "WD": "wind direction", "SWC": "soil water content",
+    "TS": "soil temperature", "G": "soil heat flux",
+}
+
+#: variable-name prefix -> code, FIRST match wins, most specific first
+#: (measurements.py:131-148; case-sensitive)
+MEASUREMENT_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("SWC", "SWC"), ("SW_", "SW"), ("SW", "SW"), ("PPFD", "PPFD"),
+    ("LW", "LW"), ("RH", "RH"), ("VPD", "VPD"), ("TA", "TA"),
+    ("Tair", "TA"), ("TS", "TS"), ("PREC", "PREC"), ("PA", "PA"),
+    ("WS", "WS"), ("WD", "WD"), ("G_", "G"),
+)
+
+#: correction key -> (engine implementation, needs site coordinates)
+#: (measurements.py:78-116; implementations in functions/corrections.py)
+CORRECTION_KEYS: tuple[tuple[str, bool], ...] = (
+    ("radiation_zero_offset", True),     # remove_nighttime_zero_offset
+    ("relativehumidity_offset", False),  # remove_relativehumidity_offset
+    ("setto_max", False),                # setto_threshold(mode='max')
+    ("setto_min", False),                # setto_threshold(mode='min')
+    ("setto_value", False),              # event-ranged setto (corrections)
+    ("set_exact_to_missing", False),     # set_exact_values_to_missing
+)
+
+_GENERIC_KEYS = ("setto_max", "setto_min", "setto_value",
+                 "set_exact_to_missing")
+_SPECIFIC = {"radiation_zero_offset": frozenset({"SW", "PPFD"}),
+             "relativehumidity_offset": frozenset({"RH"})}
+
+
+def detect_measurement(varname: str) -> str | None:
+    """Measurement code from a variable-name prefix (measurements.py:187):
+    ``'SW_IN_T1_2_1' -> 'SW'``; None when no prefix matches."""
+    if not isinstance(varname, str):
+        return None
+    for prefix, code in MEASUREMENT_PREFIXES:
+        if varname.startswith(prefix):
+            return code
+    return None
+
+
+def corrections_for_measurement(code: str | None) -> list[str]:
+    """The correction keys that apply to a measurement, in canonical
+    order: measurement-specific physics first, then the generic set
+    (measurements.py:165-185)."""
+    keys = [k for k, _ in CORRECTION_KEYS
+            if code is not None and code in _SPECIFIC.get(k, frozenset())]
+    keys += list(_GENERIC_KEYS)
+    order = {k: i for i, (k, _) in enumerate(CORRECTION_KEYS)}
+    return sorted(dict.fromkeys(keys), key=lambda k: order[k])

@@ -341,3 +341,31 @@ print(json.dumps({{a: float(winddirection_agg_kanda(s, a))
     two = spark.createDataFrame(pd.DataFrame({"wd": [350.0, 10.0]}))
     v = two.agg(wind_direction_agg(F.col("wd")).alias("m")).collect()[0]["m"]
     assert min(v, 360 - v) < 1e-9
+
+
+def test_measurement_registry_matches_executed_reference():
+    """classification.detect_measurement / corrections_for_measurement ==
+    the reference qaqc/measurements.py registry EXECUTED (prefix routing
+    and per-measurement correction dispatch)."""
+    from diive_spark.functions import classification as cl
+    names = ["SW_IN_T1_2_1", "SWC_GF1_0.05_1", "RH_T1_2_1", "Tair_F",
+             "PPFD_IN", "WD_2_1", "G_PLATE_1", "FC", "VPD_F", "PREC_TOT",
+             "LW_OUT", "TS_0.1", "PA", "WS_MAX"]
+    ref = run_reference(f"""
+from diive.preprocessing.qaqc.measurements import (
+    detect_measurement, corrections_for_measurement, MEASUREMENTS)
+codes = [detect_measurement(n) for n in {names!r}]
+print(json.dumps({{
+    "codes": codes,
+    "corrs": {{str(c): corrections_for_measurement(c)
+               for c in [m.code for m in MEASUREMENTS]}},
+    "all_codes": [m.code for m in MEASUREMENTS],
+}}))
+""")
+    assert [cl.detect_measurement(n) for n in names] == ref["codes"]
+    assert list(cl.MEASUREMENTS) == ref["all_codes"]
+    for code in ref["all_codes"]:
+        assert cl.corrections_for_measurement(code) == ref["corrs"][code], \
+            code
+    assert cl.corrections_for_measurement(None) == \
+        list(cl._GENERIC_KEYS)
