@@ -413,3 +413,45 @@ def flag_qcf(
         .when((F.col("SUM_SOFTFLAGS").between(1, 3)) & (F.col("SUM_HARDFLAGS") == 0), 1)
     )
     return out.withColumn(qcf_col, qcf.cast("int"))
+
+
+FLUX_RELEVANT_IDS = {
+    "NEE": ["_FC_", "_NEE_", "_co2_flux_"], "H": ["_H_"], "LE": ["_LE_"],
+    "ET": ["_ET_"], "FH2O": ["_FH2O_"], "h2o_flux": ["_h2o_flux_"],
+    "TAU": ["_TAU_"], "FN2O": ["_FN2O_"], "FCH4": ["_FCH4_"],
+}
+
+
+def identify_relevant_ids(seriescol: str) -> list[str]:
+    """Flag-name fragments relevant for a flux series (reference
+    core/base/identify.py:5-35 ``identify_relevants``): variables change
+    names across QC levels (FC→NEE), so flags carrying any of these
+    fragments belong to the series. Falls back to the series name
+    itself."""
+    if seriescol.startswith("NEE_") or seriescol in ("FC", "co2_flux"):
+        return FLUX_RELEVANT_IDS["NEE"]
+    for prefix, ids in FLUX_RELEVANT_IDS.items():
+        if prefix == "NEE":
+            continue
+        if seriescol == prefix or seriescol.startswith(prefix + "_"):
+            return ids
+    return [seriescol]
+
+
+def identify_flag_columns(columns: list[str], seriescol: str,
+                          exclude_ustar_ids: list[str] | None = None
+                          ) -> list[str]:
+    """The flag columns belonging to one flux series (reference
+    core/base/identify.py:37-55 ``identify_flagcols``): FLAG_* columns
+    ending _TEST/_QCF, filtered to the series' relevant name fragments,
+    minus flags from OTHER USTAR scenarios (Level-3.3 keeps the current
+    scenario by excluding all the others). Feed the result to
+    :func:`flag_sums` / :func:`flag_qcf` as ``flag_cols``."""
+    flags = [c for c in columns if str(c).startswith("FLAG_")
+             and str(c).endswith(("_TEST", "_QCF"))]
+    relevant = identify_relevant_ids(seriescol)
+    flags = [f for f in flags if any(r in f for r in relevant)]
+    if exclude_ustar_ids:
+        flags = [f for f in flags
+                 if not any(u in f for u in exclude_ustar_ids)]
+    return flags

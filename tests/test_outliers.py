@@ -277,3 +277,30 @@ def test_local_sd_constant_sd_single_slab(spark):
     np.testing.assert_array_equal(got.to_numpy(dtype=float),
                                   np.where(rejected, 2, 0).astype(float))
     assert set(np.where(got == 2)[0]) == {30, 200}
+
+
+def test_identify_flag_columns_matches_executed_reference():
+    """outliers.identify_flag_columns / identify_relevant_ids == the
+    reference core/base/identify.py EXECUTED (relevance fragments +
+    USTAR-scenario exclusion)."""
+    from diive_spark.operators import outliers
+    from tests.reference_harness import run_reference
+    cols = ["FLAG_L2_NEE_VM97_SPIKE_HF_TEST", "FLAG_L2_FC_ABSLIM_TEST",
+            "FLAG_L2_H_SSITC_TEST", "FLAG_L3.3_NEE_CUT_16_QCF",
+            "FLAG_L3.3_NEE_CUT_50_QCF", "FLAG_L2_co2_flux_DROPOUT_TEST",
+            "FLAG_SOMETHING_ELSE", "NEE_ORIG", "FLAG_L2_LE_SPECCORR_TEST"]
+    series = ["NEE_CUT_50", "FC", "H", "LE", "TAU", "custom_var"]
+    ref = run_reference(f"""
+import pandas as pd
+from diive.core.base.identify import identify_flagcols, identify_relevants
+df = pd.DataFrame(columns={cols!r})
+out = {{s: identify_flagcols(df=df, seriescol=s,
+                             exclude_ustar_ids=["_CUT_16_"])
+       for s in {series!r}}}
+rel = {{s: identify_relevants(s) for s in {series!r}}}
+print(json.dumps({{"flags": out, "rel": rel}}))
+""")
+    for s in series:
+        assert outliers.identify_flag_columns(
+            cols, s, exclude_ustar_ids=["_CUT_16_"]) == ref["flags"][s], s
+        assert outliers.identify_relevant_ids(s) == ref["rel"][s], s
