@@ -341,22 +341,23 @@ def connected_components(
     # edges from millions of documents), and every round otherwise pays
     # full-width exchanges of near-empty partitions. ~100k edges per
     # partition, capped at the session setting — so a billion-edge graph
-    # still spreads across the cluster. The conf change is scoped to this
-    # loop (restored in the finally below); iterative localCheckpoint
-    # plans defeat AQE's runtime coalescing, hence the explicit bound.
+    # still spreads across the cluster. Sizing is applied via EXPLICIT
+    # repartition on the per-round materialization points (never by
+    # mutating the shared session conf — a concurrent query on the same
+    # SparkSession must not see a reduced partition count); iterative
+    # localCheckpoint plans defeat AQE's runtime coalescing, hence the
+    # explicit bound.
     spark = pairs.sparkSession
     n_edges = edges.count()
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = int(max(1, min(int(old_sp), n_edges // 100_000 + 1)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        labels = _cc_loop(edges, labels, max_iters)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    sess_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = int(max(1, min(sess_sp, n_edges // 100_000 + 1)))
+    if edges.rdd.getNumPartitions() > parts:
+        edges = edges.repartition(parts, "u").localCheckpoint(eager=True)
+    labels = _cc_loop(edges, labels, max_iters, parts)
     return labels.select("id", F.col("label").alias("component"))
 
 
-def _cc_loop(edges, labels, max_iters):
+def _cc_loop(edges, labels, max_iters, parts):
     for _ in range(max_iters):
         # propagate: every node adopts the minimum label in its closed
         # neighbourhood (its own ∪ its neighbours') — simple min-label
@@ -395,8 +396,11 @@ def _cc_loop(edges, labels, max_iters):
             .limit(1).count()
         )
         # localCheckpoint truncates the O(iterations) lineage so each round
-        # stays a constant-depth plan (no exponential re-execution)
-        labels = new_labels.localCheckpoint(eager=True)
+        # stays a constant-depth plan (no exponential re-execution); the
+        # graph-sized repartition keeps every later round's joins at
+        # `parts` tasks instead of the session's full shuffle width
+        labels = new_labels.repartition(parts, "id") \
+                           .localCheckpoint(eager=True)
         if changed == 0:
             break
     return labels

@@ -39,46 +39,67 @@ def analyze_highest_quality_flux(
     window_length: int | None = None,
     n_sigma_daytime: float = 5.5, n_sigma_nighttime: float = 5.5,
     use_differencing: bool = True,
+    max_distinct_lengths: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (hqdf, summary). ``hqdf`` = one row per input record:
     (key..., ts, period DAYTIME/NIGHTTIME, FLAG 0/2, FLUX_FILTERED,
-    ROLLING_MEDIAN, SD, WINSIZE); ``summary`` = per-key totals."""
+    ROLLING_MEDIAN, SD, WINSIZE); ``summary`` = per-key totals.
+
+    ``window_length=None`` auto-sizes per key (count/100, min 13 — the
+    reference rule). Because flag_hampel's slab/halo sizing needs one
+    window length per pass, auto lengths are QUANTIZED onto a geometric
+    grid of at most ``max_distinct_lengths`` values (each key rounded UP
+    to the next grid point — a slightly wider Hampel window, the
+    conservative direction), so the plan holds exactly ≤
+    max_distinct_lengths union branches no matter how many keys exist;
+    key→length routing is a broadcast join, never driver-built key
+    literals."""
+    import math
+
     import pandas as pd
     from pyspark.sql.types import (DoubleType, IntegerType, LongType,
                                    StringType, StructField, StructType)
 
     work = daytime_nighttime_flag(df, ts_col, lat, lon, utc_offset)
     if window_length is None:
-        # the reference auto-sizes on the single series; per key here —
-        # a bounded scalar fetch (one row per key)
-        counts = {tuple(r[k] for k in key_cols): r["n"]
-                  for r in work.groupBy(*key_cols)
-                  .agg(F.count(flux_col).alias("n")).collect()}
-        lengths = {k: max(int(n / 100), 13) for k, n in counts.items()}
-        distinct = sorted(set(lengths.values()))
+        # the reference auto-sizes on the single series; per key here
+        counts = work.groupBy(*key_cols).agg(F.count(flux_col).alias("_n"))
+        wlmap = counts.select(
+            *key_cols,
+            F.greatest(F.floor(F.col("_n") / 100).cast("int"),
+                       F.lit(13)).alias("WINSIZE_HAMPEL"))
+        st = wlmap.agg(F.min("WINSIZE_HAMPEL").alias("lo"),
+                       F.max("WINSIZE_HAMPEL").alias("hi"),
+                       F.countDistinct("WINSIZE_HAMPEL").alias("nd")).first()
+        if st["nd"] > max_distinct_lengths:
+            lo, hi = float(st["lo"]), float(st["hi"])
+            ratio = (hi / lo) ** (1.0 / (max_distinct_lengths - 1))
+            # level index on the geometric grid, rounded up (1e-9 guards
+            # float edge at exact grid points)
+            lvl = F.ceil(F.log(F.col("WINSIZE_HAMPEL") / F.lit(lo))
+                         / F.lit(math.log(ratio)) - F.lit(1e-9))
+            wlmap = wlmap.withColumn(
+                "WINSIZE_HAMPEL",
+                F.least(F.ceil(F.lit(lo) * F.pow(F.lit(ratio), lvl))
+                        .cast("int"), F.lit(int(hi))))
+        work = work.join(F.broadcast(wlmap), on=key_cols)
+        distinct = sorted(r[0] for r in
+                          wlmap.select("WINSIZE_HAMPEL").distinct().collect())
     else:
-        lengths = None
+        work = work.withColumn("WINSIZE_HAMPEL", F.lit(window_length))
         distinct = [window_length]
 
     flagged = None
     for wl in distinct:
-        sub = work
-        if lengths is not None:
-            keys_wl = [k for k, v in lengths.items() if v == wl]
-            cond = None
-            for k in keys_wl:
-                c = F.lit(True)
-                for col, val in zip(key_cols, k):
-                    c = c & (F.col(col) == F.lit(val))
-                cond = c if cond is None else (cond | c)
-            sub = work.filter(cond)
+        sub = (work if len(distinct) == 1
+               else work.filter(F.col("WINSIZE_HAMPEL") == wl))
         part = flag_hampel(
             sub, key_cols, ts_col, flux_col, tier_seconds,
             window_length=wl, use_differencing=use_differencing,
             daytime_col="DAYTIME", n_sigma_daytime=n_sigma_daytime,
             n_sigma_nighttime=n_sigma_nighttime,
             flag_col="FLAG_HQ",
-        ).withColumn("WINSIZE_HAMPEL", F.lit(wl))
+        )
         flagged = part if flagged is None else flagged.unionByName(part)
 
     flagged = flagged.withColumn(

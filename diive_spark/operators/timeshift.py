@@ -276,9 +276,14 @@ def crosscorr_day_kernel(ts_sec, meas, pot, max_shift_min=120,
     p = p - p.mean()
     mres = mres - mres.mean()
     corr = np.correlate(p, mres, mode="full")
-    lags = np.arange(-(len(mres) - 1), len(p))
-    mask = (lags >= -max_shift_min) & (lags <= max_shift_min)
-    lw, cw = lags[mask], corr[mask]
+    # lag indices step by one grid cell = upsample_sec seconds; express in
+    # minutes so max_shift_min and the returned shift stay in minute units
+    # for any upsample_sec (reference hardcodes 60 s, we generalize).
+    lags_min = np.arange(-(len(mres) - 1), len(p)) * (upsample_sec / 60.0)
+    mask = (lags_min >= -max_shift_min) & (lags_min <= max_shift_min)
+    lw, cw = lags_min[mask], corr[mask]
+    if len(cw) == 0:
+        return (np.nan, np.nan)
     bi = int(np.argmax(cw))
     denom = float(np.std(p) * np.std(mres) * len(p))
     return (float(lw[bi]), float(cw[bi] / denom) if denom > 0 else 0.0)

@@ -103,7 +103,10 @@ def files_overview(
 
     starts = [dt.datetime.strptime(name_of(p), file_date_format)
               for p in filelist]
-    first, last = starts[0], starts[-1]
+    # grid bounds from min/max, not first/last: an unsorted filelist must
+    # not truncate (or empty) the expected-file inventory (the reference
+    # silently assumes sorted input; we harden)
+    first, last = min(starts), max(starts)
     expected_end = last + pd.Timedelta(file_generation_res)
     grid = pd.date_range(first, expected_end, freq=file_generation_res)
     df = pd.DataFrame(index=grid)

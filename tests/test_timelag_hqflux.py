@@ -369,3 +369,59 @@ print(json.dumps({{
             code
     assert cl.corrections_for_measurement(None) == \
         list(cl._GENERIC_KEYS)
+
+
+def test_files_overview_unsorted_filelist(spark, tmp_path):
+    """ADVICE r5: grid bounds come from min/max of the parsed starts, so an
+    unsorted filelist yields the same inventory as the sorted one."""
+    from diive_spark.sources import discovery
+
+    names = ["202406010000.csv", "202406010600.csv", "202406011800.csv"]
+    paths = []
+    for i, n in enumerate(names):
+        p = tmp_path / n
+        p.write_text("x" * (10 + i))
+        paths.append(str(p))
+    sorted_out = discovery.files_overview(
+        spark, paths, "%Y%m%d%H%M.csv", "6h", 0.05
+    ).toPandas().sort_values("expected_start").reset_index(drop=True)
+    shuffled = [paths[2], paths[0], paths[1]]
+    shuf_out = discovery.files_overview(
+        spark, shuffled, "%Y%m%d%H%M.csv", "6h", 0.05
+    ).toPandas().sort_values("expected_start").reset_index(drop=True)
+    # 00,06,12(missing),18 + the trailing expected-end row
+    assert len(shuf_out) == len(sorted_out) == 5
+    assert list(shuf_out["file_available"]) == list(sorted_out["file_available"])
+    assert list(shuf_out["expected_start"]) == list(sorted_out["expected_start"])
+
+
+def test_hqflux_auto_length_bucketing_bounded(spark):
+    """ADVICE r5: many keys with varying sizes must not grow the plan —
+    auto window lengths quantize onto ≤ max_distinct_lengths values and
+    routing is a broadcast join (no per-key literals)."""
+    import pandas as pd
+    from diive_spark.operators.hqflux import analyze_highest_quality_flux
+
+    rng = np.random.default_rng(7)
+    frames = []
+    for i, n_days in enumerate([10, 20, 35, 50, 70, 90, 120, 150, 180, 210,
+                                240, 270]):
+        ts = pd.date_range("2024-01-01", periods=n_days * 48, freq="30min")
+        frames.append(pd.DataFrame({
+            "site": f"s{i:02d}", "ts": ts,
+            "flux": rng.normal(0, 1, len(ts))}))
+    sdf = spark.createDataFrame(pd.concat(frames))
+    hqdf, summary = analyze_highest_quality_flux(
+        sdf, ["site"], "ts", "flux", lat=47.0, lon=8.0, utc_offset=1,
+        max_distinct_lengths=4)
+    s = summary.toPandas()
+    assert len(s) == 12
+    assert s["window_length"].nunique() <= 4
+    # quantization rounds UP: every bucketed length >= the exact rule
+    exact = {f"s{i:02d}": max(int(n * 48 / 100), 13)
+             for i, n in enumerate([10, 20, 35, 50, 70, 90, 120, 150, 180,
+                                    210, 240, 270])}
+    for _, row in s.iterrows():
+        assert row["window_length"] >= exact[row["site"]]
+    assert hqdf.count() == sum(n * 48 for n in [10, 20, 35, 50, 70, 90, 120,
+                                                150, 180, 210, 240, 270])

@@ -261,3 +261,22 @@ print(json.dumps({
         assert (pd.isna(got) and want is None) or got == want
     for got, want in zip(out["max_corr"], ref["corr"]):
         assert (pd.isna(got) and want is None) or abs(got - want) < 1e-9
+
+
+def test_crosscorr_upsample_sec_returns_minutes():
+    """ADVICE r5: lag indices step by upsample_sec — shift must come back
+    in MINUTES for any grid, and max_shift_min must mask in minutes."""
+    ts = np.arange(0, 86400, 60, dtype=float)
+    t_h = ts / 3600.0
+    pot = 900.0 * np.exp(-((t_h - 12.0) / 0.6) ** 2)
+    meas = 0.9 * 900.0 * np.exp(-((t_h + 37.0 / 60.0 - 12.0) / 0.6) ** 2)
+    s60, _ = timeshift.crosscorr_day_kernel(ts, meas, pot, upsample_sec=60)
+    s30, _ = timeshift.crosscorr_day_kernel(ts, meas, pot, upsample_sec=30)
+    s120, _ = timeshift.crosscorr_day_kernel(ts, meas, pot, upsample_sec=120)
+    # all grids agree on the minute-scale answer (finer grid = finer quantum)
+    assert abs(s30 - s60) <= 1.0
+    assert abs(s120 - s60) <= 2.0
+    # masking in minutes: a 10-min window cannot return a 34-min lag
+    s_cap, _ = timeshift.crosscorr_day_kernel(
+        ts, meas, pot, upsample_sec=30, max_shift_min=10)
+    assert abs(s_cap) <= 10.0
