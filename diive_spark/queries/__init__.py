@@ -17,6 +17,8 @@ from . import core as _core  # noqa: F401  (registration side effects)
 from . import llm as _llm  # noqa: F401
 from . import analysis as _analysis  # noqa: F401
 from . import flux as _flux  # noqa: F401
+from . import hires as _hires  # noqa: F401
+from . import partition as _partition  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Gate consolidation: the driver records at most 50 queries() entries
@@ -62,7 +64,8 @@ SQL_HISTOGRAM_MODES = _variant_union_sql([
 
 
 def q_zscore_family(spark, sf_dir):
-    """zScore global/day-night outliers + zScoreIncrements as one union."""
+    """zScore global/day-night outliers + zScoreIncrements + centred
+    rolling z-score as one union."""
     a = _SINGLE_QUERIES["zscore_outliers"](spark, sf_dir).select(
         F.lit("global").alias("variant"), "event_id", "event_type",
         "value_v",
@@ -72,7 +75,11 @@ def q_zscore_family(spark, sf_dir):
         F.lit("increments").alias("variant"),
         F.lit(None).cast("long").alias("event_id"), "event_type",
         F.lit(None).cast("double").alias("value_v"), "window_start", "flag")
-    return a.unionByName(b)
+    c = _SINGLE_QUERIES["zscore_rolling"](spark, sf_dir).select(
+        F.lit("rolling").alias("variant"),
+        F.lit(None).cast("long").alias("event_id"), "event_type",
+        F.lit(None).cast("double").alias("value_v"), "window_start", "flag")
+    return a.unionByName(b).unionByName(c)
 
 
 def q_limit_flags(spark, sf_dir):
@@ -148,6 +155,10 @@ SQL_ZSCORE_FAMILY = _variant_union_sql([
                     "CAST(NULL AS DOUBLE) AS value_v", "window_start",
                     "flag"],
      _SINGLE_ORACLES["zscore_increments"]),
+    ("rolling", ["CAST(NULL AS BIGINT) AS event_id", "event_type",
+                 "CAST(NULL AS DOUBLE) AS value_v", "window_start",
+                 "flag"],
+     _SINGLE_ORACLES["zscore_rolling"]),
 ])
 
 SQL_LIMIT_FLAGS = _variant_union_sql([
@@ -234,6 +245,159 @@ SQL_SERIES_STATS = _variant_union_sql([
      _SINGLE_ORACLES["percentiles"]),
 ])
 
+def q_decompose_family(spark, sf_dir):
+    """Classical seasonal-trend decomposition + exact-DFT harmonic
+    coefficients as one union (both over the hourly mean series)."""
+    a = _SINGLE_QUERIES["classical_decompose"](spark, sf_dir).select(
+        F.lit("classical").alias("variant"), "event_type", "window_start",
+        "trend_v", "seasonal_v", "residual_v",
+        F.lit(None).cast("int").alias("harmonic"),
+        F.lit(None).cast("double").alias("freq_v"),
+        F.lit(None).cast("double").alias("amp_v"),
+        F.lit(None).cast("double").alias("phase_v"))
+    b = _SINGLE_QUERIES["harmonics"](spark, sf_dir).select(
+        F.lit("harmonic").alias("variant"), "event_type",
+        F.lit(None).cast("timestamp_ntz").alias("window_start"),
+        F.lit(None).cast("double").alias("trend_v"),
+        F.lit(None).cast("double").alias("seasonal_v"),
+        F.lit(None).cast("double").alias("residual_v"),
+        "harmonic", "freq_v", "amp_v", "phase_v")
+    return a.unionByName(b)
+
+
+SQL_DECOMPOSE_FAMILY = _variant_union_sql([
+    ("classical", ["event_type", "window_start", "trend_v", "seasonal_v",
+                   "residual_v", "CAST(NULL AS INTEGER) AS harmonic",
+                   "CAST(NULL AS DOUBLE) AS freq_v",
+                   "CAST(NULL AS DOUBLE) AS amp_v",
+                   "CAST(NULL AS DOUBLE) AS phase_v"],
+     _SINGLE_ORACLES["classical_decompose"]),
+    ("harmonic", ["event_type", "CAST(NULL AS TIMESTAMP) AS window_start",
+                  "CAST(NULL AS DOUBLE) AS trend_v",
+                  "CAST(NULL AS DOUBLE) AS seasonal_v",
+                  "CAST(NULL AS DOUBLE) AS residual_v",
+                  "CAST(harmonic AS INTEGER) AS harmonic", "freq_v",
+                  "amp_v", "phase_v"],
+     _SINGLE_ORACLES["harmonics"]),
+])
+
+
+_PARTITION_NT_COLS = ["d", "n", "reco", "reco_rob", "gpp", "rref", "e0"]
+_PARTITION_DAY_COLS = ["i", "potrad", "nep"]
+
+
+def q_partition_family(spark, sf_dir):
+    """ONEFlux nighttime partitioning (reference-executed goldens) +
+    REddyProc-daytime deterministic stages (full SQL replay) as one
+    union — see queries/partition.py for the oracle-style rationale."""
+    a = _SINGLE_QUERIES["nt_oneflux"](spark, sf_dir).select(
+        F.lit("nt_oneflux").alias("variant"), *_PARTITION_NT_COLS,
+        F.lit(None).cast("long").alias("i"),
+        F.lit(None).cast("double").alias("potrad"),
+        F.lit(None).cast("double").alias("nep"))
+    b = _SINGLE_QUERIES["day_rp_stages"](spark, sf_dir).select(
+        F.lit("day_rp").alias("variant"),
+        F.lit(None).cast("string").alias("d"),
+        F.lit(None).cast("long").alias("n"),
+        *[F.lit(None).cast("double").alias(c)
+          for c in ("reco", "reco_rob", "gpp", "rref", "e0")],
+        *_PARTITION_DAY_COLS)
+    return a.unionByName(b)
+
+
+SQL_PARTITION_FAMILY = _variant_union_sql([
+    ("nt_oneflux", ["d", "CAST(n AS BIGINT) AS n",
+                    *[f"CAST({c} AS DOUBLE) AS {c}"
+                      for c in ("reco", "reco_rob", "gpp", "rref", "e0")],
+                    "CAST(NULL AS BIGINT) AS i",
+                    "CAST(NULL AS DOUBLE) AS potrad",
+                    "CAST(NULL AS DOUBLE) AS nep"],
+     _SINGLE_ORACLES["nt_oneflux"]),
+    ("day_rp", ["CAST(NULL AS VARCHAR) AS d", "CAST(NULL AS BIGINT) AS n",
+                *[f"CAST(NULL AS DOUBLE) AS {c}"
+                  for c in ("reco", "reco_rob", "gpp", "rref", "e0")],
+                "CAST(i AS BIGINT) AS i", "potrad", "nep"],
+     _SINGLE_ORACLES["day_rp_stages"]),
+])
+
+
+_HIRES_PHYS_COLS = ["i", "ra", "t_surf", "k_air", "lv_mj", "fct_u"]
+_HIRES_SF_COLS = ["daytime", "bin", "cls_min", "cls_max", "sf", "sos",
+                  "nvals"]
+_HIRES_PWB_STR = ["seg", "combo"]
+_HIRES_PWB_DBL = ["tlag_s", "hdi_lo", "hdi_hi", "tlag_pw", "corr_pw",
+                  "cov_pwb"]
+_HIRES_PWB_LNG = ["tlag_rec", "ar_s", "ar_w", "ar_t", "n_used"]
+
+
+def q_hires_lag(spark, sf_dir):
+    """SCOP self-heating physics + scaling-factor optimizer (full SQL
+    replays) + PWB winning-lag detection (reference-executed goldens) as
+    one union — see queries/hires.py for fixture/oracle design."""
+    _sf_dbl = ["cls_min", "cls_max", "sf", "sos"]
+    a = _SINGLE_QUERIES["scop_physics"](spark, sf_dir).select(
+        F.lit("physics").alias("variant"), *_HIRES_PHYS_COLS,
+        *[F.lit(None).cast("long").alias(c)
+          for c in ("daytime", "bin", "nvals")],
+        *[F.lit(None).cast("double").alias(c) for c in _sf_dbl],
+        *[F.lit(None).cast("string").alias(c) for c in _HIRES_PWB_STR],
+        *[F.lit(None).cast("double").alias(c) for c in _HIRES_PWB_DBL],
+        F.lit(None).cast("int").alias("reliable"),
+        *[F.lit(None).cast("long").alias(c) for c in _HIRES_PWB_LNG])
+    b = _SINGLE_QUERIES["scop_sf"](spark, sf_dir).select(
+        F.lit("sf").alias("variant"),
+        F.lit(None).cast("long").alias("i"),
+        *[F.lit(None).cast("double").alias(c)
+          for c in ("ra", "t_surf", "k_air", "lv_mj", "fct_u")],
+        *_HIRES_SF_COLS[:2], *_sf_dbl, "nvals",
+        *[F.lit(None).cast("string").alias(c) for c in _HIRES_PWB_STR],
+        *[F.lit(None).cast("double").alias(c) for c in _HIRES_PWB_DBL],
+        F.lit(None).cast("int").alias("reliable"),
+        *[F.lit(None).cast("long").alias(c) for c in _HIRES_PWB_LNG])
+    c = _SINGLE_QUERIES["pwb_lag"](spark, sf_dir).select(
+        F.lit("pwb").alias("variant"),
+        F.lit(None).cast("long").alias("i"),
+        *[F.lit(None).cast("double").alias(x)
+          for x in ("ra", "t_surf", "k_air", "lv_mj", "fct_u")],
+        *[F.lit(None).cast("long").alias(x)
+          for x in ("daytime", "bin")],
+        *[F.lit(None).cast("double").alias(x) for x in _sf_dbl],
+        F.lit(None).cast("long").alias("nvals"),
+        "seg", "combo", *_HIRES_PWB_DBL, "reliable", *_HIRES_PWB_LNG)
+    return a.unionByName(b).unionByName(c)
+
+
+def _hires_sql_parts():
+    """Each variant emits the SAME canonical column order (SQL UNION ALL
+    is positional): (name, sqltype, variants-that-own-it)."""
+    canon = [
+        ("i", "BIGINT", {"physics"}),
+        ("ra", "DOUBLE", {"physics"}), ("t_surf", "DOUBLE", {"physics"}),
+        ("k_air", "DOUBLE", {"physics"}), ("lv_mj", "DOUBLE", {"physics"}),
+        ("fct_u", "DOUBLE", {"physics"}),
+        ("daytime", "BIGINT", {"sf"}), ("bin", "BIGINT", {"sf"}),
+        ("nvals", "BIGINT", {"sf"}),
+        ("cls_min", "DOUBLE", {"sf"}), ("cls_max", "DOUBLE", {"sf"}),
+        ("sf", "DOUBLE", {"sf"}), ("sos", "DOUBLE", {"sf"}),
+        ("seg", "VARCHAR", {"pwb"}), ("combo", "VARCHAR", {"pwb"}),
+        *[(c, "DOUBLE", {"pwb"}) for c in _HIRES_PWB_DBL],
+        ("reliable", "INTEGER", {"pwb"}),
+        *[(c, "BIGINT", {"pwb"}) for c in _HIRES_PWB_LNG],
+    ]
+
+    def cols(variant):
+        return [f"CAST({name} AS {typ}) AS {name}" if variant in owners
+                else f"CAST(NULL AS {typ}) AS {name}"
+                for name, typ, owners in canon]
+
+    return [("physics", cols("physics"), _SINGLE_ORACLES["scop_physics"]),
+            ("sf", cols("sf"), _SINGLE_ORACLES["scop_sf"]),
+            ("pwb", cols("pwb"), _SINGLE_ORACLES["pwb_lag"])]
+
+
+SQL_HIRES_LAG = _variant_union_sql(_hires_sql_parts())
+
+
 _MERGED_QUERIES = {
     "grid_agg": q_grid_agg,
     "series_stats": q_series_stats,
@@ -243,6 +407,9 @@ _MERGED_QUERIES = {
     "ale_1d2d": q_ale_1d2d,
     "cumulatives": q_cumulatives,
     "gapfill_fills_1h": q_gapfill_fills_1h,
+    "decompose_family": q_decompose_family,
+    "partition_family": q_partition_family,
+    "hires_lag": q_hires_lag,
 }
 _MERGED_ORACLES = {
     "grid_agg": SQL_GRID_AGG,
@@ -253,6 +420,9 @@ _MERGED_ORACLES = {
     "ale_1d2d": SQL_ALE_1D2D,
     "cumulatives": SQL_CUMULATIVES,
     "gapfill_fills_1h": SQL_GAPFILL_FILLS_1H,
+    "decompose_family": SQL_DECOMPOSE_FAMILY,
+    "partition_family": SQL_PARTITION_FAMILY,
+    "hires_lag": SQL_HIRES_LAG,
 }
 
 #: names folded into union gates (still defined above; not registered)
@@ -262,6 +432,9 @@ _MERGED_AWAY = {
     "doy_cumulative", "quadrature_cumulative", "interp_linear_1h",
     "median_fill_1h", "climatology_fill_1h",
     "grid_agg_2d", "grid_agg_2d_quantile", "sstats", "percentiles",
+    # round-6 merges
+    "zscore_rolling", "classical_decompose", "harmonics",
+    "nt_oneflux", "day_rp_stages", "scop_physics", "scop_sf", "pwb_lag",
 }
 
 #: final driver registry: exactly 50 entries; previously-unrecorded and
@@ -269,6 +442,7 @@ _MERGED_AWAY = {
 #: driver still reaches them
 _FINAL_ORDER = [
     "rollup_1m",
+    "partition_family", "hires_lag",
     "timestamp_shift", "wind_rot_lag",
     "flux_partition_night", "ale_1d2d", "histogram_modes",
     "mds_fill", "ustar_bootstrap", "flux_partition_day", "rollup_stream_1m",
@@ -281,8 +455,8 @@ _FINAL_ORDER = [
     "minhash_lsh", "ann_ivf", "grid_agg",
     "cumulatives", "agg_as_hires", "keep_records_where",
     "stepwise_screening", "profile_lineitem", "minhash_signatures",
-    "json_props", "gap_stats_monthly", "classical_decompose", "harmonics",
-    "zscore_rolling", "compound_extremes", "rank_drivers", "ustar_mp",
+    "json_props", "gap_stats_monthly", "decompose_family",
+    "compound_extremes", "rank_drivers", "ustar_mp",
     "random_uncertainty", "bin_fit_linear",
 ]
 
