@@ -2,12 +2,13 @@
 
 The Spark-side plumbing (schemas, partition-friendly batch shapes, Arrow
 mapInPandas kernels) is real and tested, and the codec seam now decodes the
-common interchange formats with STDLIB-ONLY codecs (functions/codecs.py):
-PNG via zlib inflate + spec unfilter, WAV via struct RIFF/PCM parsing. A
-deterministic fake format remains for plumbing-only tests; exotic formats
-(JPEG, MP3, ...) still raise DecodeUnavailable until a codec library is
-installed — swapping one in changes ONE function (_decode_image_bytes /
-_decode_audio_bytes) and nothing else.
+dominant interchange formats with STDLIB-ONLY codecs (functions/codecs.py):
+baseline-sequential JPEG (T.81 Huffman + DCT), PNG via zlib inflate + spec
+unfilter, WAV via struct RIFF/PCM parsing. A deterministic fake format
+remains for plumbing-only tests; the remaining exotic formats
+(progressive/arithmetic JPEG, MP3, ...) still raise DecodeUnavailable until
+a codec library is installed — swapping one in changes ONE function
+(_decode_image_bytes / _decode_audio_bytes) and nothing else.
 
 Design notes for 100 TB:
 - media blobs stay in their own column; metadata columns (width/height/
@@ -55,6 +56,11 @@ def synth_media_table(spark, n_rows: int = 64, fmt: str = "fake-gray") -> DataFr
             from diive_spark.functions.codecs import encode_png
             rows.append((f"img-{i:06d}", bytearray(encode_png(px)),
                          "image/png", w, h, 1))
+        elif fmt == "jpeg":
+            from diive_spark.functions.codecs import encode_jpeg
+            rows.append((f"img-{i:06d}",
+                         bytearray(encode_jpeg(px, quality=92)),
+                         "image/jpeg", w, h, 1))
         else:
             rows.append((f"img-{i:06d}", bytearray(px.tobytes()),
                          "image/fake-gray", w, h, 1))
@@ -62,16 +68,29 @@ def synth_media_table(spark, n_rows: int = 64, fmt: str = "fake-gray") -> DataFr
 
 
 def _decode_image_bytes(blob: bytes, media_type: str, width: int, height: int) -> np.ndarray:
-    """Codec seam. PNG decodes via the stdlib-only codec
-    (functions/codecs.py: zlib inflate + spec unfilter); the deterministic
-    fake format decodes to a (h, w) uint8 array; anything else raises until
-    a codec library is installed. Multichannel images are collapsed to
-    grayscale (channel mean) so every feature path sees (h, w)."""
+    """Codec seam. JPEG (baseline sequential, T.81 Huffman + DCT) and PNG
+    decode via the stdlib-only codecs (functions/codecs.py); the
+    deterministic fake format decodes to a (h, w) uint8 array; anything
+    else (progressive JPEG, webp, ...) raises until a codec library is
+    installed. Multichannel images are collapsed to grayscale (channel
+    mean) so every feature path sees (h, w)."""
     if media_type == "image/fake-gray":
         return np.frombuffer(blob, dtype=np.uint8)[: width * height].reshape(height, width)
     if media_type == "image/png" or bytes(blob[:8]) == b"\x89PNG\r\n\x1a\n":
         from diive_spark.functions.codecs import decode_png
         img = decode_png(bytes(blob))
+        return img if img.ndim == 2 else img.mean(axis=2).astype(np.uint8)
+    if media_type in ("image/jpeg", "image/jpg") \
+            or bytes(blob[:2]) == b"\xff\xd8":
+        from diive_spark.functions.codecs import CodecError, decode_jpeg
+        try:
+            img = decode_jpeg(bytes(blob))
+        except CodecError as exc:
+            if "non-baseline" in str(exc):
+                raise DecodeUnavailable(
+                    f"JPEG frame unsupported by the stdlib baseline codec: "
+                    f"{exc}") from exc
+            raise
         return img if img.ndim == 2 else img.mean(axis=2).astype(np.uint8)
     raise DecodeUnavailable(
         f"no decoder for {media_type!r} in this environment; "

@@ -136,7 +136,111 @@ def test_audio_features_from_real_wav(spark):
 
 
 def test_unknown_formats_still_raise(spark):
+    # webp has no stdlib codec -> the DecodeUnavailable seam
     with pytest.raises(multimodal.DecodeUnavailable):
-        multimodal._decode_image_bytes(b"\xff\xd8\xff jpeg!", "image/jpeg", 2, 2)
+        multimodal._decode_image_bytes(b"RIFF....WEBP", "image/webp", 2, 2)
     with pytest.raises(multimodal.DecodeUnavailable):
         multimodal._decode_audio_bytes(b"ID3 mp3 bytes", "audio/mpeg")
+    # malformed JPEG bytes are a codec ERROR, not an unavailable codec
+    with pytest.raises(codecs.CodecError):
+        multimodal._decode_image_bytes(b"\xff\xd8\xff jpeg!", "image/jpeg", 2, 2)
+
+
+# --------------------------------------------------------------------------- #
+# JPEG (baseline sequential)
+# --------------------------------------------------------------------------- #
+def _smooth_rgb(h=33, w=41):
+    return np.clip(np.stack([
+        np.add.outer(np.linspace(0, 200, h), np.linspace(0, 55, w)),
+        np.tile(np.linspace(30, 220, w), (h, 1)),
+        np.full((h, w), 90.0)], axis=2), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_flat_block_exact_at_q100():
+    """A constant image has a DC-only spectrum: with unit quantization
+    the decode is bit-exact — an independent hand-checkable anchor."""
+    img = np.full((16, 24), 130, np.uint8)
+    assert np.array_equal(codecs.decode_jpeg(codecs.encode_jpeg(img, 100)),
+                          img)
+
+
+@pytest.mark.parametrize("quality,rmse_max", [(70, 2.0), (90, 1.0),
+                                              (100, 0.2)])
+def test_jpeg_gray_roundtrip(quality, rmse_max):
+    x = np.linspace(0, 255, 64)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = dec.astype(float) - img.astype(float)
+    assert np.sqrt((err ** 2).mean()) < rmse_max
+
+
+@pytest.mark.parametrize("subsample,rmse_max", [("444", 2.0), ("420", 4.0)])
+def test_jpeg_rgb_roundtrip(subsample, rmse_max):
+    img = _smooth_rgb()
+    dec = codecs.decode_jpeg(
+        codecs.encode_jpeg(img, 90, subsample=subsample))
+    assert dec.shape == img.shape
+    err = dec.astype(float) - img.astype(float)
+    assert np.sqrt((err ** 2).mean()) < rmse_max
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI + RSTn markers: predictors reset per restart segment."""
+    rng = np.random.default_rng(5)
+    img = np.clip(rng.normal(128, 40, (24, 40)), 0, 255).astype(np.uint8)
+    blob = codecs.encode_jpeg(img, 88, restart_interval=2)
+    assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+    dec = codecs.decode_jpeg(blob)
+    err = dec.astype(float) - img.astype(float)
+    # noise compresses poorly but must still track closely at q88
+    assert np.sqrt((err ** 2).mean()) < 12.0
+    # identical output to the no-restart encoding of the same image
+    dec2 = codecs.decode_jpeg(codecs.encode_jpeg(img, 88))
+    assert np.array_equal(dec, dec2)
+
+
+def test_jpeg_odd_sizes_and_edge_padding():
+    """Non-multiple-of-8 (and of-16 for 4:2:0) dims crop correctly."""
+    for shape in ((7, 9), (17, 23), (8, 8)):
+        img = np.clip(np.add.outer(np.linspace(0, 250, shape[0]),
+                                   np.linspace(0, 5, shape[1])),
+                      0, 255).astype(np.uint8)
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(img, 92))
+        assert dec.shape == shape
+    rgb = _smooth_rgb(19, 21)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(rgb, 92, subsample="420"))
+    assert dec.shape == rgb.shape
+
+
+def test_jpeg_progressive_rejected():
+    """The documented seam: SOF2 (progressive) raises, baseline decodes."""
+    import os
+    path = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if not os.path.exists(path):
+        pytest.skip("no system progressive JPEG available")
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    with pytest.raises(codecs.CodecError, match="non-baseline"):
+        codecs.decode_jpeg(blob)
+    with pytest.raises(multimodal.DecodeUnavailable):
+        multimodal._decode_image_bytes(blob, "image/jpeg", 493, 58)
+
+
+def test_image_features_from_real_jpeg(spark):
+    """REAL JPEG bytes through the Arrow mapInPandas kernel: features must
+    track the source pixels within JPEG quantization error."""
+    df = multimodal.synth_media_table(spark, n_rows=12, fmt="jpeg")
+    out = multimodal.extract_image_features(df, feat_dim=4).toPandas() \
+        .set_index("doc_id")
+    assert len(out) == 12
+    for i in range(12):
+        rng = np.random.default_rng(zlib.crc32(f"img-{i}".encode()) ^ 42)
+        w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        row = out.loc[f"img-{i:06d}"]
+        # uniform noise compresses worst-case; mean survives within ~3 LSB
+        assert abs(row["mean_px"] - float(px.mean())) < 3.0
+        bands = np.array_split(px.astype(np.float32), 4, axis=0)
+        want = np.array([b.mean() for b in bands])
+        assert np.abs(np.asarray(row["feat"], dtype=float) - want).max() < 12.0
