@@ -282,3 +282,294 @@ def longterm_tree_fill(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def permutation_importance(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    feature_cols: list[str],
+    *,
+    model: str = "random_forest",
+    add_timestamp_features: bool = False,
+    test_size: float = 0.25,
+    n_repeats: int = 3,
+    seed: int = 42,
+    num_trees: int = 20,
+    max_depth: int = 8,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Permutation importance on a chronological holdout — the
+    driver-attribution core of the reference's DriverAnalysis
+    (analysis/driveranalysis/driveranalysis.py: held-out scoring +
+    per-driver importance), with model-agnostic permutation replacing its
+    SHAP explainer (sklearn/shap are excluded runtimes; MLlib's impurity
+    importances remain available via tree_model_fill).
+
+    Method: fit one distributed MLlib ensemble on the chronologically
+    FIRST (1 - test_size) of feature-complete observed rows (the
+    reference's ``time_aware_split=True``), score R^2 on the held-out
+    tail, then for each feature x repeat: permute ONLY that column
+    within the holdout (seeded hash-rank pairing — an exact
+    rearrangement, value multiset preserved) and rescore. Importance =
+    mean R^2 drop. One JVM transform + one scoring aggregate per
+    (feature, repeat); the rank pairing is a window over the bounded
+    holdout (swap to zipWithIndex range offsets if a holdout ever
+    outgrows one task's rank assignment).
+
+    Returns one row per feature: (feature, importance, importance_sd,
+    baseline_r2, permuted_r2_mean, n_holdout).
+    """
+    import math as _math
+
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor, RandomForestRegressor
+    from pyspark.sql import Window
+
+    feats = [F.col(c).cast("double").alias(f"_f_{c}") for c in feature_cols]
+    fnames = [f"_f_{c}" for c in feature_cols]
+    if add_timestamp_features:
+        hour = F.hour(ts_col) + F.minute(ts_col) / 60.0
+        doy = F.dayofyear(ts_col).cast("double")
+        feats += [
+            F.sin(2 * _math.pi * hour / 24.0).alias("_f_hsin"),
+            F.cos(2 * _math.pi * hour / 24.0).alias("_f_hcos"),
+            F.sin(2 * _math.pi * doy / 365.25).alias("_f_dsin"),
+            F.cos(2 * _math.pi * doy / 365.25).alias("_f_dcos"),
+        ]
+        fnames += ["_f_hsin", "_f_hcos", "_f_dsin", "_f_dcos"]
+
+    v = F.col(value_col).cast("double")
+    work = df.select(F.col(ts_col).alias("_ts"), v.alias("_label"), *feats) \
+        .filter(F.col("_label").isNotNull())
+    for n in fnames:
+        work = work.filter(F.col(n).isNotNull() & ~F.isnan(F.col(n)))
+
+    if not 0 < test_size < 1:
+        raise ValueError("test_size must be in (0, 1) for holdout scoring")
+    # exact chronological cut (reference time_aware_split): train = first
+    # floor(n*(1-test_size)) rows; one ordered offset+limit scan finds the
+    # boundary timestamp, then the split is two prunable range filters
+    n_total = work.count()
+    k = int(n_total * (1.0 - test_size))
+    if k < 1 or k >= n_total:
+        raise ValueError(f"degenerate split: {k} train of {n_total}")
+    thr = work.select("_ts").orderBy("_ts").offset(k).limit(1).first()[0]
+    train = work.filter(F.col("_ts") < F.lit(thr))
+    holdout = work.filter(F.col("_ts") >= F.lit(thr)).cache()
+    n_holdout = holdout.count()
+    if n_holdout < 3:
+        raise ValueError(f"holdout too small ({n_holdout} rows)")
+
+    assembler = VectorAssembler(inputCols=fnames, outputCol="_fvec")
+    if model == "random_forest":
+        reg = RandomForestRegressor(
+            featuresCol="_fvec", labelCol="_label", predictionCol="_pred",
+            numTrees=num_trees, maxDepth=max_depth, seed=seed)
+    elif model == "gbt":
+        reg = GBTRegressor(
+            featuresCol="_fvec", labelCol="_label", predictionCol="_pred",
+            maxIter=max_iter, maxDepth=max_depth, seed=seed)
+    else:
+        raise ValueError(f"unknown model {model!r}")
+    fitted = reg.fit(assembler.transform(train))
+
+    def r2_of(scored: DataFrame) -> float:
+        row = scored.agg(
+            F.sum(F.pow(F.col("_label") - F.col("_pred"), 2)).alias("sse"),
+            F.sum(F.pow(F.col("_label"), 2)).alias("syy"),
+            F.sum("_label").alias("sy"),
+            F.count(F.lit(1)).alias("n")).first()
+        tss = row["syy"] - row["sy"] ** 2 / row["n"]
+        return 1.0 - row["sse"] / tss if tss > 0 else float("nan")
+
+    baseline = r2_of(fitted.transform(assembler.transform(holdout)))
+
+    rows = []
+    for fname, col in zip(fnames, feature_cols + (
+            ["hsin", "hcos", "dsin", "dcos"] if add_timestamp_features
+            else [])[:max(0, len(fnames) - len(feature_cols))]):
+        drops = []
+        for rep in range(n_repeats):
+            salt = F.lit(f"{seed}|{fname}|{rep}")
+            wa = Window.orderBy(F.xxhash64(F.col("_ts"), salt))
+            wb = Window.orderBy(F.xxhash64(F.col("_ts"), salt, F.lit("v")))
+            left = holdout.withColumn("_rk", F.row_number().over(wa))
+            donor = holdout.select(
+                F.col(fname).alias("_perm"),
+                F.row_number().over(wb).alias("_rk"))
+            permuted = left.drop(fname).join(donor, "_rk") \
+                .withColumnRenamed("_perm", fname)
+            drops.append(baseline - r2_of(
+                fitted.transform(assembler.transform(permuted))))
+        mean = sum(drops) / len(drops)
+        sd = (sum((d - mean) ** 2 for d in drops)
+              / max(1, len(drops) - 1)) ** 0.5
+        rows.append((col if fname == f"_f_{col}" else fname.removeprefix("_f_"),
+                     mean, sd, baseline, baseline - mean, n_holdout))
+    holdout.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows, "feature string, importance double, importance_sd double, "
+              "baseline_r2 double, permuted_r2_mean double, n_holdout long")
+
+
+class TSOptimizationResult:
+    """Result of ``optimize_params_ts`` — mirrors the reference's
+    OptimizeParamsTS attribute surface (best_params / best_score /
+    cv_results / scores / cv_n_splits)."""
+
+    def __init__(self, best_params, best_score, cv_results, scores,
+                 cv_n_splits):
+        self.best_params = best_params
+        self.best_score = best_score
+        self.cv_results = cv_results
+        self.scores = scores
+        self.cv_n_splits = cv_n_splits
+
+
+def optimize_params_ts(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    feature_cols: list[str],
+    param_grid: dict[str, list],
+    *,
+    model: str = "random_forest",
+    n_splits: int = 10,
+    test_size: float = 0.25,
+    add_timestamp_features: bool = False,
+    seed: int = 42,
+) -> TSOptimizationResult:
+    """Time-series hyperparameter grid search over the engine's MLlib
+    ensembles — the reference's ``OptimizeParamsTS``
+    (core/ml/optimization.py:28: GridSearchCV + TimeSeriesSplit(10),
+    neg-MSE scoring, chronological shuffle=False 75/25 outer split,
+    holdout ``prediction_scores``), re-expressed on ``pyspark.ml``.
+
+    Leakage-free forward-chaining CV with sklearn's exact fold
+    geometry: on the m chronologically-first train rows, fold test size
+    f = m // (n_splits+1); fold i trains on rows [0, s_i) and scores on
+    [s_i, s_i + f) where s_i walks range(m - n_splits*f, m, f).
+    Candidate order is the sorted-key cartesian product (sklearn
+    ParameterGrid), the winner the first maximum of mean negMSE across
+    folds; the winner is refit on the full train head and scored on the
+    held-out chronological tail with the reference's seven metrics.
+
+    ``param_grid`` keys are MLlib param names (``numTrees``,
+    ``maxDepth``, ``maxIter``, ``subsamplingRate``, ``stepSize``,
+    ``minInstancesPerNode``, ...). Each (combo, fold) is one distributed
+    MLlib fit — grid search parallelism comes from the cluster inside
+    each fit, folds stay sequential exactly like the reference's
+    ``n_jobs=1``. The chronological rank is a one-pass window over the
+    bounded train projection (swap for a range-partitioned zipWithIndex
+    rank if a single tuning frame ever outgrows one task's sort).
+
+    Returns ``TSOptimizationResult``: best_params (dict), best_score
+    (mean CV negMSE of the winner), cv_results (Spark DataFrame: one row
+    per combo with per-fold and mean scores + rank), scores (dict of
+    gapfill.prediction_scores on the holdout), cv_n_splits.
+    """
+    import math as _math
+    from itertools import product as _product
+
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor, RandomForestRegressor
+    from pyspark.sql import Window
+
+    from diive_spark.operators.gapfill import prediction_scores
+
+    feats = [F.col(c).cast("double").alias(f"_f_{c}") for c in feature_cols]
+    fnames = [f"_f_{c}" for c in feature_cols]
+    if add_timestamp_features:
+        hour = F.hour(ts_col) + F.minute(ts_col) / 60.0
+        doy = F.dayofyear(ts_col).cast("double")
+        feats += [
+            F.sin(2 * _math.pi * hour / 24.0).alias("_f_hsin"),
+            F.cos(2 * _math.pi * hour / 24.0).alias("_f_hcos"),
+            F.sin(2 * _math.pi * doy / 365.25).alias("_f_dsin"),
+            F.cos(2 * _math.pi * doy / 365.25).alias("_f_dcos"),
+        ]
+        fnames += ["_f_hsin", "_f_hcos", "_f_dsin", "_f_dcos"]
+    if not fnames:
+        raise ValueError("no features to tune over")
+
+    work = df.select(F.col(ts_col).alias("_ts"),
+                     F.col(value_col).cast("double").alias("_label"),
+                     *feats).filter(F.col("_label").isNotNull())
+    for n in fnames:
+        work = work.filter(F.col(n).isNotNull() & ~F.isnan(F.col(n)))
+
+    assembler = VectorAssembler(inputCols=fnames, outputCol="_fvec")
+    ranked = assembler.transform(work).withColumn(
+        "_rn", F.row_number().over(Window.orderBy("_ts")) - 1).cache()
+    n_total = ranked.count()
+    m = int(n_total * (1.0 - test_size))
+    fold_f = m // (n_splits + 1)
+    if fold_f < 1:
+        raise ValueError(
+            f"too few rows ({n_total}) for {n_splits} forward-chaining "
+            f"folds on a {1 - test_size:.0%} train head")
+    train_head = ranked.filter(F.col("_rn") < m).cache()
+    holdout = ranked.filter(F.col("_rn") >= m)
+
+    def make_reg(params: dict):
+        if model == "random_forest":
+            reg = RandomForestRegressor(
+                featuresCol="_fvec", labelCol="_label",
+                predictionCol="_pred", seed=seed)
+        elif model == "gbt":
+            reg = GBTRegressor(featuresCol="_fvec", labelCol="_label",
+                               predictionCol="_pred", seed=seed)
+        else:
+            raise ValueError(f"unknown model {model!r}")
+        for k, v in params.items():
+            setter = f"set{k[0].upper()}{k[1:]}"
+            if not hasattr(reg, setter):
+                raise ValueError(f"unknown {model} param {k!r}")
+            getattr(reg, setter)(v)
+        return reg
+
+    def neg_mse(fitted, frame) -> float:
+        row = fitted.transform(frame).agg(
+            F.avg(F.pow(F.col("_label") - F.col("_pred"), 2))
+             .alias("mse")).first()
+        return -float(row["mse"])
+
+    keys = sorted(param_grid)
+    combos = [dict(zip(keys, vals))
+              for vals in _product(*(param_grid[k] for k in keys))]
+    starts = list(range(m - n_splits * fold_f, m, fold_f))
+    cv_rows = []
+    best_idx, best_mean = 0, -float("inf")
+    for ci, combo in enumerate(combos):
+        fold_scores = []
+        for s in starts:
+            fit = make_reg(combo).fit(train_head.filter(F.col("_rn") < s))
+            fold_scores.append(neg_mse(
+                fit, train_head.filter(
+                    (F.col("_rn") >= s) & (F.col("_rn") < s + fold_f))))
+        mean_score = sum(fold_scores) / len(fold_scores)
+        if mean_score > best_mean:
+            best_idx, best_mean = ci, mean_score
+        cv_rows.append((ci, {k: str(combo[k]) for k in keys},
+                        fold_scores, mean_score))
+
+    order = sorted(range(len(cv_rows)), key=lambda i: -cv_rows[i][3])
+    rank = {i: r + 1 for r, i in enumerate(order)}
+    cv_results = df.sparkSession.createDataFrame(
+        [(ci, params, fs, mean, rank[ci])
+         for ci, params, fs, mean in cv_rows],
+        "combo int, params map<string,string>, "
+        "split_test_scores array<double>, mean_test_score double, "
+        "rank_test_score int")
+
+    best = make_reg(combos[best_idx]).fit(train_head)
+    srow = prediction_scores(
+        best.transform(holdout), "_pred", "_label").first().asDict()
+    srow.pop("n", None)
+    scores = srow
+    ranked.unpersist()
+    train_head.unpersist()
+    return TSOptimizationResult(
+        best_params=combos[best_idx], best_score=best_mean,
+        cv_results=cv_results, scores=scores, cv_n_splits=n_splits)

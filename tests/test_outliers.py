@@ -304,3 +304,66 @@ print(json.dumps({{"flags": out, "rel": rel}}))
         assert outliers.identify_flag_columns(
             cols, s, exclude_ustar_ids=["_CUT_16_"]) == ref["flags"][s], s
         assert outliers.identify_relevant_ids(s) == ref["rel"][s], s
+
+
+def test_restrict_application_matches_executed_reference(spark):
+    """Generic date-range flag restriction (reference
+    preprocessing/qaqc/flags.py:18): single-timestamp entries, [start,
+    end] ranges and the missing-timestamp no-op, value-for-value against
+    the EXECUTED reference."""
+    import pandas as pd
+
+    from tests.reference_harness import run_reference
+
+    idx = pd.date_range("2024-06-01", periods=200, freq="30min")
+    rng = np.random.default_rng(9)
+    flag = pd.Series(rng.choice([0.0, 1.0, 2.0], 200), index=idx)
+    dates = ["2024-06-01 05:30:00",          # exact timestamp
+             "2024-06-01 05:45:00",          # NOT on the grid: no-op
+             ["2024-06-02 00:00:00", "2024-06-02 12:00:00"],
+             ["2024-06-04 00:00:00", "2024-06-09 00:00:00"]]  # past end
+    ref = run_reference(f"""
+from diive.preprocessing.qaqc.flags import restrict_application
+idx = pd.date_range("2024-06-01", periods=200, freq="30min")
+flag = pd.Series({list(flag)!r}, index=idx)
+out = restrict_application(flag, "TESTFLAG", {dates!r}, verbose=False)
+print(json.dumps([None if not np.isfinite(v) else float(v) for v in out]))
+""")
+    pdf = pd.DataFrame({"ts": idx, "FLAG_X_TEST": flag.to_numpy()})
+    out = outliers.restrict_application(
+        spark.createDataFrame(pdf), "ts", "FLAG_X_TEST", dates
+    ).toPandas().sort_values("ts")
+    got = out["FLAG_X_TEST"].to_numpy()
+    want = np.array([np.nan if v is None else v for v in ref])
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    m = ~np.isnan(want)
+    assert (got[m] == want[m]).all()
+    # restriction must bite: some kept, some filled
+    assert m.any() and (~m).any()
+
+
+def test_restrict_application_in_stepwise_chain(spark):
+    """Any screening test is now date-restrictable: the restricted flag
+    contributes to QCF only inside its window (null = untested outside,
+    flag_sums 'otherwise 0' arm)."""
+    import pandas as pd
+
+    from diive_spark.operators.stepwise import StepwiseScreening
+
+    idx = pd.date_range("2024-01-01", periods=480, freq="30min")
+    rng = np.random.default_rng(4)
+    vals = rng.normal(0, 1, 480)
+    vals[::37] = 80.0  # abs-limit violations all through the series
+    pdf = pd.DataFrame({"site": "A", "ts": idx, "v": vals})
+    out = (
+        StepwiseScreening(spark.createDataFrame(pdf), ["site"], "ts", "v")
+        .flag_absolute_limits(-60.0, 60.0)
+        .restrict_application([["2024-01-01", "2024-01-03"]])
+        .finalize()
+    ).toPandas().sort_values("ts").reset_index(drop=True)
+    inside = out["ts"] <= pd.Timestamp("2024-01-03")
+    spikes = out["v"] == 80.0
+    assert (out.loc[inside & spikes, "FLAG_QCF"] == 2).all()
+    # outside the window the violation is NOT flagged (restricted away)
+    assert (out.loc[~inside & spikes, "FLAG_QCF"] == 0).all()
+    assert out.loc[~inside, "FLAG_1_v_ABSLIM_TEST"].isna().all()
