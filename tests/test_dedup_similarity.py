@@ -122,8 +122,13 @@ def test_multimodal_plumbing(spark):
     bad = media.withColumn("media_type", F.lit("image/png"))
     with pytest.raises(Exception, match="not a PNG"):
         multimodal.extract_image_features(bad).collect()
+    # JPEG is decodable now too (stdlib baseline codec) — mislabelled
+    # garbage bytes fail with a codec (SOI signature) error, not the stub
+    badjpg = media.withColumn("media_type", F.lit("image/jpeg"))
+    with pytest.raises(Exception, match="not a JPEG"):
+        multimodal.extract_image_features(badjpg).collect()
     # truly exotic formats still raise the documented stub error
-    exotic = media.withColumn("media_type", F.lit("image/jpeg"))
+    exotic = media.withColumn("media_type", F.lit("image/webp"))
     with pytest.raises(Exception, match="no decoder"):
         multimodal.extract_image_features(exotic).collect()
     frames = multimodal.frame_sample(media, every_n=2).toPandas()
