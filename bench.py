@@ -87,27 +87,6 @@ def run_suite(spark) -> tuple[dict, dict]:
     timings["gapfill_1m_grid"] = round(time.time() - t0, 3)
     extras["filled_windows"] = n_filled
 
-    # --- MLlib tree-ensemble fill on the 1m grid ----------------------------
-    t0 = time.time()
-    tf = mlfill.tree_model_fill(
-        g.select("source", "window_start", "n_tok_mean"),
-        ["source"], "window_start", "n_tok_mean", num_trees=20)
-    n_tree = tf.filter("fill_flag >= 1").count()
-    timings["tree_model_fill_1m"] = round(time.time() - t0, 3)
-    extras["tree_filled_windows"] = n_tree
-
-    # --- near-dup clustering: LSH pairs -> connected components -------------
-    t0 = time.time()
-    # single-file parquet reads land on ONE partition; spread the docs so
-    # shingling/minhash run wide (at real scale the input is many files)
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
-        .repartition(int(CPUS))
-    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.02,
-                                    max_doc_freq=5)
-    n_clustered = dedup.connected_components(pairs).count()
-    timings["dedup_cluster_cc"] = round(time.time() - t0, 3)
-    extras["dedup_clustered_ids"] = n_clustered
-
     # --- Gorilla pack of the 1m tier ----------------------------------------
     t0 = time.time()
     packed = gorilla.pack_blocks(t1m, ["source"], "window_end", "n_tok_mean").cache()
@@ -125,10 +104,6 @@ def run_suite(spark) -> tuple[dict, dict]:
     el = time.time() - t0
     timings["gorilla_unpack_1m"] = round(el, 3)
     extras["unpacked_points_per_sec"] = round(n_back / el)
-    packed.unpersist()
-    t1m.unpersist()
-    t1h.unpersist()
-    raw.unpersist()
 
     # --- headline operator queries on the driver tables --------------------
     for name in HEADLINE:
@@ -136,6 +111,38 @@ def run_suite(spark) -> tuple[dict, dict]:
         n = _headline_query(name)(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
         _ = n
+
+    # --- heavyweight round-5 additions: LAST in the pass -------------------
+    # Ordering is load-bearing for cross-round comparability: these two jobs
+    # (dozens of MLlib level jobs; the LSH+CC pipeline) churn the JVM enough
+    # to slow every query measured AFTER them by ~15% (round-6 attribution:
+    # same code, r4-shaped suite = 11.9 s vs 14.2 s embedded in the full
+    # suite, idle host both). Running them after the r4-comparable subset
+    # keeps `value_r4_comparable` measured in the same JVM state the r4
+    # record used, while the totals still cover the full workload.
+    t0 = time.time()
+    tf = mlfill.tree_model_fill(
+        g.select("source", "window_start", "n_tok_mean"),
+        ["source"], "window_start", "n_tok_mean", num_trees=20)
+    n_tree = tf.filter("fill_flag >= 1").count()
+    timings["tree_model_fill_1m"] = round(time.time() - t0, 3)
+    extras["tree_filled_windows"] = n_tree
+
+    t0 = time.time()
+    # single-file parquet reads land on ONE partition; spread the docs so
+    # shingling/minhash run wide (at real scale the input is many files)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .repartition(int(CPUS))
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.02,
+                                    max_doc_freq=5)
+    n_clustered = dedup.connected_components(pairs).count()
+    timings["dedup_cluster_cc"] = round(time.time() - t0, 3)
+    extras["dedup_clustered_ids"] = n_clustered
+
+    packed.unpersist()
+    t1m.unpersist()
+    t1h.unpersist()
+    raw.unpersist()
 
     return timings, extras
 
