@@ -437,25 +437,39 @@ ORACLES.update({
 })
 
 
+#: date window for the restricted variant (events span 2024-01, all sf)
+_RESTRICT_LO, _RESTRICT_HI = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
+
+
 def q_stepwise_screening(spark, sf_dir):
     """Chained outlier tests + QCF + cleaned hourly resample (the reference's
-    StepwiseMeteoScreeningDb flow, meteoscreening.py:37)."""
+    StepwiseMeteoScreeningDb flow, meteoscreening.py:37). Union gate, two
+    variants: 'plain' = the r2 screening chain unchanged; 'restricted' = the
+    SAME chain with the absolute-limits flag date-restricted via
+    restrict_application (reference preprocessing/qaqc/flags.py:18) to
+    [2024-01-05, 2024-01-20] — outside the window the test is untested
+    (NULL flag, QCF 'otherwise 0' arm), so violations there stay in the
+    cleaned series. Value-oracled end to end."""
     from diive_spark.operators.stepwise import StepwiseScreening
     ev = _t(spark, sf_dir, "events")
-    out = (
-        StepwiseScreening(ev, ["event_type"], "ts", "value")
-        .flag_absolute_limits(-60.0, 60.0)
-        .flag_zscore(thres=3.0)
-        .finalize(resample_tier="1h")
-    )
-    return out.select(
-        "event_type", "window_end",
-        F.col("value_CLEANED_cnt").alias("cnt"),
-        _r6("value_CLEANED_mean").alias("mean_clean"),
-    )
+
+    def screen(restrict):
+        s = StepwiseScreening(ev, ["event_type"], "ts", "value") \
+            .flag_absolute_limits(-60.0, 60.0)
+        if restrict:
+            s = s.restrict_application([[_RESTRICT_LO, _RESTRICT_HI]])
+        out = s.flag_zscore(thres=3.0).finalize(resample_tier="1h")
+        return out.select(
+            F.lit("restricted" if restrict else "plain").alias("variant"),
+            "event_type", "window_end",
+            F.col("value_CLEANED_cnt").alias("cnt"),
+            _r6("value_CLEANED_mean").alias("mean_clean"),
+        )
+
+    return screen(False).unionByName(screen(True))
 
 
-SQL_STEPWISE_SCREENING = """
+SQL_STEPWISE_SCREENING = f"""
 WITH flagged AS (
   SELECT event_type, ts, value,
          CASE WHEN value < -60.0 OR value > 60.0 THEN 2 ELSE 0 END AS f1,
@@ -464,14 +478,27 @@ WITH flagged AS (
               THEN 2 ELSE 0 END AS f2
   FROM events WHERE value IS NOT NULL
 ),
+restricted AS (
+  -- restrict_application semantics: the abs-limits flag applies only inside
+  -- the window; elsewhere the test is untested (NULL -> contributes 0)
+  SELECT event_type, ts, value,
+         CASE WHEN ts >= TIMESTAMP '{_RESTRICT_LO}'
+                   AND ts <= TIMESTAMP '{_RESTRICT_HI}'
+              THEN f1 END AS f1r, f2
+  FROM flagged
+),
 cleaned AS (
-  SELECT event_type, ts, value FROM flagged WHERE f1 = 0 AND f2 = 0
+  SELECT 'plain' AS variant, event_type, ts, value
+  FROM flagged WHERE f1 = 0 AND f2 = 0
+  UNION ALL
+  SELECT 'restricted' AS variant, event_type, ts, value
+  FROM restricted WHERE coalesce(f1r, 0) = 0 AND f2 = 0
 )
-SELECT event_type,
+SELECT variant, event_type,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
        count(value) AS cnt,
        round(1e-9 + avg(value), 6) AS mean_clean
-FROM cleaned GROUP BY 1, 2
+FROM cleaned GROUP BY 1, 2, 3
 """
 
 
