@@ -1,5 +1,6 @@
 """Dependency-free media codecs (stdlib + numpy only): PNG via zlib, WAV
-via struct, baseline JPEG via spec Huffman + DCT.
+via struct, baseline JPEG via spec Huffman + DCT, FLAC (full decoder +
+lossless encoder) via spec rice/LPC coding.
 
 These make the multimodal codec seam (operators/multimodal.py) EXECUTABLE on
 real encoded bytes without any image/audio library: PNG is deflate (zlib, in
@@ -7,7 +8,9 @@ the stdlib) plus the five scanline filters of the spec; WAV PCM is a RIFF
 header plus raw samples; JPEG is ITU-T T.81 baseline sequential — marker
 parse, canonical Huffman entropy decode, dequantize, 2-D IDCT as two 8x8
 matrix products vectorized over all blocks, chroma upsampling and JFIF
-YCbCr->RGB. Remaining exotic formats (progressive/arithmetic JPEG, MP3,
+YCbCr->RGB; FLAC is bit-exact lossless coding — rice-coded residuals of
+fixed or LPC predictors with CRC-8/16 and MD5 integrity checks.
+Remaining exotic formats (progressive/arithmetic JPEG, MP3/Vorbis/Opus,
 ...) stay behind ``DecodeUnavailable`` — the seam's contract is unchanged,
 the dominant interchange formats just work now.
 
@@ -728,3 +731,669 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     out += entropy
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------- #
+# FLAC (free lossless audio codec)
+# --------------------------------------------------------------------------- #
+# Public-spec implementation (xiph.org format spec / RFC 9639): the dominant
+# lossless interchange format for speech training corpora (LibriSpeech,
+# MLS, ... ship as FLAC). Decoder covers the full subframe surface —
+# CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32), rice + rice2 partitioned
+# residuals with escape codes, wasted bits, all four channel assignments
+# (independent, left/side, right/side, mid/side), CRC-8 header and CRC-16
+# frame checks and the STREAMINFO MD5 of the decoded stream. Encoder is a
+# real (if unsophisticated) lossless encoder: per-block best-of
+# CONSTANT/FIXED/LPC/VERBATIM with exact rice-parameter search, optional
+# stereo decorrelation and partitioned residuals — it exists so every
+# decoder path is exercised by EXACT round-trips. No FLAC tool exists in
+# this container, so cross-implementation interop is untested here (the
+# test suite proves self-consistency + structural conformance only).
+
+_CRC8_TABLE = None
+_CRC16_TABLE = None
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0, MSB-first (FLAC header CRC)."""
+    global _CRC8_TABLE
+    if _CRC8_TABLE is None:
+        tab = []
+        for b in range(256):
+            r = b
+            for _ in range(8):
+                r = ((r << 1) ^ 0x07 if r & 0x80 else r << 1) & 0xFF
+            tab.append(r)
+        _CRC8_TABLE = tab
+    crc = 0
+    for b in data:
+        crc = _CRC8_TABLE[crc ^ b]
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0, MSB-first (frame CRC)."""
+    global _CRC16_TABLE
+    if _CRC16_TABLE is None:
+        tab = []
+        for b in range(256):
+            r = b << 8
+            for _ in range(8):
+                r = ((r << 1) ^ 0x8005 if r & 0x8000 else r << 1) & 0xFFFF
+            tab.append(r)
+        _CRC16_TABLE = tab
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF]
+    return crc
+
+
+class _FlacBitWriter:
+    """MSB-first bit writer with byte access for the in-header CRCs."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_signed(self, value: int, n: int) -> None:
+        self.write(value & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int) -> None:
+        # FLAC unary: q '0' bits terminated by a '1'
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def data(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _FlacBitReader:
+    """MSB-first bit reader over the whole stream; byte position is exposed
+    for the CRC spans (header and frame CRCs cover byte-aligned ranges)."""
+
+    def __init__(self, blob: bytes, pos: int = 0):
+        self.blob = blob
+        self.bitpos = pos * 8
+
+    @property
+    def bytepos(self) -> int:
+        assert self.bitpos % 8 == 0
+        return self.bitpos // 8
+
+    def read(self, n: int) -> int:
+        v = 0
+        bp, blob = self.bitpos, self.blob
+        end = bp + n
+        if end > len(blob) * 8:
+            raise CodecError("FLAC: truncated stream")
+        while n > 0:
+            byte = blob[bp >> 3]
+            avail = 8 - (bp & 7)
+            take = min(avail, n)
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            bp += take
+            n -= take
+        self.bitpos = bp
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+def _utf8_number(w: _FlacBitWriter, v: int) -> None:
+    """FLAC extended-UTF-8 coded frame/sample number."""
+    if v < 0x80:
+        w.write(v, 8)
+        return
+    for nbytes in range(2, 8):
+        if v < (1 << (nbytes * 5 + 1 if nbytes < 7 else 36)):
+            break
+    cont = [(v >> (6 * i)) & 0x3F for i in range(nbytes - 1)][::-1]
+    lead_payload = v >> (6 * (nbytes - 1))
+    # lead byte: nbytes '1' bits, one '0' bit, then the payload high bits
+    lead = ((((1 << nbytes) - 1) << (8 - nbytes)) | lead_payload) & 0xFF
+    w.write(lead, 8)
+    for c in cont:
+        w.write(0x80 | c, 8)
+
+
+def _read_utf8_number(r: _FlacBitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise CodecError("FLAC: invalid UTF-8-coded number")
+    v = b0 & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise CodecError("FLAC: invalid UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _rice_cost(u: np.ndarray, k: int) -> int:
+    return int(np.sum(u >> k)) + len(u) * (k + 1)
+
+
+def _best_rice_param(u: np.ndarray) -> tuple[int, int]:
+    """(param, cost) minimizing the exact rice bit count, param 0..30."""
+    best_k, best_c = 0, _rice_cost(u, 0)
+    for k in range(1, 31):
+        c = _rice_cost(u, k)
+        if c < best_c:
+            best_k, best_c = k, c
+        elif c > best_c * 2:
+            break
+    return best_k, best_c
+
+
+def _write_residual(w: _FlacBitWriter, res: np.ndarray, block_size: int,
+                    order: int, partition_order: int) -> None:
+    n_part = 1 << partition_order
+    if block_size % n_part or block_size // n_part <= order:
+        partition_order, n_part = 0, 1
+    u = ((res << 1) ^ (res >> 63)).astype(np.int64)  # zigzag
+    bounds = [0]
+    for p in range(n_part):
+        cnt = block_size // n_part - (order if p == 0 else 0)
+        bounds.append(bounds[-1] + cnt)
+    params = [_best_rice_param(u[bounds[p]:bounds[p + 1]])[0]
+              for p in range(n_part)]
+    method = 0 if max(params) <= 14 else 1
+    pbits = 4 if method == 0 else 5
+    w.write(method, 2)
+    w.write(partition_order, 4)
+    for p in range(n_part):
+        k = params[p]
+        w.write(k, pbits)
+        for v in u[bounds[p]:bounds[p + 1]]:
+            w.write_unary(int(v) >> k)
+            w.write(int(v), k)
+
+
+def _residual_cost(res: np.ndarray, block_size: int, order: int,
+                   partition_order: int) -> int:
+    n_part = 1 << partition_order
+    if block_size % n_part or block_size // n_part <= order:
+        n_part = 1
+    u = ((res << 1) ^ (res >> 63)).astype(np.int64)
+    total = 6
+    pos = 0
+    for p in range(n_part):
+        cnt = block_size // n_part - (order if p == 0 else 0)
+        total += 5 + _best_rice_param(u[pos:pos + cnt])[1]
+        pos += cnt
+    return total
+
+
+def _quantize_lpc(x: np.ndarray, order: int, precision: int = 12):
+    """Levinson-Durbin LPC + coefficient quantization. Returns
+    (qcoefs, shift) or None when the block is degenerate."""
+    xf = x.astype(np.float64)
+    n = len(xf)
+    if n <= order + 1:
+        return None
+    ac = np.array([np.dot(xf[: n - i], xf[i:]) for i in range(order + 1)])
+    if ac[0] == 0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[1:i + 1][::-1])
+        if err == 0:
+            return None
+        k = acc / err
+        a[:i] = a[:i] - k * a[:i][::-1]
+        a[i] = k
+        err *= 1.0 - k * k
+    cmax = np.max(np.abs(a))
+    if not np.isfinite(cmax) or cmax == 0:
+        return None
+    shift = 14
+    while shift > 0 and cmax * (1 << shift) >= (1 << (precision - 1)) - 1:
+        shift -= 1
+    if shift == 0:
+        return None
+    q = np.round(a * (1 << shift)).astype(np.int64)
+    q = np.clip(q, -(1 << (precision - 1)), (1 << (precision - 1)) - 1)
+    if not q.any():
+        return None
+    return q, shift
+
+
+def _lpc_predict(x: np.ndarray, q: np.ndarray, shift: int) -> np.ndarray:
+    """Integer LPC prediction for samples [order:] from the TRUE samples —
+    exactly the decoder's recurrence, so residuals reconstruct losslessly."""
+    order = len(q)
+    acc = np.zeros(len(x) - order, dtype=np.int64)
+    for j in range(order):
+        acc += q[j] * x[order - 1 - j: len(x) - 1 - j]
+    return x[order:] - (acc >> shift)
+
+
+def _encode_subframe(w: _FlacBitWriter, x: np.ndarray, bps: int,
+                     partition_order: int, use_lpc: bool,
+                     lpc_order: int) -> None:
+    n = len(x)
+    if np.all(x == x[0]):
+        w.write(0, 1)
+        w.write(0b000000, 6)
+        w.write(0, 1)
+        w.write_signed(int(x[0]), bps)
+        return
+    # wasted bits: shared trailing zero bits across the block
+    nz = x[x != 0]
+    wasted = 0
+    if len(nz):
+        tz = np.min([int(v & -v).bit_length() - 1
+                     for v in np.abs(nz.astype(np.int64))])
+        wasted = int(tz)
+    eff = bps - wasted
+    xs = (x >> wasted).astype(np.int64)
+
+    cands = []  # (bits, kind, payload)
+    for order in range(0, min(4, n - 1) + 1):
+        res = xs.copy()
+        for _ in range(order):
+            res = np.diff(res)
+        bits = order * eff + _residual_cost(res, n, order, partition_order)
+        cands.append((bits, "fixed", (order, res)))
+    if use_lpc and lpc_order >= 1:
+        ql = _quantize_lpc(xs, min(lpc_order, n - 2))
+        if ql is not None:
+            q, shift = ql
+            res = _lpc_predict(xs, q, shift)
+            bits = (len(q) * eff + 4 + 5 + len(q) * 12
+                    + _residual_cost(res, n, len(q), partition_order))
+            cands.append((bits, "lpc", (q, shift, res)))
+    cands.append((n * eff, "verbatim", None))
+    _, kind, payload = min(cands, key=lambda c: c[0])
+
+    def wasted_field():
+        if wasted:
+            w.write(1, 1)
+            w.write_unary(wasted - 1)
+        else:
+            w.write(0, 1)
+
+    if kind == "verbatim":
+        w.write(0, 1)
+        w.write(0b000001, 6)
+        wasted_field()
+        for v in xs:
+            w.write_signed(int(v), eff)
+        return
+    if kind == "fixed":
+        order, res = payload
+        w.write(0, 1)
+        w.write(0b001000 | order, 6)
+        wasted_field()
+        for v in xs[:order]:
+            w.write_signed(int(v), eff)
+        _write_residual(w, res, n, order, partition_order)
+        return
+    q, shift, res = payload
+    order = len(q)
+    w.write(0, 1)
+    w.write(0b100000 | (order - 1), 6)
+    wasted_field()
+    for v in xs[:order]:
+        w.write_signed(int(v), eff)
+    w.write(12 - 1, 4)
+    w.write(shift, 5)
+    for c in q:
+        w.write_signed(int(c), 12)
+    _write_residual(w, res, n, order, partition_order)
+
+
+_FLAC_BPS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int, bits: int = 16,
+                block_size: int = 4096, stereo_mode: str = "auto",
+                partition_order: int = 0, use_lpc: bool = False,
+                lpc_order: int = 8) -> bytes:
+    """Encode integer samples ((n,) or (n, channels), signed, within
+    ``bits``) as a lossless FLAC stream. ``stereo_mode``: 'independent',
+    'left_side', 'right_side', 'mid_side' or 'auto' (cheapest estimate,
+    2-channel input only)."""
+    import hashlib
+
+    a = np.asarray(samples, dtype=np.int64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, n_ch = a.shape
+    if n == 0 or n_ch < 1 or n_ch > 8:
+        raise CodecError("FLAC: need 1..8 channels and at least 1 sample")
+    if bits not in _FLAC_BPS_CODE or bits % 8:
+        raise CodecError(f"unsupported FLAC bit depth {bits}")
+    lim = 1 << (bits - 1)
+    if a.min() < -lim or a.max() >= lim:
+        raise CodecError(f"samples exceed {bits}-bit signed range")
+    if n_ch != 2:
+        stereo_mode = "independent"
+
+    # STREAMINFO MD5: the unencoded audio, channel-interleaved,
+    # little-endian at the stream bit depth
+    width = bits // 8
+    if width in (1, 2, 4):
+        raw = np.ascontiguousarray(a).astype(f"<i{width}").tobytes()
+    else:  # 24-bit: pack 3-byte little-endian by dropping every 4th byte
+        b4 = np.ascontiguousarray(a).astype("<i4").tobytes()
+        raw = bytes(b4[i] for i in range(len(b4)) if i % 4 != 3)
+    md5_digest = hashlib.md5(raw).digest()
+
+    hdr = _FlacBitWriter()
+    hdr.write(block_size, 16)
+    hdr.write(block_size, 16)
+    hdr.write(0, 24)
+    hdr.write(0, 24)
+    hdr.write(sample_rate, 20)
+    hdr.write(n_ch - 1, 3)
+    hdr.write(bits - 1, 5)
+    hdr.write(n, 36)
+    streaminfo = hdr.data() + md5_digest
+
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last-metadata-block | STREAMINFO
+    out += len(streaminfo).to_bytes(3, "big")
+    out += streaminfo
+
+    rate_in_header = sample_rate < 65536
+    for fi, start in enumerate(range(0, n, block_size)):
+        blk = a[start:start + block_size]
+        bs = len(blk)
+        chans: list[np.ndarray] = [blk[:, c] for c in range(n_ch)]
+        bps_list = [bits] * n_ch
+        assignment = n_ch - 1
+        if n_ch == 2 and stereo_mode != "independent":
+            left, right = chans
+            side = left - right
+            mid = (left + right) >> 1
+            options = {
+                "left_side": (8, [left, side], [bits, bits + 1]),
+                "right_side": (9, [side, right], [bits + 1, bits]),
+                "mid_side": (10, [mid, side], [bits, bits + 1]),
+            }
+            if stereo_mode == "auto":
+                def est(cs):
+                    return sum(float(np.abs(np.diff(c)).mean() + 1)
+                               for c in cs)
+                options["independent"] = (1, [left, right], [bits, bits])
+                pick = min(options, key=lambda k: est(options[k][1]))
+            else:
+                pick = stereo_mode
+            assignment, chans, bps_list = options[pick]
+
+        w = _FlacBitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed-blocksize stream
+        w.write(0b0111, 4)  # 16-bit blocksize-1 follows
+        w.write(0b1101 if rate_in_header else 0b0000, 4)
+        w.write(assignment, 4)
+        w.write(_FLAC_BPS_CODE[bits], 3)
+        w.write(0, 1)
+        _utf8_number(w, fi)
+        w.write(bs - 1, 16)
+        if rate_in_header:
+            w.write(sample_rate, 16)
+        w.write(_crc8(w.data()), 8)
+        for ch, bps in zip(chans, bps_list):
+            _encode_subframe(w, ch.astype(np.int64), bps,
+                             partition_order, use_lpc, lpc_order)
+        w.align()
+        frame = w.data()
+        out += frame + _crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+def _read_residual(r: _FlacBitReader, block_size: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise CodecError(f"FLAC: reserved residual method {method}")
+    pbits = 4 if method == 0 else 5
+    esc = (1 << pbits) - 1
+    partition_order = r.read(4)
+    n_part = 1 << partition_order
+    if block_size % n_part or block_size // n_part <= order:
+        raise CodecError("FLAC: invalid partition order")
+    out = np.empty(block_size - order, dtype=np.int64)
+    pos = 0
+    for p in range(n_part):
+        cnt = block_size // n_part - (order if p == 0 else 0)
+        k = r.read(pbits)
+        if k == esc:
+            nb = r.read(5)
+            for i in range(cnt):
+                out[pos + i] = r.read_signed(nb) if nb else 0
+        else:
+            for i in range(cnt):
+                q = r.read_unary()
+                u = (q << k) | r.read(k)
+                out[pos + i] = (u >> 1) ^ -(u & 1)  # un-zigzag
+        pos += cnt
+    return out
+
+
+def _restore_fixed(warmup: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:
+    if order == 0:
+        return res.copy()
+    r = res
+    for j in range(order, 0, -1):
+        seed = np.diff(warmup, j - 1)[-1]
+        r = np.cumsum(np.concatenate([[seed], r]))[1:]
+    return np.concatenate([warmup, r])
+
+
+def _decode_subframe(r: _FlacBitReader, block_size: int, bps: int) -> np.ndarray:
+    if r.read(1):
+        raise CodecError("FLAC: subframe padding bit set")
+    t = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+    eff = bps - wasted
+    if t == 0b000000:
+        x = np.full(block_size, r.read_signed(eff), dtype=np.int64)
+    elif t == 0b000001:
+        x = np.array([r.read_signed(eff) for _ in range(block_size)],
+                     dtype=np.int64)
+    elif 0b001000 <= t <= 0b001100:
+        order = t & 0x07
+        warmup = np.array([r.read_signed(eff) for _ in range(order)],
+                          dtype=np.int64)
+        res = _read_residual(r, block_size, order)
+        x = _restore_fixed(warmup, res, order)
+    elif t & 0b100000:
+        order = (t & 0x1F) + 1
+        warmup = [r.read_signed(eff) for _ in range(order)]
+        precision = r.read(4) + 1
+        if precision == 16:
+            raise CodecError("FLAC: invalid LPC precision")
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise CodecError("FLAC: negative LPC shift")
+        coefs = [r.read_signed(precision) for _ in range(order)]
+        res = _read_residual(r, block_size, order)
+        x = np.empty(block_size, dtype=np.int64)
+        x[:order] = warmup
+        for i in range(order, block_size):
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * x[i - 1 - j]
+            x[i] = res[i - order] + (acc >> shift)
+    else:
+        raise CodecError(f"FLAC: reserved subframe type {t:06b}")
+    return x << wasted
+
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def decode_flac(blob: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream. Returns (samples, sample_rate): float64 array,
+    (n,) mono or (n, channels). ``verify`` checks header CRC-8, frame
+    CRC-16 and (when present) the STREAMINFO MD5 of the decoded audio."""
+    import hashlib
+
+    if blob[:4] != b"fLaC":
+        raise CodecError("not a FLAC stream (bad magic)")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(blob):
+            raise CodecError("FLAC: truncated metadata")
+        last = blob[pos] & 0x80
+        btype = blob[pos] & 0x7F
+        length = int.from_bytes(blob[pos + 1:pos + 4], "big")
+        body = blob[pos + 4:pos + 4 + length]
+        pos += 4 + length
+        if btype == 0:
+            streaminfo = body
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise CodecError("FLAC: missing STREAMINFO")
+    si = _FlacBitReader(streaminfo)
+    si.read(16)  # min blocksize
+    si.read(16)  # max blocksize
+    si.read(24)
+    si.read(24)
+    si_rate = si.read(20)
+    si_nch = si.read(3) + 1
+    si_bps = si.read(5) + 1
+    total = si.read(36)
+    si_md5 = streaminfo[18:34]
+
+    channels: list[list[np.ndarray]] = [[] for _ in range(si_nch)]
+    got = 0
+    while pos < len(blob) and (total == 0 or got < total):
+        frame_start = pos
+        r = _FlacBitReader(blob, pos)
+        if r.read(14) != 0b11111111111110:
+            raise CodecError("FLAC: lost frame sync")
+        r.read(1)
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        rate_code = r.read(4)
+        assignment = r.read(4)
+        bps_code = r.read(3)
+        r.read(1)
+        _read_utf8_number(r)
+        if bs_code == 0b0110:
+            bs = r.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = r.read(16) + 1
+        elif bs_code in _FLAC_BLOCKSIZES:
+            bs = _FLAC_BLOCKSIZES[bs_code]
+        else:
+            raise CodecError(f"FLAC: reserved blocksize code {bs_code}")
+        if rate_code == 0:
+            rate = si_rate
+        elif rate_code == 0b1100:
+            rate = r.read(8) * 1000
+        elif rate_code == 0b1101:
+            rate = r.read(16)
+        elif rate_code == 0b1110:
+            rate = r.read(16) * 10
+        elif rate_code in _FLAC_RATES:
+            rate = _FLAC_RATES[rate_code]
+        else:
+            raise CodecError("FLAC: invalid sample-rate code")
+        bps = si_bps if bps_code == 0 else _FLAC_BPS.get(bps_code)
+        if bps is None:
+            raise CodecError("FLAC: reserved sample-size code")
+        crc8 = r.read(8)
+        if verify and _crc8(blob[frame_start:r.bytepos - 1]) != crc8:
+            raise CodecError("FLAC: frame header CRC-8 mismatch")
+
+        if assignment <= 7:
+            n_ch = assignment + 1
+            subs = [_decode_subframe(r, bs, bps) for _ in range(n_ch)]
+            chans = subs
+        elif assignment in (8, 9, 10):
+            n_ch = 2
+            bps_pair = {8: (bps, bps + 1), 9: (bps + 1, bps),
+                        10: (bps, bps + 1)}[assignment]
+            s0 = _decode_subframe(r, bs, bps_pair[0])
+            s1 = _decode_subframe(r, bs, bps_pair[1])
+            if assignment == 8:      # left/side
+                chans = [s0, s0 - s1]
+            elif assignment == 9:    # side/right
+                chans = [s1 + s0, s1]
+            else:                    # mid/side
+                mid2 = (s0 << 1) | (s1 & 1)
+                chans = [(mid2 + s1) >> 1, (mid2 - s1) >> 1]
+        else:
+            raise CodecError("FLAC: reserved channel assignment")
+        if n_ch != si_nch:
+            raise CodecError("FLAC: frame/STREAMINFO channel mismatch")
+        r.align()
+        crc16 = r.read(16)
+        if verify and _crc16(blob[frame_start:r.bytepos - 2]) != crc16:
+            raise CodecError("FLAC: frame CRC-16 mismatch")
+        for c in range(si_nch):
+            channels[c].append(chans[c])
+        got += bs
+        pos = r.bytepos
+
+    full = [np.concatenate(ch) if ch else np.empty(0, dtype=np.int64)
+            for ch in channels]
+    if total:
+        full = [ch[:total] for ch in full]
+    if verify and si_md5 != b"\x00" * 16:
+        a = np.stack(full, axis=1)
+        width = si_bps // 8
+        if width in (1, 2, 4):
+            raw = np.ascontiguousarray(a).astype(f"<i{width}").tobytes()
+        else:
+            b4 = np.ascontiguousarray(a).astype("<i4").tobytes()
+            raw = bytes(b4[i] for i in range(len(b4)) if i % 4 != 3)
+        if hashlib.md5(raw).digest() != si_md5:
+            raise CodecError("FLAC: decoded stream fails STREAMINFO MD5")
+    out = np.stack(full, axis=1).astype(np.float64)
+    return (out[:, 0] if si_nch == 1 else out), int(rate)

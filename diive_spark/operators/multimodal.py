@@ -156,6 +156,12 @@ def synth_audio_table(spark, n_rows: int = 64, fmt: str = "fake-pcm16") -> DataF
             from diive_spark.functions.codecs import encode_wav
             rows.append((f"aud-{i:06d}", bytearray(encode_wav(wave, sr)),
                          "audio/wav", sr, n))
+        elif fmt == "flac":
+            from diive_spark.functions.codecs import encode_flac
+            rows.append((f"aud-{i:06d}",
+                         bytearray(encode_flac(
+                             wave.astype(np.int64), sr, use_lpc=True)),
+                         "audio/flac", sr, n))
         else:
             rows.append((f"aud-{i:06d}", bytearray(wave.tobytes()),
                          "audio/fake-pcm16", sr, n))
@@ -163,15 +169,23 @@ def synth_audio_table(spark, n_rows: int = 64, fmt: str = "fake-pcm16") -> DataF
 
 
 def _decode_audio_bytes(blob: bytes, media_type: str) -> np.ndarray:
-    """Audio codec seam: WAV decodes via the stdlib-only RIFF/PCM codec
-    (functions/codecs.py, multichannel averaged to mono); fake PCM decodes
-    with frombuffer; other formats raise until a codec library is
-    installed."""
+    """Audio codec seam: WAV (RIFF/PCM) and FLAC (the dominant lossless
+    speech-corpus format — LibriSpeech/MLS ship as FLAC) decode via the
+    stdlib-only codecs in functions/codecs.py (multichannel averaged to
+    mono); fake PCM decodes with frombuffer. Lossy formats (MP3/Vorbis/
+    Opus) still raise: their spec-tabulated filterbank windows are not
+    reproducible from first principles here, and a wrong table would be a
+    silently-wrong codec — install a codec library and extend this seam."""
     if media_type == "audio/fake-pcm16":
         return np.frombuffer(blob, dtype=np.int16).astype(np.float64)
     if media_type in ("audio/wav", "audio/x-wav") or bytes(blob[:4]) == b"RIFF":
         from diive_spark.functions.codecs import decode_wav
         x, _rate = decode_wav(bytes(blob))
+        return x if x.ndim == 1 else x.mean(axis=1)
+    if media_type in ("audio/flac", "audio/x-flac") \
+            or bytes(blob[:4]) == b"fLaC":
+        from diive_spark.functions.codecs import decode_flac
+        x, _rate = decode_flac(bytes(blob))
         return x if x.ndim == 1 else x.mean(axis=1)
     raise DecodeUnavailable(
         f"no decoder for {media_type!r} in this environment; "

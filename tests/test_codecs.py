@@ -244,3 +244,110 @@ def test_image_features_from_real_jpeg(spark):
         bands = np.array_split(px.astype(np.float32), 4, axis=0)
         want = np.array([b.mean() for b in bands])
         assert np.abs(np.asarray(row["feat"], dtype=float) - want).max() < 12.0
+
+
+# --------------------------------------------------------------------------- #
+# FLAC (lossless)
+# --------------------------------------------------------------------------- #
+def _tone(n=9000, sr=16000, seed=5, amp=3000, noise=150):
+    rng = np.random.default_rng(seed)
+    x = amp * np.sin(2 * np.pi * 330 * np.arange(n) / sr) \
+        + rng.normal(0, noise, n)
+    return x.astype(np.int64)
+
+
+@pytest.mark.parametrize("use_lpc,partition_order,block_size", [
+    (False, 0, 4096),   # fixed predictors, single partition
+    (False, 2, 4096),   # partitioned rice (decoder partition loop)
+    (True, 0, 4096),    # LPC subframes
+    (True, 3, 1024),    # LPC + partitions + many frames + partial last frame
+])
+def test_flac_roundtrip_mono_is_lossless(use_lpc, partition_order, block_size):
+    x = _tone()
+    blob = codecs.encode_flac(x, 16000, use_lpc=use_lpc,
+                              partition_order=partition_order,
+                              block_size=block_size)
+    y, rate = codecs.decode_flac(blob)
+    assert rate == 16000
+    assert np.array_equal(y.astype(np.int64), x)      # EXACT: lossless
+    assert len(blob) < 2 * len(x)                     # actually compresses
+
+
+@pytest.mark.parametrize("mode", ["independent", "left_side", "right_side",
+                                  "mid_side", "auto"])
+def test_flac_stereo_decorrelation_roundtrip(mode):
+    x = _tone()
+    rng = np.random.default_rng(8)
+    st = np.stack([x, (x * 0.7 + rng.normal(0, 40, len(x))).astype(np.int64)],
+                  axis=1)
+    y, rate = codecs.decode_flac(
+        codecs.encode_flac(st, 44100, stereo_mode=mode))
+    assert rate == 44100
+    assert np.array_equal(y.astype(np.int64), st)
+
+
+@pytest.mark.parametrize("bits,scale", [(8, 1 / 64), (16, 1), (24, 180)])
+def test_flac_bit_depths(bits, scale):
+    x = (_tone() * scale).astype(np.int64)
+    y, _ = codecs.decode_flac(codecs.encode_flac(x, 48000, bits=bits))
+    assert np.array_equal(y.astype(np.int64), x)
+
+
+def test_flac_subframe_paths():
+    # constant
+    c = np.full(5000, -7, dtype=np.int64)
+    assert np.array_equal(
+        codecs.decode_flac(codecs.encode_flac(c, 8000))[0].astype(np.int64), c)
+    # wasted bits: every sample a multiple of 8 -> 3 wasted bits
+    w = (_tone() // 8) * 8
+    assert np.array_equal(
+        codecs.decode_flac(codecs.encode_flac(w, 8000))[0].astype(np.int64), w)
+    # full-range white noise defeats prediction -> verbatim fallback,
+    # still exact
+    rng = np.random.default_rng(1)
+    v = rng.integers(-32768, 32768, 4000, dtype=np.int64)
+    blob = codecs.encode_flac(v, 8000)
+    assert np.array_equal(
+        codecs.decode_flac(blob)[0].astype(np.int64), v)
+
+
+def test_flac_structural_conformance():
+    x = _tone(5000)
+    blob = codecs.encode_flac(x, 16000)
+    assert blob[:4] == b"fLaC"
+    assert blob[4] == 0x80                      # last-block | STREAMINFO
+    assert int.from_bytes(blob[5:8], "big") == 34
+    # STREAMINFO: fixed 4096 blocksize, 20-bit rate, mono, 16-bit
+    assert int.from_bytes(blob[8:10], "big") == 4096
+    rate20 = int.from_bytes(blob[18:21], "big") >> 4
+    assert rate20 == 16000
+    # first frame: 14-bit sync 0b11111111111110 + reserved 0 + fixed 0
+    assert blob[42] == 0xFF and (blob[43] & 0xFC) == 0xF8
+
+
+def test_flac_integrity_checks():
+    x = _tone(5000)
+    blob = bytearray(codecs.encode_flac(x, 16000))
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_flac(b"fLaX" + bytes(blob[4:]))
+    # flip one payload byte: some check trips (CRC-8/16, MD5 or desync)
+    blob[len(blob) // 2] ^= 0x40
+    with pytest.raises(codecs.CodecError):
+        codecs.decode_flac(bytes(blob))
+
+
+def test_audio_features_from_real_flac(spark):
+    df = multimodal.synth_audio_table(spark, n_rows=8, fmt="flac")
+    out = multimodal.extract_audio_features(df).toPandas().set_index("doc_id")
+    for i in range(8):
+        rng = np.random.default_rng(zlib.crc32(f"aud-{i}".encode()) ^ 7)
+        sr = int(rng.choice([8000, 16000]))
+        n = int(rng.integers(sr // 4, sr))
+        t = np.arange(n, dtype=np.float64)
+        f0 = float(rng.uniform(100, 1000))
+        wave = (3000 * np.sin(2 * np.pi * f0 * t / sr)
+                + rng.normal(0, 200, n)).astype(np.int16).astype(np.float64)
+        row = out.loc[f"aud-{i:06d}"]
+        assert row["duration_sec"] == pytest.approx(n / sr)
+        assert row["rms"] == pytest.approx(float(np.sqrt(np.mean(wave**2))))
+        assert row["peak"] == pytest.approx(float(np.abs(wave).max()))
