@@ -586,26 +586,31 @@ def q_quadrature_cumulative(spark, sf_dir):
     """Uncertainty-propagation cumulative sqrt(cumsum(x^2)) per event_type
     (SURVEY §2.4; diive CLAUDE.md uncertainty idiom), event_id tie-break.
 
-    The gate feeds INTEGER centi-units (round(value*100)) so every term
-    and every partial sum of squares is an exactly-representable double
-    (≤ 8e12 « 2^53): the running sum is then bit-identical regardless of
-    each engine's window-sum association (Spark sequential vs DuckDB
-    segment tree) — at sf0.1 the raw-double version flipped one 6th
-    decimal in ~96k cumulative rows."""
+    The gate is integer-exact END TO END (the sf1 rehearsal lesson): it
+    feeds INTEGER centi-units (round(value*100)) so every term and every
+    partial sum of squares is an exactly-representable double (≤ 8e12 «
+    2^53) and the running sum is bit-identical regardless of each
+    engine's window-sum association (Spark sequential vs DuckDB segment
+    tree) — and it EMITS the integer-rounded sqrt as BIGINT: a 6-decimal
+    rounding of the ~1e6-magnitude sqrt sat within a few ULPs of
+    half-boundaries, where Spark's BigDecimal HALF_UP and DuckDB's
+    scaled-multiply round() disagree (9 flips in 1e6 rows at sf1);
+    integer rounding of the IEEE-exact sqrt has no such zone."""
     from diive_spark.operators import features
     ev = _t(spark, sf_dir, "events").withColumn(
         "value", F.round(F.col("value") * 100, 0))
     out = features.quadrature_cumulative(ev, ["event_type"], "ts", "value",
                                          tiebreak_cols=["event_id"])
     return out.select("event_id", "event_type",
-                      _r6("cum_quadrature").alias("cumq_v"))
+                      F.round(F.col("cum_quadrature"), 0).cast("long")
+                      .alias("cumq_v"))
 
 
 SQL_QUADRATURE_CUMULATIVE = """
 SELECT event_id, event_type,
-       round(1e-9 + sqrt(sum(round(value * 100) * round(value * 100)) OVER (
+       CAST(round(sqrt(sum(round(value * 100) * round(value * 100)) OVER (
            PARTITION BY event_type ORDER BY ts, event_id
-           ROWS UNBOUNDED PRECEDING)), 6) AS cumq_v
+           ROWS UNBOUNDED PRECEDING))) AS BIGINT) AS cumq_v
 FROM events
 """
 

@@ -374,20 +374,27 @@ FROM b GROUP BY 1, 2
 
 
 def q_doy_cumulative(spark, sf_dir):
+    """Integer-exact gate feed (sf1 rehearsal lesson, same pattern as the
+    quadrature gate): daily sums of centi-unit integers are exact doubles,
+    so the per-year running sum is association-independent and the BIGINT
+    output is bit-identical across engines at any scale."""
     from diive_spark.operators import features
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 100, 0))
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.sum("value").alias("v"))
     out = features.doy_cumulatives_per_year(daily, "d", "v")
-    return out.select("year", "doy", _r6("cumsum").alias("cum_v"))
+    return out.select("year", "doy",
+                      F.col("cumsum").cast("long").alias("cum_v"))
 
 
 SQL_DOY_CUMULATIVE = """
 WITH daily AS (
-  SELECT CAST(ts AS DATE) AS d, sum(value) AS v FROM events GROUP BY 1
+  SELECT CAST(ts AS DATE) AS d, sum(round(value * 100)) AS v
+  FROM events GROUP BY 1
 )
 SELECT year(d) AS year, dayofyear(d) AS doy,
-       round(1e-9 + sum(v) OVER (PARTITION BY year(d) ORDER BY dayofyear(d)
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_v
+       CAST(sum(v) OVER (PARTITION BY year(d) ORDER BY dayofyear(d)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_v
 FROM daily
 """
 
