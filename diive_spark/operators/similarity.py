@@ -211,7 +211,8 @@ def hyperplane_buckets(
 
 def cosine_lsh_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.35, n_planes: int = 4, n_tables: int = 8, dim: int = 64,
+    threshold: float = 0.35, n_planes: int | str = 4, n_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate near-dup pairs: candidates share an LSH bucket in any of
     n_tables hyperplane tables; verified with exact cosine. No O(n^2) join.
@@ -220,12 +221,31 @@ def cosine_lsh_pairs(
     recall per table is (1 - theta/pi)^n_planes. The defaults (4 planes x 8
     tables) give ~0.7 recall at cos 0.35 and ~1.0 at true near-dup levels
     (cos >= 0.9); raise n_planes for tighter thresholds to shrink buckets.
+    ``n_planes='auto'`` sizes planes to the corpus — ceil(log2(n / 1024)),
+    min 4 — so expected bucket occupancy (and with it per-table candidate
+    count) stays bounded as n grows; pair it with a higher n_tables to keep
+    recall.
+
+    SCALE REGIME (measured, sf1 rehearsal): hyperplane LSH is subquadratic
+    only when the threshold is high enough that near pairs collide much
+    more often than random ones (cos >= ~0.8, per-bit prob >= 0.80 vs 0.5).
+    At loose thresholds like 0.35 (per-bit 0.61) the LSH gap ratio is close
+    to 1 and NO plane/table setting is subquadratic under a fixed
+    miss-probability budget: a pinned 2-plane x 32-table plan that is exact
+    and instant at 2k vectors degenerated to ~1.6e9 in-bucket candidate
+    pairs (>45 min) at 20k vectors. Loose-threshold similarity sweeps
+    should use cosine_topk_ivf (bounded probes) instead; keep bucket-join
+    LSH for true near-dup thresholds.
 
     Single-pass candidate generation: ALL table buckets are computed in one
     projection, posexploded to (table, bucket) rows, and candidates come from
     ONE self-join on (table, bucket) — one scan and one candidate Exchange
     instead of n_tables scans + an n_tables-way union (the round-2 plan)."""
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    if n_planes == "auto":
+        import math
+        n = df.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 2) / 1024)) + 1)
     buckets = F.array(*[
         _bucket_expr(F.col("v"), n_planes, seed=42 + 97 * t, dim=dim)
         for t in range(n_tables)
