@@ -1080,10 +1080,17 @@ rl AS (
   FROM r
 ),
 shifts AS (SELECT unnest(generate_series(-12, 12)) AS shift),
-cv AS (
-  SELECT a.event_type, s.shift, covar_samp(a.ref, b.lagv) AS cov
+-- probe key materialized BEFORE the join: with `b.rn = a.rn + s.shift`
+-- written inline across three tables the planner loses rn as a hash key
+-- and probes per event_type only — quadratic per key (measured: sf1's
+-- 200k-row keys ran >15 min; this form runs in seconds)
+probe AS (
+  SELECT a.event_type, s.shift, a.rn + s.shift AS brn, a.ref
   FROM rl a JOIN shifts s ON TRUE
-  JOIN rl b ON b.event_type = a.event_type AND b.rn = a.rn + s.shift
+),
+cv AS (
+  SELECT p.event_type, p.shift, covar_samp(p.ref, b.lagv) AS cov
+  FROM probe p JOIN rl b ON b.event_type = p.event_type AND b.rn = p.brn
   GROUP BY 1, 2
 ),
 mx AS (
