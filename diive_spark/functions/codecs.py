@@ -968,7 +968,7 @@ def _quantize_lpc(x: np.ndarray, order: int, precision: int = 12):
     (qcoefs, shift) or None when the block is degenerate."""
     xf = x.astype(np.float64)
     n = len(xf)
-    if n <= order + 1:
+    if order < 1 or n <= order + 1:
         return None
     ac = np.array([np.dot(xf[: n - i], xf[i:]) for i in range(order + 1)])
     if ac[0] == 0:

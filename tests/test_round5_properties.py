@@ -129,3 +129,44 @@ def test_circular_mean_rotation_equivariance(angles, rot):
     ph = np.radians(a)
     if np.hypot(np.sin(ph).mean(), np.cos(ph).mean()) > 1e-3:
         assert min(diff, 360 - diff) < 1e-6
+
+
+# --------------------------------------------------------------------------- #
+# FLAC codec properties (round 6): lossless on ARBITRARY well-formed input
+# --------------------------------------------------------------------------- #
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=1, max_size=3000),
+       st.sampled_from([192, 256, 1024, 4096]),
+       st.booleans(),
+       st.sampled_from([0, 2]))
+def test_flac_roundtrip_arbitrary_mono(samples, block_size, use_lpc,
+                                       partition_order):
+    """Any int16 sequence (any length incl. < one block, extremes, runs)
+    survives encode->decode EXACTLY at any block size / predictor mix."""
+    from diive_spark.functions.codecs import decode_flac, encode_flac
+
+    x = np.asarray(samples, dtype=np.int64)
+    blob = encode_flac(x, 16000, block_size=block_size, use_lpc=use_lpc,
+                       partition_order=partition_order)
+    y, rate = decode_flac(blob)
+    assert rate == 16000
+    assert np.array_equal(np.asarray(y, dtype=np.int64), x)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=1, max_value=500),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=0, max_value=2 ** 31))
+def test_flac_roundtrip_multichannel(n, n_ch, seed):
+    """1-4 independent channels round-trip exactly (stereo decorrelation
+    engages only at 2 channels; others stay independent)."""
+    from diive_spark.functions.codecs import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-2000, 2000, size=(n, n_ch)).astype(np.int64)
+    y, _ = decode_flac(encode_flac(a, 8000, stereo_mode="auto"))
+    y = np.asarray(y, dtype=np.int64)
+    if n_ch == 1:
+        y = y[:, None]
+    assert np.array_equal(y, a)
