@@ -351,3 +351,13 @@ def test_audio_features_from_real_flac(spark):
         assert row["duration_sec"] == pytest.approx(n / sr)
         assert row["rms"] == pytest.approx(float(np.sqrt(np.mean(wave**2))))
         assert row["peak"] == pytest.approx(float(np.abs(wave).max()))
+
+
+def test_flac_crc_primitives_match_public_check_values():
+    """The FLAC header/frame CRCs against the public CRC catalog check
+    values (input b"123456789"): poly 0x07 init 0 non-reflected =
+    CRC-8/SMBUS -> 0xF4; poly 0x8005 init 0 non-reflected =
+    CRC-16/UMTS -> 0xFEE8. External evidence (not a self-round-trip) that
+    the integrity primitives are the spec's."""
+    assert codecs._crc8(b"123456789") == 0xF4
+    assert codecs._crc16(b"123456789") == 0xFEE8
