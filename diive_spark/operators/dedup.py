@@ -438,3 +438,50 @@ def dedup_clusters(
         .withColumn("is_canonical", F.col(id_col) == cluster)
         .drop("component")
     )
+
+
+def simhash_expr(text_col: Column, n: int = 3, bits: int = 32) -> Column:
+    """SimHash as ONE pure column expression — no explode, no groupBy.
+
+    Same math as :func:`simhash` (md5-derived h32 per word n-gram, per-bit
+    +-1 sums, bit set where the sum is positive) but folded over the
+    in-row shingle array with higher-order functions, so it composes into
+    ANY stage — including Structured Streaming, where the explode+groupBy
+    form would be a stateful aggregation. Documents with fewer than ``n``
+    words get signature 0 (the batch operator drops them instead — its
+    groupBy sees no shingle rows); tests pin value parity on all other
+    rows.
+
+    Cost: O(shingles x bits) JVM expression work per row, no shuffle at
+    all — the form a 100 TB ingest guard wants."""
+    words = F.split(text_col, " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", *[
+                F.element_at(words, (i + j + 1).cast("int")) for j in range(n)
+            ]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(F.array_distinct(grams), h32)
+    zero = F.array(*[F.lit(0).cast("bigint") for _ in range(bits)])
+    counts = F.aggregate(
+        hashes, zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+                for i in range(bits)
+            ]),
+            lambda a, b: a + b,
+        ),
+    )
+    sig = None
+    for i in range(bits):
+        contrib = F.when(F.element_at(counts, i + 1) > 0,
+                         F.lit(1 << i).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+        sig = contrib if sig is None else sig + contrib
+    return sig

@@ -16,6 +16,7 @@ rollup_stream vs batch rollup).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def streaming_dedup(
@@ -36,3 +37,32 @@ def streaming_dedup(
         .dropDuplicatesWithinWatermark(key_cols)
     )
     return stream
+
+
+def streaming_simhash_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    ts_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    bits: int = 32,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-dup ingest guard: per-document SimHash computed as a
+    single stateless column expression (dedup.simhash_expr — no shuffle,
+    no streaming aggregation), then first-arrival-wins dedup on the
+    signature with watermark-bounded state. Catches exact duplicates and
+    the near-identical rewrites whose small edits flip no signature bit —
+    the cheap in-stream tier of the dedup stack; the banded-hamming /
+    MinHash-LSH batch passes remain the full near-dup sweep.
+
+    Returns a streaming DataFrame with a ``simhash`` column appended."""
+    from diive_spark.operators.dedup import simhash_expr
+
+    return (
+        spark.readStream.schema(schema).parquet(source_dir)
+        .withColumn("simhash", simhash_expr(F.col(text_col), n=n, bits=bits))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["simhash"])
+    )

@@ -80,13 +80,15 @@ def streaming_rollup(
 
 def run_available_now(
     streaming_df: DataFrame, checkpoint_dir: str, query_name: str = "tier0_stream",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drain everything currently in the source into an in-memory table and
-    return it as a batch DataFrame (test/bootstrap path)."""
+    return it as a batch DataFrame (test/bootstrap path). ``output_mode``
+    must be "append" for non-aggregating streams (e.g. dedup guards)."""
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

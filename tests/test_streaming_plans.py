@@ -153,3 +153,78 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     got = pd.concat(out)
     assert len(got) == 100
     assert sorted(got["doc_id"]) == list(range(100))
+
+
+def test_simhash_expr_matches_batch_operator(spark):
+    """The stateless expression form of SimHash (dedup.simhash_expr) equals
+    the explode+groupBy batch operator value-for-value on every document
+    with >= n words (the batch form drops shorter docs; the expression
+    form gives them signature 0)."""
+    from diive_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expr = docs.select("doc_id", dedup.simhash_expr(F.col("text")).alias("sh")) \
+        .toPandas().set_index("doc_id")["sh"]
+    batch = dedup.simhash(docs, "doc_id").toPandas() \
+        .set_index("doc_id")["simhash"]
+    assert len(batch) > 0
+    for doc_id, want in batch.items():
+        assert expr.loc[doc_id] == want, doc_id
+    # docs absent from the batch output (< n words) get signature 0
+    for doc_id in set(expr.index) - set(batch.index):
+        assert expr.loc[doc_id] == 0
+
+
+def test_streaming_simhash_dedup_drops_near_identical(spark, tmp_path):
+    """Streaming near-dup ingest guard: exact duplicates AND a one-word
+    rewrite of a long document (signature-identical under SimHash) are
+    dropped; genuinely different documents all survive. Output equals the
+    batch count of distinct signatures."""
+    import pandas as pd
+
+    from diive_spark.operators import dedup
+    from diive_spark.streaming import dedup_stream, rollup_stream
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    base = " ".join(rng.choice(vocab, 200))
+    rewrite = base.split(" ")
+    rewrite[57] = "CHANGED"          # one token of 200 -> few/no bits flip
+    rows = [
+        ("d1", base, "2024-01-01 00:00:05"),
+        ("d2", base, "2024-01-01 00:00:10"),             # exact dup
+        ("d3", " ".join(rewrite), "2024-01-01 00:00:15"),  # near-identical
+        ("d4", " ".join(rng.choice(vocab, 200)), "2024-01-01 00:00:20"),
+        ("d5", " ".join(rng.choice(vocab, 200)), "2024-01-01 00:00:25"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    batch_sigs = spark.createDataFrame(pdf).select(
+        dedup.simhash_expr(F.col("text")).alias("sh")).toPandas()["sh"]
+    n_distinct = batch_sigs.nunique()
+
+    stream = dedup_stream.streaming_simhash_dedup(
+        spark, src, "doc_id string, text string, ts timestamp", "ts")
+    got = rollup_stream.run_available_now(
+        stream, ckpt, query_name="simhash_stream", output_mode="append").toPandas()
+    # Deterministic fixture: the one-word rewrite flips no signature bit,
+    # so d1/d2/d3 collapse to one group -> 3 distinct signatures total.
+    assert n_distinct == 3
+    # Exactly ONE survivor per signature group. (Within a single
+    # availableNow micro-batch the survivor is partition-order arbitrary,
+    # so we assert group cardinality, not which doc won.)
+    assert len(got) == n_distinct
+    groups = spark.createDataFrame(pdf).select(
+        "doc_id", dedup.simhash_expr(F.col("text")).alias("sh")).toPandas()
+    survivors = set(got["doc_id"])
+    for _, grp in groups.groupby("sh"):
+        assert len(survivors & set(grp["doc_id"])) == 1, grp
+    # the near-identical rewrite really is signature-identical here, so
+    # d1/d2/d3 form ONE group: two of the three were dropped in-stream
+    assert len(survivors & {"d1", "d2", "d3"}) == 1
+    # genuinely different documents all survive
+    assert {"d4", "d5"} <= survivors
