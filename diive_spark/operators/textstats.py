@@ -104,6 +104,78 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", fp)
 
 
+def _max_run_expr(arr: Column) -> Column:
+    """Longest run of consecutive equal elements in ``arr`` — one fold, no
+    shuffle. acc = (prev, current_run, best_run)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(arr, zero, step, lambda acc: acc["best"])
+
+
+def _grams_expr(words: Column, n: int) -> Column:
+    """Word n-grams of a split array (WITH multiplicity, unlike the dedup
+    shingle path) — empty array when the doc has fewer than ``n`` words."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[
+                F.element_at(words, (i + j).cast("int")) for j in range(n)
+            ]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document repetition signals (cf. Rae et al. 2021,
+    appendix repetition filters; public recipe), each a pure column
+    expression — no explode, no shuffle, O(words log words) per row:
+
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: fraction of word n-gram
+      occurrences that are repeats of an earlier occurrence
+      (1 - distinct/total).
+    - ``top_2gram_frac``: share of all 2-gram occurrences taken by the
+      single most frequent 2-gram (run-length max over the sorted grams).
+    - ``uniq_word_frac``: type-token ratio (distinct words / words).
+    - ``max_word_run``: longest run of the SAME word repeated consecutively
+      ('batch batch batch' -> 3).
+
+    At 100 TB this is the cheap map-side tier of corpus filtering: every
+    signal rides the same scan, nothing leaves the row."""
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words).cast("bigint")
+    g2, g3 = _grams_expr(words, 2), _grams_expr(words, 3)
+    n2, n3 = F.size(g2).cast("bigint"), F.size(g3).cast("bigint")
+
+    def dup_frac(grams, total):
+        return F.when(
+            total > 0,
+            F.round((total - F.size(F.array_distinct(grams))) / total + F.lit(1e-9), 6),
+        )
+
+    top2 = F.when(n2 > 0, F.round(_max_run_expr(F.array_sort(g2)) / n2 + F.lit(1e-9), 6))
+    return (
+        df.withColumn("dup_2gram_frac", dup_frac(g2, n2))
+        .withColumn("dup_3gram_frac", dup_frac(g3, n3))
+        .withColumn("top_2gram_frac", top2)
+        .withColumn("uniq_word_frac",
+                    F.round(F.size(F.array_distinct(words)) / n_words + F.lit(1e-9), 6))
+        .withColumn("max_word_run", _max_run_expr(words))
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish subword estimate: ceil(chars/3.4)
     bounded below by word count (the usual chars-per-token heuristic for

@@ -76,17 +76,40 @@ WHERE inter * 1.0 / (s1.n_sh + s2.n_sh - inter) >= 0.02
 
 
 def q_text_quality(spark, sf_dir):
+    """Union gate, two variants: 'base' = length/stopword quality stats;
+    'repetition' = the Gopher-style repetition filters (duplicate n-gram
+    fractions, top-2-gram share, type-token ratio, longest same-word run —
+    textstats.repetition_stats). Both are pure column expressions riding
+    one scan; every variant is fully value-oracled."""
     from diive_spark.operators import textstats
     docs = _t(spark, sf_dir, "documents")
-    return textstats.add_text_stats(docs).select(
-        "doc_id", "n_words", "avg_word_len", "stopword_ratio", "quality_score"
+    _rep_null = [F.lit(None).cast("double").alias(c) for c in (
+        "dup_2gram_frac", "dup_3gram_frac", "top_2gram_frac", "uniq_word_frac")]
+    a = textstats.add_text_stats(docs).select(
+        F.lit("base").alias("variant"),
+        "doc_id", "n_words", "avg_word_len", "stopword_ratio", "quality_score",
+        *_rep_null, F.lit(None).cast("bigint").alias("max_word_run"),
     )
+    b = textstats.repetition_stats(docs).select(
+        F.lit("repetition").alias("variant"),
+        "doc_id", F.lit(None).cast("bigint").alias("n_words"),
+        F.lit(None).cast("double").alias("avg_word_len"),
+        F.lit(None).cast("double").alias("stopword_ratio"),
+        F.lit(None).cast("double").alias("quality_score"),
+        "dup_2gram_frac", "dup_3gram_frac", "top_2gram_frac",
+        "uniq_word_frac", "max_word_run",
+    )
+    return a.unionByName(b)
 
 
 _STOP_SQL = " + ".join(
     f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
     for w in ["the", "a", "of", "and", "to", "in", "is", "it"]
 )
+_REP_NULLS_BASE = """CAST(NULL AS DOUBLE) AS dup_2gram_frac,
+       CAST(NULL AS DOUBLE) AS dup_3gram_frac, CAST(NULL AS DOUBLE) AS top_2gram_frac,
+       CAST(NULL AS DOUBLE) AS uniq_word_frac, CAST(NULL AS BIGINT) AS max_word_run"""
+
 SQL_TEXT_QUALITY = f"""
 WITH b AS (
   SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS p,
@@ -94,13 +117,52 @@ WITH b AS (
          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words
   FROM documents
 ),
-s AS (SELECT doc_id, n_chars_c, n_words, {_STOP_SQL} AS stop_hits FROM b)
-SELECT doc_id, n_words,
+s AS (SELECT doc_id, n_chars_c, n_words, {_STOP_SQL} AS stop_hits FROM b),
+toks AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+w AS (
+  SELECT doc_id, i, words[i] AS word
+  FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) g
+  WHERE i <= len(words)
+),
+g2 AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] AS gram
+  FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) g
+  WHERE i + 1 <= len(words)
+),
+g3 AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+  FROM toks, (SELECT unnest(generate_series(1, 2000)) AS i) g
+  WHERE i + 2 <= len(words)
+),
+a2 AS (SELECT doc_id, count(*) AS n, count(DISTINCT gram) AS d FROM g2 GROUP BY 1),
+a3 AS (SELECT doc_id, count(*) AS n, count(DISTINCT gram) AS d FROM g3 GROUP BY 1),
+t2 AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM
+        (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+uw AS (SELECT doc_id, count(DISTINCT word) AS d, count(*) AS n FROM w GROUP BY 1),
+runs AS (
+  SELECT doc_id, word, i - row_number() OVER (PARTITION BY doc_id, word ORDER BY i) AS grp
+  FROM w
+),
+mr AS (SELECT doc_id, max(c) AS max_run FROM
+        (SELECT doc_id, word, grp, count(*) AS c FROM runs GROUP BY 1, 2, 3) GROUP BY 1)
+SELECT 'base' AS variant, doc_id, n_words,
        round(1e-9 + (n_chars_c - (n_words - 1)) * 1.0 / n_words, 6) AS avg_word_len,
        round(1e-9 + stop_hits * 1.0 / n_words, 6) AS stopword_ratio,
        round(1e-9 + (least(n_words / 50.0, 1.0) + least(stop_hits * 1.0 / n_words * 5.0, 1.0)) / 2.0, 6)
-         AS quality_score
+         AS quality_score,
+       {_REP_NULLS_BASE}
 FROM s
+UNION ALL
+SELECT 'repetition' AS variant, uw.doc_id,
+       CAST(NULL AS BIGINT) AS n_words, CAST(NULL AS DOUBLE) AS avg_word_len,
+       CAST(NULL AS DOUBLE) AS stopword_ratio, CAST(NULL AS DOUBLE) AS quality_score,
+       round(1e-9 + (a2.n - a2.d) * 1.0 / a2.n, 6) AS dup_2gram_frac,
+       round(1e-9 + (a3.n - a3.d) * 1.0 / a3.n, 6) AS dup_3gram_frac,
+       round(1e-9 + t2.topc * 1.0 / t2.tot, 6) AS top_2gram_frac,
+       round(1e-9 + uw.d * 1.0 / uw.n, 6) AS uniq_word_frac,
+       CAST(mr.max_run AS BIGINT) AS max_word_run
+FROM uw LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+LEFT JOIN t2 USING (doc_id) LEFT JOIN mr USING (doc_id)
 """
 
 

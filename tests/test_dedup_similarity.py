@@ -106,6 +106,32 @@ def test_text_stats_and_langid_deterministic(spark, docs):
     assert fp["fp"].nunique() == len(fp)  # distinct texts -> distinct prints
 
 
+def test_repetition_stats_hand_computed(spark):
+    """Gopher-style repetition signals on hand-computable fixtures:
+    'a b a b a' -> 2-grams [ab, ba, ab, ba] = 2 dup of 4; 3-grams
+    [aba, bab, aba] = 1 dup of 3; top 2-gram 'a b' 2/4; 3 distinct of
+    5 words; max run 1. 'x x x y' -> run of 3. One-word docs get NULL
+    n-gram fractions, not a crash."""
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": ["a b a b a", "x x x y", "solo"]})
+    out = textstats.repetition_stats(spark.createDataFrame(pdf)) \
+        .toPandas().set_index("doc_id")
+    r1 = out.loc[1]
+    np.testing.assert_allclose(r1["dup_2gram_frac"], 2 / 4, atol=1e-6)
+    np.testing.assert_allclose(r1["dup_3gram_frac"], 1 / 3, atol=1e-6)
+    np.testing.assert_allclose(r1["top_2gram_frac"], 2 / 4, atol=1e-6)
+    np.testing.assert_allclose(r1["uniq_word_frac"], 2 / 5, atol=1e-6)
+    assert r1["max_word_run"] == 1
+    r2 = out.loc[2]
+    assert r2["max_word_run"] == 3
+    np.testing.assert_allclose(r2["uniq_word_frac"], 2 / 4, atol=1e-6)
+    np.testing.assert_allclose(r2["dup_2gram_frac"], 1 / 3, atol=1e-6)  # xx xx xy
+    r3 = out.loc[3]
+    assert pd.isna(r3["dup_2gram_frac"]) and pd.isna(r3["dup_3gram_frac"])
+    assert pd.isna(r3["top_2gram_frac"])
+    assert r3["uniq_word_frac"] == 1.0 and r3["max_word_run"] == 1
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media_table(spark, 32)
     feats = multimodal.extract_image_features(media, feat_dim=8).toPandas()
