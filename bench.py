@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from diive_spark import queries as qcat  # noqa: E402
 from diive_spark import synth  # noqa: E402
 from diive_spark.compression import gorilla  # noqa: E402
-from diive_spark.operators import dedup, gapfill, grid, mlfill, resample  # noqa: E402
+from diive_spark.operators import bpe, dedup, gapfill, grid, mlfill, resample  # noqa: E402
 from diive_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,6 +138,16 @@ def run_suite(spark) -> tuple[dict, dict]:
     n_clustered = dedup.connected_components(pairs).count()
     timings["dedup_cluster_cc"] = round(time.time() - t0, 3)
     extras["dedup_clustered_ids"] = n_clustered
+
+    # --- BPE tokenize the corpus (train once, Arrow-batched encode) ---------
+    t0 = time.time()
+    tok = bpe.train_bpe(docs, num_merges=200)
+    tt = bpe.encode_to_token_table(docs, tok)
+    n_bpe_tokens = tt.selectExpr("sum(n_tok) s").collect()[0]["s"]
+    el = time.time() - t0
+    timings["bpe_tokenize_docs"] = round(el, 3)
+    extras["bpe_tokens_per_sec"] = round(n_bpe_tokens / el)
+    extras["bpe_vocab_size"] = len(tok.vocab)
 
     packed.unpersist()
     t1m.unpersist()
