@@ -176,6 +176,36 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style corpus-LM quality score (public recipe: Wenzek et al.
+    2020 score web pages by LM perplexity; the distributable core is the
+    unigram version): train p(w) = count(w)/total over the WHOLE corpus
+    (one explode + one groupBy — the only corpus-sized step), then score
+    each document by its mean token log-probability. Low scores = texts
+    unlike the corpus (boilerplate, noise); high = head-heavy repetition.
+
+    The word-probability table is corpus-vocabulary-sized and joined back
+    with a broadcast hint — at 100 TB the vocab table is MBs while the
+    corpus is TBs, so the scoring pass is a map-side join riding the same
+    scan as the other quality signals. Returns (id_col, n_words,
+    unigram_lp) with unigram_lp = round(avg ln p(w), 6)."""
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("t"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "word", F.log(F.col("cnt") / F.col("t")).alias("lp"))
+    return (
+        words.join(F.broadcast(lp), "word")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_words"),
+             F.round(F.avg("lp") + F.lit(1e-9), 6).alias("unigram_lp"))
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish subword estimate: ceil(chars/3.4)
     bounded below by word count (the usual chars-per-token heuristic for

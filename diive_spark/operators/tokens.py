@@ -102,6 +102,148 @@ def unpack_tokens_from_binary(df: DataFrame, bin_col: str = "tokens_bin",
     return df.mapInPandas(unpack, schema=schema)
 
 
+def token_ngram_overlap(
+    train: DataFrame,
+    eval_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 8,
+    stride: int = 1,
+) -> DataFrame:
+    """Train/eval contamination check over PRE-TOKENIZED sequences (the
+    standard decontamination step of large-model data pipelines: flag eval
+    documents sharing long token n-grams with training documents — public
+    recipe, cf. the n-gram overlap decontamination described in the GPT-3
+    and PaLM papers).
+
+    Each side is exploded into 64-bit hashes of its token n-gram windows
+    (``xxhash64`` over the ``slice`` — the window array itself never
+    shuffles, only the 8-byte hash), distinct per document, then matched
+    with a hash-bucket join. Returns (train_id, eval_id, n_shared) with
+    n_shared = count of DISTINCT shared n-gram hashes.
+
+    Scale posture: the explode carries |tokens|/stride hashes per doc
+    (8 bytes each). ``stride > 1`` samples window starts on one side —
+    any shared span of length >= n + stride - 1 is still guaranteed to be
+    hit (the classic sampling bound), cutting shuffle volume by the
+    stride factor at 100 TB. Collisions (2^-64 per pair) are accepted and
+    documented rather than re-verified.
+
+    ``eval_df=None`` runs the self-overlap mode (pairs within ``train``,
+    id1 < id2) — the long-shared-span near-dup sweep."""
+    def grams(df, side, use_stride):
+        t = F.col(tokens_col)
+        step = stride if use_stride else 1
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)), F.lit(step))
+        return (
+            df.select(
+                F.col(id_col).alias(side),
+                F.explode(
+                    F.when(F.size(t) >= n,
+                           F.transform(starts, lambda i: F.xxhash64(F.slice(t, i, n))))
+                    .otherwise(F.array().cast("array<bigint>"))
+                ).alias("gh"),
+            )
+            .distinct()
+        )
+
+    if eval_df is None:
+        g = grams(train, "id", use_stride=False)
+        a = g.select(F.col("id").alias("train_id"), "gh")
+        b = g.select(F.col("id").alias("eval_id"), "gh")
+        joined = a.join(b, "gh").filter(F.col("train_id") < F.col("eval_id"))
+    else:
+        # stride-sample the (big) training side; enumerate eval fully so
+        # the detection bound holds
+        a = grams(train, "train_id", use_stride=True)
+        b = grams(eval_df, "eval_id", use_stride=False)
+        joined = a.join(b, "gh")
+    return (
+        joined.groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    eos_id: int,
+    pad_id: int = 0,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    parts: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining data
+    prep): within each partition, documents are concatenated in ``id_col``
+    order with ``eos_id`` appended after each, and the stream is cut into
+    fixed ``seq_len`` examples; the per-partition tail is padded with
+    ``pad_id`` and its real length recorded.
+
+    Determinism: range-partition + sort on ``id_col`` makes the packing a
+    pure function of (input set, seq_len, parts) — rerun-stable, so a
+    resumed job reproduces identical examples. Token conservation (tested):
+    sum(n_real) over examples == sum(n_tok) + n_docs (one EOS per doc).
+
+    Scale posture: one range exchange, then a single mapInPandas pass with
+    O(seq_len) carry state per partition — no driver state, no second
+    shuffle. Output: (part_id, seq_idx, tokens array<int> of exactly
+    seq_len, n_real, n_docs) where n_docs counts documents first entering
+    the stream since the previous emitted example (so sum(n_docs) over all
+    examples == the document count — tested)."""
+    src = df.select(id_col, tokens_col)
+    if parts is not None:
+        src = src.repartitionByRange(parts, id_col)
+    src = src.sortWithinPartitions(id_col)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        buf: list[int] = []
+        starts = 0
+        seq_idx = 0
+        rows: list[dict] = []
+
+        def flush_full():
+            nonlocal buf, starts, seq_idx
+            while len(buf) >= seq_len:
+                rows.append({
+                    "part_id": pid, "seq_idx": seq_idx,
+                    "tokens": np.asarray(buf[:seq_len], dtype=np.int32),
+                    "n_real": seq_len, "n_docs": starts,
+                })
+                buf = buf[seq_len:]
+                starts = 0
+                seq_idx += 1
+
+        for pdf in batches:
+            for toks in pdf[tokens_col]:
+                starts += 1
+                buf.extend(int(x) for x in toks)
+                buf.append(eos_id)
+                flush_full()
+            if rows:
+                yield pd.DataFrame(rows)
+                rows = []
+        if buf:
+            n_real = len(buf)
+            rows.append({
+                "part_id": pid, "seq_idx": seq_idx,
+                "tokens": np.asarray(
+                    buf + [pad_id] * (seq_len - n_real), dtype=np.int32),
+                "n_real": n_real, "n_docs": starts,
+            })
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        pack,
+        schema="part_id int, seq_idx long, tokens array<int>, "
+               "n_real int, n_docs int",
+    )
+
+
 def token_stats_binary(df: DataFrame, bin_col: str = "tokens_bin",
                        keep_cols: list[str] | None = None,
                        dtype: str = "int32") -> DataFrame:

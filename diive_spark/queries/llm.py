@@ -79,16 +79,20 @@ def q_text_quality(spark, sf_dir):
     """Union gate, two variants: 'base' = length/stopword quality stats;
     'repetition' = the Gopher-style repetition filters (duplicate n-gram
     fractions, top-2-gram share, type-token ratio, longest same-word run —
-    textstats.repetition_stats). Both are pure column expressions riding
-    one scan; every variant is fully value-oracled."""
+    textstats.repetition_stats); 'unigram_lp' = the CCNet-style corpus-LM
+    quality score (textstats.unigram_logprob_score: corpus unigram
+    probabilities broadcast-joined back, mean ln p(w) per doc). Every
+    variant is fully value-oracled."""
     from diive_spark.operators import textstats
     docs = _t(spark, sf_dir, "documents")
-    _rep_null = [F.lit(None).cast("double").alias(c) for c in (
-        "dup_2gram_frac", "dup_3gram_frac", "top_2gram_frac", "uniq_word_frac")]
+    _rep_cols = ("dup_2gram_frac", "dup_3gram_frac", "top_2gram_frac",
+                 "uniq_word_frac")
+    _rep_null = [F.lit(None).cast("double").alias(c) for c in _rep_cols]
+    _lp_null = F.lit(None).cast("double").alias("unigram_lp")
     a = textstats.add_text_stats(docs).select(
         F.lit("base").alias("variant"),
         "doc_id", "n_words", "avg_word_len", "stopword_ratio", "quality_score",
-        *_rep_null, F.lit(None).cast("bigint").alias("max_word_run"),
+        *_rep_null, F.lit(None).cast("bigint").alias("max_word_run"), _lp_null,
     )
     b = textstats.repetition_stats(docs).select(
         F.lit("repetition").alias("variant"),
@@ -96,10 +100,16 @@ def q_text_quality(spark, sf_dir):
         F.lit(None).cast("double").alias("avg_word_len"),
         F.lit(None).cast("double").alias("stopword_ratio"),
         F.lit(None).cast("double").alias("quality_score"),
-        "dup_2gram_frac", "dup_3gram_frac", "top_2gram_frac",
-        "uniq_word_frac", "max_word_run",
+        *_rep_cols, "max_word_run", _lp_null,
     )
-    return a.unionByName(b)
+    c = textstats.unigram_logprob_score(docs).select(
+        F.lit("unigram_lp").alias("variant"),
+        "doc_id", "n_words",
+        *[F.lit(None).cast("double").alias(x) for x in (
+            "avg_word_len", "stopword_ratio", "quality_score", *_rep_cols)],
+        F.lit(None).cast("bigint").alias("max_word_run"), "unigram_lp",
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 _STOP_SQL = " + ".join(
@@ -109,6 +119,7 @@ _STOP_SQL = " + ".join(
 _REP_NULLS_BASE = """CAST(NULL AS DOUBLE) AS dup_2gram_frac,
        CAST(NULL AS DOUBLE) AS dup_3gram_frac, CAST(NULL AS DOUBLE) AS top_2gram_frac,
        CAST(NULL AS DOUBLE) AS uniq_word_frac, CAST(NULL AS BIGINT) AS max_word_run"""
+_LP_NULL = "CAST(NULL AS DOUBLE) AS unigram_lp"
 
 SQL_TEXT_QUALITY = f"""
 WITH b AS (
@@ -150,7 +161,7 @@ SELECT 'base' AS variant, doc_id, n_words,
        round(1e-9 + stop_hits * 1.0 / n_words, 6) AS stopword_ratio,
        round(1e-9 + (least(n_words / 50.0, 1.0) + least(stop_hits * 1.0 / n_words * 5.0, 1.0)) / 2.0, 6)
          AS quality_score,
-       {_REP_NULLS_BASE}
+       {_REP_NULLS_BASE}, {_LP_NULL}
 FROM s
 UNION ALL
 SELECT 'repetition' AS variant, uw.doc_id,
@@ -160,9 +171,27 @@ SELECT 'repetition' AS variant, uw.doc_id,
        round(1e-9 + (a3.n - a3.d) * 1.0 / a3.n, 6) AS dup_3gram_frac,
        round(1e-9 + t2.topc * 1.0 / t2.tot, 6) AS top_2gram_frac,
        round(1e-9 + uw.d * 1.0 / uw.n, 6) AS uniq_word_frac,
-       CAST(mr.max_run AS BIGINT) AS max_word_run
+       CAST(mr.max_run AS BIGINT) AS max_word_run, {_LP_NULL}
 FROM uw LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
 LEFT JOIN t2 USING (doc_id) LEFT JOIN mr USING (doc_id)
+UNION ALL
+SELECT 'unigram_lp' AS variant, doc_id, n_words,
+       CAST(NULL AS DOUBLE) AS avg_word_len, CAST(NULL AS DOUBLE) AS stopword_ratio,
+       CAST(NULL AS DOUBLE) AS quality_score, {_REP_NULLS_BASE},
+       unigram_lp
+FROM (
+  WITH wd AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ),
+  vocab AS (SELECT word, count(*) AS cnt FROM wd WHERE word != '' GROUP BY 1),
+  tot AS (SELECT sum(cnt) AS t FROM vocab),
+  lp AS (SELECT word, ln(cnt * 1.0 / t) AS lp FROM vocab, tot)
+  SELECT wd.doc_id, count(*) AS n_words,
+         round(1e-9 + avg(lp.lp), 6) AS unigram_lp
+  FROM wd JOIN lp USING (word)
+  WHERE wd.word != ''
+  GROUP BY 1
+)
 """
 
 

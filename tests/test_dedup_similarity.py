@@ -132,6 +132,22 @@ def test_repetition_stats_hand_computed(spark):
     assert r3["uniq_word_frac"] == 1.0 and r3["max_word_run"] == 1
 
 
+def test_unigram_logprob_hand_computed(spark):
+    """CCNet-style corpus-LM score: corpus 'a a b' + 'b c' -> p(a)=p(b)=0.4,
+    p(c)=0.2; doc scores are the mean ln p(w). The scoring join must be a
+    broadcast (the vocab side is bounded), not a shuffle join."""
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a a b", "b c"]})
+    df = spark.createDataFrame(pdf)
+    out = textstats.unigram_logprob_score(df).toPandas().set_index("doc_id")
+    np.testing.assert_allclose(out.loc[1, "unigram_lp"], np.log(0.4), atol=1e-6)
+    np.testing.assert_allclose(
+        out.loc[2, "unigram_lp"], (np.log(0.4) + np.log(0.2)) / 2, atol=1e-6)
+    assert out.loc[1, "n_words"] == 3 and out.loc[2, "n_words"] == 2
+    plan = textstats.unigram_logprob_score(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media_table(spark, 32)
     feats = multimodal.extract_image_features(media, feat_dim=8).toPandas()

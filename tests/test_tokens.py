@@ -66,3 +66,91 @@ def test_uint16_packing_roundtrip_stats_and_size(tok, spark):
 def F_length(c):
     from pyspark.sql import functions as F
     return F.length(c)
+
+
+def test_token_ngram_overlap_detects_planted_contamination(spark):
+    """A 20-token span copied from a train doc into an eval doc must be
+    flagged with exactly 20-8+1=13 shared 8-gram hashes; unrelated docs
+    (disjoint token ranges) share nothing. Stride-sampling the train side
+    still detects spans >= n + stride - 1."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(6)
+    span = rng.integers(10_000, 20_000, 20).tolist()
+    train = pd.DataFrame({
+        "doc_id": [1, 2],
+        "tokens": [rng.integers(0, 5000, 100).tolist()[:40] + span +
+                   rng.integers(0, 5000, 40).tolist(),
+                   rng.integers(0, 5000, 100).tolist()],
+    })
+    ev = pd.DataFrame({
+        "doc_id": [10, 11],
+        "tokens": [rng.integers(5000, 9999, 30).tolist() + span +
+                   rng.integers(5000, 9999, 30).tolist(),
+                   rng.integers(5000, 9999, 80).tolist()],
+    })
+    tdf, edf = spark.createDataFrame(train), spark.createDataFrame(ev)
+    hits = tokens.token_ngram_overlap(tdf, edf, n=8).toPandas()
+    assert len(hits) == 1
+    row = hits.iloc[0]
+    assert (row["train_id"], row["eval_id"]) == (1, 10)
+    assert row["n_shared"] == 13
+    # stride=4: span of 20 >= 8+4-1 still guaranteed detected
+    hits4 = tokens.token_ngram_overlap(tdf, edf, n=8, stride=4).toPandas()
+    assert len(hits4) == 1 and hits4.iloc[0]["n_shared"] >= 1
+    # self-overlap mode: the two train docs are unrelated
+    assert tokens.token_ngram_overlap(tdf, None, n=8).count() == 0
+
+
+def test_pack_sequences_conservation_and_determinism(spark):
+    """Concat-and-chunk packing: every example except per-partition tails
+    is exactly seq_len; token+EOS mass is conserved; sum(n_docs) == doc
+    count; the packed stream replays the sorted input exactly; rerun is
+    bit-identical."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    docs = pd.DataFrame({
+        "doc_id": range(50),
+        "tokens": [rng.integers(1, 1000, int(n)).tolist()
+                   for n in rng.integers(5, 120, 50)],
+    })
+    df = spark.createDataFrame(docs)
+    out = tokens.pack_sequences(df, seq_len=64, eos_id=0, pad_id=0,
+                                parts=4).toPandas()
+    total_in = docs["tokens"].map(len).sum() + len(docs)  # + one EOS each
+    assert out["n_real"].sum() == total_in
+    assert out["n_docs"].sum() == len(docs)
+    assert (out["tokens"].map(len) == 64).all()
+    tails = out[out["n_real"] < 64]
+    assert len(tails) <= 4  # at most one tail per partition
+    # non-tail examples are full
+    assert (out["n_real"] == 64).sum() == len(out) - len(tails)
+    # the packed stream within each partition replays the sorted docs
+    got = []
+    for _, part in out.sort_values(["part_id", "seq_idx"]).groupby("part_id"):
+        for _, r in part.iterrows():
+            got.extend(list(r["tokens"])[:r["n_real"]])
+    want = []
+    pdf = docs.sort_values("doc_id")
+    # range partitioning preserves global doc order across part_ids only
+    # approximately (boundaries are sampled) — rebuild per-partition streams
+    # from the actual assignment instead
+    from pyspark.sql import functions as F
+    assign = (df.repartitionByRange(4, "doc_id")
+              .sortWithinPartitions("doc_id")
+              .select("doc_id", F.spark_partition_id().alias("p"))
+              .toPandas().sort_values(["p", "doc_id"]))
+    tok_by_id = dict(zip(docs["doc_id"], docs["tokens"]))
+    for _, r in assign.iterrows():
+        want.extend(tok_by_id[r["doc_id"]])
+        want.append(0)
+    assert got == want
+    # deterministic rerun
+    out2 = tokens.pack_sequences(df, seq_len=64, eos_id=0, pad_id=0,
+                                 parts=4).toPandas()
+    a = out.sort_values(["part_id", "seq_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["part_id", "seq_idx"]).reset_index(drop=True)
+    assert (a["n_real"] == b["n_real"]).all()
+    assert all(list(x) == list(y) for x, y in zip(a["tokens"], b["tokens"]))
