@@ -230,15 +230,47 @@ WHERE rk = 1
 """
 
 
+#: mixture fractions for the gated source_mix draw (non-trivial spread)
+_MIX_FRACS = {f"src{k}": 0.25 * (k % 4) + 0.25 for k in range(20)}
+_MIX_SEED = 7
+
+
 def q_fingerprint(spark, sf_dir):
-    from diive_spark.operators import textstats
+    """Union gate, two variants: 'fp' = the md5 content fingerprint;
+    'mix' = the deterministic source-mixture sample (mixing.source_mix:
+    md5-derived per-row uniform vs per-source fraction — the draw itself
+    is replayed by the SQL oracle, certifying rerun-stable sampling)."""
+    from diive_spark.operators import mixing, textstats
     docs = _t(spark, sf_dir, "documents")
-    return textstats.fingerprint(docs).select("doc_id", "fp")
+    a = textstats.fingerprint(docs).select(
+        F.lit("fp").alias("variant"), "doc_id", "fp",
+        F.lit(None).cast("bigint").alias("u32"))
+    from diive_spark.operators.dedup import h32
+    b = mixing.source_mix(docs, _MIX_FRACS, seed=_MIX_SEED).select(
+        F.lit("mix").alias("variant"), "doc_id",
+        F.lit(None).cast("bigint").alias("fp"),
+        h32(F.concat(F.col("doc_id").cast("string"),
+                     F.lit(f":{_MIX_SEED}"))).alias("u32"))
+    return a.unionByName(b)
 
 
-SQL_FINGERPRINT = """
-SELECT doc_id, ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT AS fp
+_MIX_CASE = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {f}" for s, f in sorted(_MIX_FRACS.items())
+) + " ELSE 0.0 END"
+
+SQL_FINGERPRINT = f"""
+SELECT 'fp' AS variant, doc_id,
+       ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT AS fp,
+       CAST(NULL AS BIGINT) AS u32
 FROM documents
+UNION ALL
+SELECT 'mix' AS variant, doc_id, CAST(NULL AS BIGINT) AS fp, u32
+FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':{_MIX_SEED}'), 1, 8))::BIGINT AS u32
+  FROM documents
+)
+WHERE u32 / 4294967296.0 < {_MIX_CASE}
 """
 
 

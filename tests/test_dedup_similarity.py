@@ -436,3 +436,42 @@ def test_connected_components_long_chain_logarithmic(spark):
         spark.createDataFrame(pairs), max_iters=12).toPandas()
     assert set(out["component"]) == {0}
     assert len(out) == 200
+
+
+def test_deterministic_mixing(spark, docs):
+    """source_mix keeps exactly the rows whose md5-uniform clears the
+    per-source fraction (recompute in pandas), identically on rerun;
+    temperature_fractions matches the closed-form numpy oracle."""
+    import hashlib
+
+    from diive_spark.operators import mixing
+
+    fracs = {f"src{k}": 0.25 * (k % 4) + 0.25 for k in range(20)}
+    got = mixing.source_mix(docs, fracs, seed=7).select("doc_id", "source") \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    pdf = docs.select("doc_id", "source").toPandas()
+
+    def u(doc_id):
+        return int(hashlib.md5(f"{doc_id}:7".encode()).hexdigest()[:8], 16) / 2**32
+
+    keep = pdf[[u(d) < fracs.get(s, 0.0)
+                for d, s in zip(pdf["doc_id"], pdf["source"])]]
+    assert sorted(got["doc_id"]) == sorted(keep["doc_id"])
+    again = mixing.source_mix(docs, fracs, seed=7).count()
+    assert again == len(got)
+    # the draw is row-local: no Exchange in the plan
+    plan = mixing.source_mix(docs, fracs, seed=7) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # temperature fractions vs closed form
+    tf = mixing.temperature_fractions(docs, temperature=2.0, target_rows=300)
+    counts = pdf.groupby("source").size()
+    w = counts ** 0.5
+    raw = 300 * (w / w.sum()) / counts
+    for s, f in tf.items():
+        np.testing.assert_allclose(f, min(raw[s], 1.0), rtol=1e-12)
+    # expected kept mass ~= target when nothing is capped
+    if all(v < 1.0 for v in tf.values()):
+        np.testing.assert_allclose(
+            sum(tf[s] * counts[s] for s in tf), 300, rtol=1e-9)
