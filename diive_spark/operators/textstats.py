@@ -206,6 +206,50 @@ def unigram_logprob_score(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style corpus-level boilerplate removal (public recipe: Raffel et
+    al. 2020 drop any line occurring more than once across the corpus;
+    threshold generalized): a line appearing in >= ``min_count`` documents
+    anywhere in the corpus is boilerplate (nav bars, cookie banners,
+    licence footers) and is deleted from EVERY document.
+
+    Plan shape: posexplode lines -> count distinct docs per md5(line) (one
+    groupBy on the 16-byte hash) -> anti-join survivors -> reassemble in
+    original order (sort_array over (pos, line) structs — one more
+    groupBy). Both shuffles key on hashes/ids, never on line text, so
+    skew is bounded by the hash. Documents whose every line was
+    boilerplate come back with empty text, not dropped — the caller
+    decides. Returns (id_col, text_col) with boilerplate lines removed."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    counts = (
+        lines.groupBy(F.md5("line").alias("lh"))
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_count)
+        .select("lh")
+    )
+    kept = lines.join(counts, F.md5(lines["line"]) == counts["lh"], "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ), sep).alias(text_col))
+        # docs that lost every line still need a row
+        .join(df.select(id_col), id_col, "right")
+        .fillna({text_col: ""})
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish subword estimate: ceil(chars/3.4)
     bounded below by word count (the usual chars-per-token heuristic for

@@ -475,3 +475,28 @@ def test_deterministic_mixing(spark, docs):
     if all(v < 1.0 for v in tf.values()):
         np.testing.assert_allclose(
             sum(tf[s] * counts[s] for s in tf), 300, rtol=1e-9)
+
+
+def test_remove_boilerplate_lines(spark):
+    """C4-style corpus line removal: a footer line present in 3 docs is
+    deleted everywhere; unique lines survive in original order; a doc that
+    was ALL boilerplate comes back empty, not dropped."""
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha\ncookie notice\nbeta",
+                 "gamma\ncookie notice",
+                 "cookie notice\ndelta\nepsilon",
+                 "cookie notice"],
+    })
+    out = textstats.remove_boilerplate_lines(
+        spark.createDataFrame(pdf), min_count=3) \
+        .toPandas().set_index("doc_id")["text"]
+    assert out.loc[1] == "alpha\nbeta"
+    assert out.loc[2] == "gamma"
+    assert out.loc[3] == "delta\nepsilon"
+    assert out.loc[4] == ""
+    # below threshold: a line in only 2 docs survives
+    out2 = textstats.remove_boilerplate_lines(
+        spark.createDataFrame(pdf.iloc[:2]), min_count=3) \
+        .toPandas().set_index("doc_id")["text"]
+    assert out2.loc[1] == "alpha\ncookie notice\nbeta"
