@@ -455,15 +455,14 @@ def simhash_expr(text_col: Column, n: int = 3, bits: int = 32) -> Column:
     Cost: O(shingles x bits) JVM expression work per row, no shuffle at
     all — the form a 100 TB ingest guard wants."""
     words = F.split(text_col, " ")
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", *[
-                F.element_at(words, (i + j + 1).cast("int")) for j in range(n)
-            ]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # n-grams as zip_with over aligned slice views — one pass; the naive
+    # transform + element_at form re-evaluates the inline split per element
+    # (no CSE inside higher-order-function lambdas), going O(words^2)/row
+    glen = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.slice(words, 1, glen)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(words, j + 1, glen),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
     hashes = F.transform(F.array_distinct(grams), h32)
     zero = F.array(*[F.lit(0).cast("bigint") for _ in range(bits)])
     counts = F.aggregate(
@@ -478,10 +477,14 @@ def simhash_expr(text_col: Column, n: int = 3, bits: int = 32) -> Column:
             lambda a, b: a + b,
         ),
     )
-    sig = None
-    for i in range(bits):
-        contrib = F.when(F.element_at(counts, i + 1) > 0,
-                         F.lit(1 << i).cast("bigint")) \
-            .otherwise(F.lit(0).cast("bigint"))
-        sig = contrib if sig is None else sig + contrib
-    return sig
+    # bit extraction as ONE fold over zip_with(counts, powers): the counts
+    # fold is evaluated once. (A per-bit element_at(counts, i) loop would
+    # re-evaluate the whole O(shingles x bits) fold `bits` times — Catalyst
+    # does not CSE repeated references inside a single projection.)
+    powers = F.array(*[F.lit(1 << i).cast("bigint") for i in range(bits)])
+    return F.aggregate(
+        F.zip_with(counts, powers,
+                   lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )

