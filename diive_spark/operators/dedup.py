@@ -38,6 +38,54 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup, keep-first (public recipe:
+    Dolma / RefinedWeb drop every later occurrence of a repeated paragraph
+    while the first survives — unlike C4's line removal, which deletes ALL
+    occurrences of frequent lines; see :func:`textstats.remove_boilerplate_lines`
+    for that policy).
+
+    "First" is the global (id, position) order, a deterministic total
+    order, so reruns and engines agree. Plan shape: posexplode paragraphs
+    -> min(struct(id, pos)) window over md5(paragraph) (ONE shuffle, keyed
+    on the 16-byte hash — skew bounded by the hash, never by paragraph
+    text) -> keep rows equal to their group minimum -> reassemble in
+    original order (sort_array of (pos, para) structs, one groupBy on id).
+    Empty paragraphs are dropped. Documents whose every paragraph was a
+    repeat come back with empty text, not dropped — the caller decides.
+
+    Returns (id_col, text_col rebuilt, n_paras_kept)."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.col("para") != "")
+    w = Window.partitionBy(F.md5("para"))
+    first = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+    kept = paras.withColumn("_first", first).filter(
+        (F.col("_first")[id_col] == F.col(id_col))
+        & (F.col("_first")["pos"] == F.col("pos"))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ), sep).alias(text_col),
+            F.count(F.lit(1)).cast("bigint").alias("n_paras_kept"),
+        )
+        # docs that lost every paragraph still need a row
+        .join(df.select(id_col), id_col, "right")
+        .fillna({text_col: "", "n_paras_kept": 0})
+    )
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: split + sequence/transform
     (JVM array exprs), exploded long-form (id, shingle). Documents shorter

@@ -63,6 +63,55 @@ def source_mix(
     return df.filter(_uniform(F.col(id_col), seed) < frac)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    seed: int = 0,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Global deterministic training order: rank every row by the
+    md5-derived key of '(id):(seed):(epoch)' (ties broken by id). The
+    emitted ``shuffle_pos`` (0-based) is the position a sequential trainer
+    reads the row at — stable across reruns, engines, and partitionings,
+    and a fresh permutation per epoch.
+
+    NOT a global-ordering window (that plan funnels the corpus through ONE
+    partition). The scalable plan: shard = the hash key's high bits (a
+    DETERMINISTIC column, uniform because the key is md5-derived — unlike
+    ``spark_partition_id`` after a sampled ``repartitionByRange``, it
+    cannot drift between passes), rank locally inside each shard, compute
+    per-shard offsets as a prefix sum over the #shards-row size table, and
+    broadcast-join the offsets back. Global position = shard offset +
+    local rank - 1. One corpus-sized shuffle (keyed on shard), one bounded
+    aggregate, zero collects."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if num_shards is None:
+        num_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key = h32(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f":{seed}:{epoch}")))
+    shard = F.floor(F.col("_ds_key") / F.lit(float(_U32) / num_shards)).cast("int")
+    keyed = df.withColumn("_ds_key", key).withColumn("_ds_shard", shard)
+    w = Window.partitionBy("_ds_shard").orderBy("_ds_key", id_col)
+    local = keyed.withColumn("_ds_rk", F.row_number().over(w))
+    sizes = keyed.groupBy("_ds_shard").agg(F.count(F.lit(1)).alias("_ds_cnt"))
+    w_off = (Window.orderBy("_ds_shard")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = sizes.select(
+        "_ds_shard",
+        F.coalesce(F.sum("_ds_cnt").over(w_off), F.lit(0)).alias("_ds_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_ds_shard")
+        .withColumn(
+            "shuffle_pos",
+            (F.col("_ds_off") + F.col("_ds_rk") - 1).cast("bigint"))
+        .drop("_ds_key", "_ds_shard", "_ds_rk", "_ds_off")
+    )
+
+
 def temperature_fractions(
     df: DataFrame,
     temperature: float,
@@ -85,3 +134,111 @@ def temperature_fractions(
     # sum_i f_i c_i = target with f_i proportional to w_i / c_i
     raw = {s: target_rows * (weights[s] / tot_w) / counts[s] for s in counts}
     return {s: min(f, 1.0) for s, f in raw.items()}
+
+
+def _hashed_grams(df: DataFrame, id_col: str, text_col: str,
+                  n_buckets: int, seed: int) -> DataFrame:
+    """(id, bucket) rows: one per word unigram AND adjacent word bigram
+    (with multiplicity — DSIR's bag-of-hashed-ngrams features), bucketed
+    by the engine's md5-derived 32-bit hash mod n_buckets. The gram
+    construction is the one-pass zip_with form (never element_at inside a
+    lambda, which re-evaluates split() per element)."""
+    uni = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    big = F.zip_with(
+        F.slice(uni, 1, F.greatest(F.size(uni) - 1, F.lit(0))),
+        F.slice(uni, 2, F.greatest(F.size(uni) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(uni, big)
+    bucket = F.pmod(
+        h32(F.concat(F.col("gram"), F.lit(f":{seed}"))), F.lit(n_buckets))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(id_col, bucket.alias("bucket"))
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: int = 0,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance log-weights (public recipe: Xie et al. 2023,
+    arXiv:2302.03169 — Data Selection via Importance Resampling): score
+    every raw document by how much more likely its hashed n-gram bag is
+    under the TARGET distribution than under the RAW distribution,
+
+        logw(x) = sum over grams g of ln p_target(b(g)) - ln p_raw(b(g)),
+
+    with add-alpha smoothed bucket unigram models over ``n_buckets``
+    hashed features.
+
+    Scale shape: the only corpus-sized steps are the two gram counts
+    (groupBy bucket — output bounded by n_buckets) and the per-doc sum
+    (one shuffle keyed on id); the bucket model is a broadcast table.
+    The two model totals are single-row aggregates collected to the
+    driver (bounded). Deterministic and engine-portable: buckets are
+    md5-derived, so a SQL oracle replays the exact weights.
+
+    Returns raw's (id_col, logw) — logw rounded to 6 decimals."""
+    tg = _hashed_grams(target, id_col, text_col, n_buckets, seed)
+    rg = _hashed_grams(raw, id_col, text_col, n_buckets, seed)
+    n_t = tg.count()
+    n_r = rg.count()
+    tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    rc = rg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    denom_t = float(n_t) + alpha * n_buckets
+    denom_r = float(n_r) + alpha * n_buckets
+    ratio = (
+        tc.join(rc, "bucket", "full")
+        .select(
+            "bucket",
+            (F.log((F.coalesce("c_t", F.lit(0)) + F.lit(alpha)) / F.lit(denom_t))
+             - F.log((F.coalesce("c_r", F.lit(0)) + F.lit(alpha)) / F.lit(denom_r))
+             ).alias("logratio"),
+        )
+    )
+    summed = (
+        rg.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("logratio") + F.lit(1e-9), 6).alias("logw"))
+    )
+    # docs with zero grams score 0, not dropped
+    return (
+        raw.select(id_col).join(summed, id_col, "left")
+        .fillna({"logw": 0.0})
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: int = 0,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR's sampling step: Gumbel top-k over the importance log-weights
+    (the standard without-replacement trick — adding i.i.d. Gumbel noise
+    to log-weights and taking the top k samples proportionally to the
+    weights). The Gumbel draw is the engine's deterministic md5 uniform of
+    (id, seed), so the selected set is rerun-stable and oracle-replayable;
+    orderBy().limit(k) executes as a distributed TakeOrderedAndProject.
+
+    Returns (id_col, logw, key) for the k selected documents."""
+    lw = dsir_logweights(raw, target, id_col, text_col, n_buckets, seed,
+                         alpha)
+    u = (h32(F.concat(F.col(id_col).cast("string"), F.lit(f":g{seed}")))
+         + F.lit(0.5)) / F.lit(_U32)
+    gumbel = -F.log(-F.log(u))
+    return (
+        lw.withColumn("key", F.round(F.col("logw") + gumbel + F.lit(1e-9), 6))
+        .orderBy(F.desc("key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -182,6 +182,83 @@ def cosine_topk_ivf(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    refine_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (public recipe: Abbas et al. 2023,
+    arXiv:2303.09540 — cluster the embedding space with k-means, compare
+    pairs only WITHIN a cluster, and among semantic duplicates keep the
+    example with the LOWEST cosine similarity to its centroid, i.e. the
+    cluster-edge representative, preserving diversity).
+
+    Plan shape (the paper's own tractability argument, distributed):
+    - quantizer: seeded hash-pick centroids, optionally refined by
+      ``refine_iters`` distributed k-means passes (kmeans_centroids) —
+      the only collected state is the n_clusters x dim table;
+    - assignment: broadcast the centroid table, max-cosine row_number —
+      one corpus scan, no shuffle beyond the per-id window;
+    - candidate pairs: ONE self-join keyed on centroid_id (id1 < id2),
+      so pair volume is sum over clusters of |c|^2 / 2, bounded by the
+      cluster granularity (n_clusters scales with corpus size in the
+      paper: 50k clusters for LAION — cluster size, not corpus size,
+      bounds the quadratic term);
+    - removal rule, deterministic: in every near-dup pair the member
+      with the HIGHER centroid similarity is removed (ties: higher id).
+      For a fully-connected duplicate group this keeps exactly the
+      paper's lowest-centroid-similarity representative; for chain-shaped
+      groups the pairwise rule is a deterministic superset of removals
+      (documented engine choice — no iterative grouping pass needed).
+
+    Returns every corpus row: (id_col, centroid_id, centroid_sim,
+    is_removed int 0/1)."""
+    if refine_iters > 0:
+        cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters,
+                                 n_iter=refine_iters)
+    else:
+        cents = _centroids(corpus, id_col, vec_col, n_clusters)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    assign_w = Window.partitionBy(id_col).orderBy(
+        F.desc("csim"), F.asc("centroid_id"))
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine_expr(F.col("v"), F.col("cent")))
+        .withColumn("_r", F.row_number().over(assign_w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, "v", "centroid_id",
+                F.round(F.col("csim") + F.lit(1e-9), 6).alias("centroid_sim"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_sim = F.round(
+        cosine_expr(F.col("a.v"), F.col("b.v")) + F.lit(1e-9), 6)
+    pairs = (
+        a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn("sim", pair_sim)
+        .filter(F.col("sim") >= threshold)
+    )
+    loser = (
+        F.when(F.col("a.centroid_sim") > F.col("b.centroid_sim"),
+               F.col(f"a.{id_col}"))
+        .when(F.col("b.centroid_sim") > F.col("a.centroid_sim"),
+              F.col(f"b.{id_col}"))
+        .otherwise(F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")))
+    )
+    removed = pairs.select(loser.alias(id_col)).distinct().withColumn(
+        "is_removed", F.lit(1))
+    return (
+        assigned.join(removed, id_col, "left")
+        .select(id_col, "centroid_id", "centroid_sim",
+                F.coalesce("is_removed", F.lit(0)).cast("int")
+                .alias("is_removed"))
+    )
+
+
 def _bucket_expr(v, n_planes: int, seed: int, dim: int):
     """Bucket id column for ONE hyperplane table: bit i = sign of the dot
     product with seeded random plane i. Cosine-similar vectors collide with

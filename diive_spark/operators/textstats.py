@@ -10,7 +10,7 @@ can recompute them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny marker-word lists; counting occurrences of " <w> " in the padded text
@@ -262,6 +262,84 @@ def remove_boilerplate_lines(
         .join(df.select(id_col), id_col, "right")
         .fillna({text_col: ""})
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy over characters (nats) — the classic
+    cheap gibberish/encoded-blob detector (public recipe: compression-ratio
+    and entropy filters in web-corpus pipelines; entropy is the
+    distributable, dependency-free proxy).
+
+    Pure column expression, no shuffle: sort the char array, then ONE fold
+    accumulating sum(run * ln run) over equal-char runs; H = ln n - S/n.
+    Mathematically identical to the groupBy form (runs of the sorted array
+    ARE the character groups), which is how the SQL oracle replays it."""
+    t = F.col(text_col)
+    chars = F.array_sort(F.split(t, ""))
+    n = F.size(chars).cast("double")
+
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0.0).alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+
+    def step(acc, x):
+        same = x.eqNullSafe(acc["prev"])
+        flushed = F.when(
+            same | (acc["run"] == 0), acc["s"]
+        ).otherwise(acc["s"] + acc["run"] * F.log(acc["run"]))
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1.0))
+        return F.struct(x.alias("prev"), run.alias("run"), flushed.alias("s"))
+
+    def finish(acc):
+        return F.when(acc["run"] > 0,
+                      acc["s"] + acc["run"] * F.log(acc["run"])).otherwise(0.0)
+
+    s = F.aggregate(chars, zero, step, finish)
+    h = F.when(n > 0, F.round(F.log(n) - s / n + F.lit(1e-9), 6)).otherwise(
+        F.lit(None).cast("double"))
+    return df.withColumn("char_entropy", h)
+
+
+def vocab_stats(
+    df: DataFrame, source_col: str = "source", text_col: str = "text",
+) -> DataFrame:
+    """Per-source vocabulary stats: token count, type count (distinct
+    words) and type-token ratio — the corpus-health dashboard numbers
+    (Heaps-law tracking across sources). One explode + one groupBy on
+    ``source`` (20-ish groups; count_distinct shuffles (source, word)
+    pairs, bounded by vocabulary size)."""
+    words = df.select(
+        F.col(source_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy(source_col)
+        .agg(F.count("*").alias("n_tokens"),
+             F.count_distinct("word").alias("n_types"))
+        .withColumn(
+            "ttr",
+            F.round(F.col("n_types") / F.col("n_tokens") + F.lit(1e-9), 6))
+    )
+
+
+def zipf_topk(
+    df: DataFrame, k: int = 20, text_col: str = "text",
+) -> DataFrame:
+    """Corpus head-of-Zipf: the ``k`` most frequent words with their counts
+    and rank (ties broken lexicographically). The distributed part is one
+    explode + one groupBy; the top-k is ``orderBy().limit(k)`` (Spark's
+    distributed take-ordered — per-partition heads, merged on the driver),
+    and only the k-row result sees a single-partition ranking window."""
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -18,19 +18,89 @@ from ._shared import QUERIES, ORACLES, _hourly_gridded, _r6, _t  # noqa: F401
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
+    """Union gate, two variants: 'doc' = whole-document exact dedup;
+    'para' = corpus-wide keep-first paragraph dedup (dedup.paragraph_dedup,
+    Dolma/RefinedWeb-style — later occurrences of a repeated paragraph are
+    removed, the global-first survives). The single-line synthetic docs are
+    paragraphized deterministically (each doc split at its word midpoint
+    into two paragraphs) IDENTICALLY on both sides, so duplicated docs in
+    the corpus yield real cross-document paragraph collisions. The rebuilt
+    text is certified by length + a 60-bit md5 fingerprint."""
     from diive_spark.operators import dedup
     docs = _t(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs, "doc_id").select(
-        "doc_id", "canonical_id", "group_size", "is_dup"
+    _pb = [F.lit(None).cast("bigint").alias(c)
+           for c in ("n_paras_kept", "kept_len", "kept_fp")]
+    a = dedup.exact_dedup(docs, "doc_id").select(
+        F.lit("doc").alias("variant"),
+        "doc_id", "canonical_id", "group_size", "is_dup", *_pb,
     )
+    words = F.split(F.col("text"), " ")
+    half = F.floor(F.size(words) / 2).cast("int")
+    d2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.slice(words, 1, half), " "),
+            F.lit("\n"),
+            F.array_join(F.slice(words, half + 1, F.size(words) - half), " "),
+        ).alias("text"),
+    )
+    b = dedup.paragraph_dedup(d2).select(
+        F.lit("para").alias("variant"), "doc_id",
+        F.lit(None).cast("bigint").alias("canonical_id"),
+        F.lit(None).cast("bigint").alias("group_size"),
+        F.lit(None).cast("int").alias("is_dup"),
+        "n_paras_kept",
+        F.length("text").cast("bigint").alias("kept_len"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("bigint").alias("kept_fp"),
+    )
+    return a.unionByName(b)
 
 
 SQL_DEDUP_EXACT = """
-SELECT doc_id,
+SELECT 'doc' AS variant, doc_id,
        min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
        count(*) OVER (PARTITION BY md5(text)) AS group_size,
-       CAST(doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS INTEGER) AS is_dup
+       CAST(doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS INTEGER) AS is_dup,
+       CAST(NULL AS BIGINT) AS n_paras_kept,
+       CAST(NULL AS BIGINT) AS kept_len, CAST(NULL AS BIGINT) AS kept_fp
 FROM documents
+UNION ALL
+SELECT 'para' AS variant, doc_id,
+       CAST(NULL AS BIGINT) AS canonical_id, CAST(NULL AS BIGINT) AS group_size,
+       CAST(NULL AS INTEGER) AS is_dup,
+       n_paras_kept, kept_len, kept_fp
+FROM (
+  WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+  d2 AS (
+    SELECT doc_id,
+           array_to_string(words[1:(len(words) // 2)], ' ') || chr(10) ||
+           array_to_string(words[(len(words) // 2) + 1:len(words)], ' ') AS text
+    FROM w
+  ),
+  p0 AS (SELECT doc_id, string_split(text, chr(10)) AS paras FROM d2),
+  p AS (
+    SELECT doc_id, i AS pos, paras[i] AS para
+    FROM p0, (SELECT unnest(generate_series(1, 4)) AS i) g
+    WHERE i <= len(paras) AND paras[i] != ''
+  ),
+  k AS (
+    SELECT doc_id, pos, para,
+           row_number() OVER (PARTITION BY md5(para)
+                              ORDER BY doc_id, pos) AS rn
+    FROM p
+  ),
+  r AS (
+    SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+           CAST(count(*) AS BIGINT) AS n_paras_kept
+    FROM k WHERE rn = 1 GROUP BY 1
+  )
+  SELECT d.doc_id,
+         coalesce(r.n_paras_kept, 0) AS n_paras_kept,
+         CAST(length(coalesce(r.text, '')) AS BIGINT) AS kept_len,
+         ('0x' || substr(md5(coalesce(r.text, '')), 1, 15))::BIGINT AS kept_fp
+  FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+)
 """
 
 
@@ -196,9 +266,42 @@ FROM (
 
 
 def q_lang_id(spark, sf_dir):
+    """Union gate, three variants (corpus-composition family): 'doc' =
+    per-doc marker-word language ID; 'vocab' = per-source token/type
+    counts + type-token ratio (textstats.vocab_stats — the Heaps-law
+    corpus dashboard); 'zipf' = the corpus's 20 most frequent words with
+    rank (textstats.zipf_topk — distributed take-ordered, only the k-row
+    head sees a ranking window)."""
     from diive_spark.operators import textstats
     docs = _t(spark, sf_dir, "documents")
-    return textstats.language_id(docs).select("doc_id", "pred_lang", "lang_score")
+    _vz = ("source", "word")
+    _vn = ("n_tokens", "n_types", "cnt", "rank")
+
+    def _nullv(names):
+        return [F.lit(None).cast("string").alias(c) for c in names]
+
+    def _nullb(names):
+        return [F.lit(None).cast("bigint").alias(c) for c in names]
+
+    _ttr_null = F.lit(None).cast("double").alias("ttr")
+    a = textstats.language_id(docs).select(
+        F.lit("doc").alias("variant"), "doc_id", "pred_lang", "lang_score",
+        *_nullv(_vz), *_nullb(_vn), _ttr_null)
+    b = textstats.vocab_stats(docs).select(
+        F.lit("vocab").alias("variant"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("string").alias("pred_lang"),
+        F.lit(None).cast("bigint").alias("lang_score"),
+        "source", F.lit(None).cast("string").alias("word"),
+        "n_tokens", "n_types", *_nullb(("cnt", "rank")), "ttr")
+    c = textstats.zipf_topk(docs, k=20).select(
+        F.lit("zipf").alias("variant"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("string").alias("pred_lang"),
+        F.lit(None).cast("bigint").alias("lang_score"),
+        F.lit(None).cast("string").alias("source"), "word",
+        *_nullb(("n_tokens", "n_types")), "cnt", "rank", _ttr_null)
+    return a.unionByName(b).unionByName(c)
 
 
 def _lang_score_sql(lang):
@@ -208,6 +311,11 @@ def _lang_score_sql(lang):
         for w in LANG_MARKERS[lang]
     )
 
+
+_LANG_NULLS = """CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS word,
+       CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS n_types,
+       CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS rank,
+       CAST(NULL AS DOUBLE) AS ttr"""
 
 SQL_LANG_ID = f"""
 WITH b AS (SELECT doc_id, ' ' || replace(lower(text), ' ', '  ') || ' ' AS p FROM documents),
@@ -223,10 +331,37 @@ long AS (
   UNPIVOT (score FOR lang IN (s_en AS 'en', s_es AS 'es', s_de AS 'de',
                               s_fr AS 'fr', s_zh AS 'zh'))
 )
-SELECT doc_id, lang AS pred_lang, score AS lang_score
+SELECT 'doc' AS variant, doc_id, lang AS pred_lang, score AS lang_score,
+       {_LANG_NULLS}
 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, lang DESC) AS rk FROM long)
 WHERE rk = 1
+UNION ALL
+SELECT 'vocab' AS variant, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(NULL AS VARCHAR) AS pred_lang, CAST(NULL AS BIGINT) AS lang_score,
+       source, CAST(NULL AS VARCHAR) AS word,
+       n_tokens, n_types, CAST(NULL AS BIGINT) AS cnt,
+       CAST(NULL AS BIGINT) AS rank, ttr
+FROM (
+  WITH wd AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+         round(count(DISTINCT word) * 1.0 / count(*) + 1e-9, 6) AS ttr
+  FROM wd WHERE word != '' GROUP BY 1
+)
+UNION ALL
+SELECT 'zipf' AS variant, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(NULL AS VARCHAR) AS pred_lang, CAST(NULL AS BIGINT) AS lang_score,
+       CAST(NULL AS VARCHAR) AS source, word,
+       CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS n_types,
+       cnt, rank, CAST(NULL AS DOUBLE) AS ttr
+FROM (
+  WITH wd AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+  c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM wd WHERE word != '' GROUP BY 1)
+  SELECT word, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
+  FROM c QUALIFY rank <= 20
+)
 """
 
 
@@ -235,23 +370,51 @@ _MIX_FRACS = {f"src{k}": 0.25 * (k % 4) + 0.25 for k in range(20)}
 _MIX_SEED = 7
 
 
+#: (seed, epoch) for the gated deterministic_shuffle draw
+_SHUF_SEED, _SHUF_EPOCH = 11, 1
+
+
+#: (n_buckets, seed) for the gated DSIR weights
+_DSIR_BUCKETS, _DSIR_SEED = 1024, 5
+
+
 def q_fingerprint(spark, sf_dir):
-    """Union gate, two variants: 'fp' = the md5 content fingerprint;
-    'mix' = the deterministic source-mixture sample (mixing.source_mix:
-    md5-derived per-row uniform vs per-source fraction — the draw itself
-    is replayed by the SQL oracle, certifying rerun-stable sampling)."""
+    """Union gate, four variants (the sampling/selection family): 'fp' =
+    the md5 content fingerprint; 'mix' = the deterministic source-mixture
+    sample (mixing.source_mix: md5-derived per-row uniform vs per-source
+    fraction — the draw itself is replayed by the SQL oracle, certifying
+    rerun-stable sampling); 'shuffle' = the deterministic per-epoch
+    training order (mixing.deterministic_shuffle — the sharded offset
+    plan's global positions must equal the oracle's one-window global rank
+    exactly); 'dsir' = DSIR importance log-weights (mixing.dsir_logweights,
+    Xie et al. 2023: hashed-unigram+bigram bucket LM ratio of the lang='en'
+    target slice vs the whole corpus — the oracle recomputes the full
+    smoothed-model weight per document)."""
     from diive_spark.operators import mixing, textstats
     docs = _t(spark, sf_dir, "documents")
+    _sp_null = F.lit(None).cast("bigint").alias("shuffle_pos")
+    _lw_null = F.lit(None).cast("double").alias("logw")
     a = textstats.fingerprint(docs).select(
         F.lit("fp").alias("variant"), "doc_id", "fp",
-        F.lit(None).cast("bigint").alias("u32"))
+        F.lit(None).cast("bigint").alias("u32"), _sp_null, _lw_null)
     from diive_spark.operators.dedup import h32
     b = mixing.source_mix(docs, _MIX_FRACS, seed=_MIX_SEED).select(
         F.lit("mix").alias("variant"), "doc_id",
         F.lit(None).cast("bigint").alias("fp"),
         h32(F.concat(F.col("doc_id").cast("string"),
-                     F.lit(f":{_MIX_SEED}"))).alias("u32"))
-    return a.unionByName(b)
+                     F.lit(f":{_MIX_SEED}"))).alias("u32"), _sp_null, _lw_null)
+    c = mixing.deterministic_shuffle(
+        docs, seed=_SHUF_SEED, epoch=_SHUF_EPOCH).select(
+        F.lit("shuffle").alias("variant"), "doc_id",
+        F.lit(None).cast("bigint").alias("fp"),
+        F.lit(None).cast("bigint").alias("u32"), "shuffle_pos", _lw_null)
+    d = mixing.dsir_logweights(
+        docs, docs.filter(F.col("lang") == "en"),
+        n_buckets=_DSIR_BUCKETS, seed=_DSIR_SEED).select(
+        F.lit("dsir").alias("variant"), "doc_id",
+        F.lit(None).cast("bigint").alias("fp"),
+        F.lit(None).cast("bigint").alias("u32"), _sp_null, "logw")
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 _MIX_CASE = "CASE " + " ".join(
@@ -261,32 +424,190 @@ _MIX_CASE = "CASE " + " ".join(
 SQL_FINGERPRINT = f"""
 SELECT 'fp' AS variant, doc_id,
        ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT AS fp,
-       CAST(NULL AS BIGINT) AS u32
+       CAST(NULL AS BIGINT) AS u32, CAST(NULL AS BIGINT) AS shuffle_pos,
+       CAST(NULL AS DOUBLE) AS logw
 FROM documents
 UNION ALL
-SELECT 'mix' AS variant, doc_id, CAST(NULL AS BIGINT) AS fp, u32
+SELECT 'mix' AS variant, doc_id, CAST(NULL AS BIGINT) AS fp, u32,
+       CAST(NULL AS BIGINT) AS shuffle_pos, CAST(NULL AS DOUBLE) AS logw
 FROM (
   SELECT doc_id, source,
          ('0x' || substr(md5(doc_id::VARCHAR || ':{_MIX_SEED}'), 1, 8))::BIGINT AS u32
   FROM documents
 )
 WHERE u32 / 4294967296.0 < {_MIX_CASE}
+UNION ALL
+SELECT 'shuffle' AS variant, doc_id, CAST(NULL AS BIGINT) AS fp,
+       CAST(NULL AS BIGINT) AS u32,
+       CAST(row_number() OVER (
+         ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':{_SHUF_SEED}:{_SHUF_EPOCH}'), 1, 8))::BIGINT,
+                  doc_id) - 1 AS BIGINT) AS shuffle_pos,
+       CAST(NULL AS DOUBLE) AS logw
+FROM documents
+UNION ALL
+SELECT 'dsir' AS variant, doc_id, CAST(NULL AS BIGINT) AS fp,
+       CAST(NULL AS BIGINT) AS u32, CAST(NULL AS BIGINT) AS shuffle_pos,
+       logw
+FROM (
+  WITH wd AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), w -> w != '') AS ws
+    FROM documents
+  ),
+  g AS (
+    SELECT doc_id, lang, unnest(ws) AS gram FROM wd
+    UNION ALL
+    SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS gram
+    FROM wd, (SELECT unnest(generate_series(1, 2000)) AS i) s
+    WHERE i + 1 <= len(ws)
+  ),
+  b AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(gram || ':{_DSIR_SEED}'), 1, 8))::BIGINT
+             % {_DSIR_BUCKETS} AS bucket
+    FROM g
+  ),
+  nt AS (SELECT count(*) AS n FROM b WHERE lang = 'en'),
+  nr AS (SELECT count(*) AS n FROM b),
+  tc AS (SELECT bucket, count(*) AS c_t FROM b WHERE lang = 'en' GROUP BY 1),
+  rc AS (SELECT bucket, count(*) AS c_r FROM b GROUP BY 1),
+  ratio AS (
+    SELECT rc.bucket,
+           ln((coalesce(c_t, 0) + 1.0) / (nt.n + {_DSIR_BUCKETS}.0))
+           - ln((c_r + 1.0) / (nr.n + {_DSIR_BUCKETS}.0)) AS logratio
+    FROM rc LEFT JOIN tc USING (bucket), nt, nr
+  ),
+  lw AS (
+    SELECT b.doc_id, round(sum(logratio) + 1e-9, 6) AS logw
+    FROM b JOIN ratio USING (bucket) GROUP BY 1
+  )
+  SELECT d.doc_id, coalesce(lw.logw, 0.0) AS logw
+  FROM documents d LEFT JOIN lw USING (doc_id)
+)
 """
+
+
+def _pii_augmented(docs):
+    """Deterministic synthetic-PII injection (the test corpus has none):
+    every doc gets an email; phones/IPs/long-ids appear on doc_id residue
+    classes so counts VARY per row. The SQL oracle builds the identical
+    string, so detection + redaction are certified end to end."""
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    email = F.concat(F.lit(" contact u"), s(i), F.lit("@ex"), s(i % 7),
+                     F.lit(".com"))
+    phone = F.when(i % 3 == 0, F.concat(
+        F.lit(" call +"), s(1 + i % 89), F.lit(" "), s(200 + i % 700),
+        F.lit(" "), s(100 + i % 900), F.lit(" "), s(1000 + i % 9000),
+    )).otherwise(F.lit(""))
+    ip = F.when(i % 4 == 1, F.concat(
+        F.lit(" from "), s(1 + i % 223), F.lit("."), s(i % 256),
+        F.lit("."), s((i * 7) % 256), F.lit("."), s(1 + i % 250),
+    )).otherwise(F.lit(""))
+    longid = F.when(i % 5 == 2, F.concat(
+        F.lit(" acct "), s(F.lit(1000000000000) + i))).otherwise(F.lit(""))
+    return docs.withColumn(
+        "text", F.concat(F.col("text"), email, phone, ip, longid))
 
 
 def q_token_count(spark, sf_dir):
-    from diive_spark.operators import textstats
+    """Union gate, three variants: 'count' = whitespace + BPE-estimate
+    token counts; 'entropy' = per-doc character Shannon entropy (the
+    gibberish detector — a shuffle-free sorted-run fold in Spark, replayed
+    by the oracle as the mathematically identical char-groupBy); 'pii' =
+    regex PII detection + redaction (privacy.redact_pii) over
+    deterministically injected emails/phones/IPs/long-ids, certified by
+    per-category counts plus the redacted text's length and md5
+    fingerprint."""
+    from diive_spark.operators import privacy, textstats
     docs = _t(spark, sf_dir, "documents")
-    return textstats.token_count(docs).select("doc_id", "n_ws_tokens", "n_bpe_est")
+    _cnt_cols = ("n_ws_tokens", "n_bpe_est")
+    _pii_cols = ("n_pii_email", "n_pii_ip", "n_pii_phone", "n_pii_longid",
+                 "red_len", "red_fp")
+    _ent_null = F.lit(None).cast("double").alias("char_entropy")
+
+    def _nulls(cols):
+        return [F.lit(None).cast("bigint").alias(c) for c in cols]
+
+    a = textstats.token_count(docs).select(
+        F.lit("count").alias("variant"), "doc_id", *_cnt_cols,
+        _ent_null, *_nulls(_pii_cols))
+    b = textstats.char_entropy(docs).select(
+        F.lit("entropy").alias("variant"), "doc_id", *_nulls(_cnt_cols),
+        "char_entropy", *_nulls(_pii_cols))
+    red = privacy.redact_pii(_pii_augmented(docs))
+    c = red.select(
+        F.lit("pii").alias("variant"), "doc_id", *_nulls(_cnt_cols),
+        _ent_null,
+        "n_pii_email", "n_pii_ip", "n_pii_phone", "n_pii_longid",
+        F.length("text_redacted").cast("bigint").alias("red_len"),
+        F.conv(F.substring(F.md5("text_redacted"), 1, 15), 16, 10)
+        .cast("bigint").alias("red_fp"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
-SQL_TOKEN_COUNT = """
-SELECT doc_id,
+def _token_count_sql():
+    from diive_spark.operators.privacy import pii_sql_exprs
+    counts, red = pii_sql_exprs("text")
+    cnt_nulls = "CAST(NULL AS BIGINT) AS n_ws_tokens, CAST(NULL AS BIGINT) AS n_bpe_est"
+    pii_nulls = ", ".join(
+        f"CAST(NULL AS BIGINT) AS {c}"
+        for c in ("n_pii_email", "n_pii_ip", "n_pii_phone", "n_pii_longid",
+                  "red_len", "red_fp"))
+    return f"""
+SELECT 'count' AS variant, doc_id,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
        greatest(CAST(ceil(length(text) / 3.4) AS BIGINT),
-                CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS n_bpe_est
+                CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS n_bpe_est,
+       CAST(NULL AS DOUBLE) AS char_entropy, {pii_nulls}
 FROM documents
+UNION ALL
+SELECT 'entropy' AS variant, doc_id, {cnt_nulls},
+       char_entropy, {pii_nulls}
+FROM (
+  WITH g AS (
+    SELECT doc_id, c, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+    GROUP BY 1, 2
+  )
+  SELECT doc_id,
+         round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt) + 1e-9, 6)
+           AS char_entropy
+  FROM g GROUP BY 1
+)
+UNION ALL
+SELECT 'pii' AS variant, doc_id, {cnt_nulls},
+       CAST(NULL AS DOUBLE) AS char_entropy,
+       {", ".join(counts)},
+       CAST(length(redacted) AS BIGINT) AS red_len,
+       ('0x' || substr(md5(redacted), 1, 15))::BIGINT AS red_fp
+FROM (
+  WITH aug AS (
+    SELECT doc_id,
+           text || ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.com' ||
+           CASE WHEN doc_id % 3 = 0 THEN
+             ' call +' || (1 + doc_id % 89) || ' ' || (200 + doc_id % 700) ||
+             ' ' || (100 + doc_id % 900) || ' ' || (1000 + doc_id % 9000)
+           ELSE '' END ||
+           CASE WHEN doc_id % 4 = 1 THEN
+             ' from ' || (1 + doc_id % 223) || '.' || (doc_id % 256) ||
+             '.' || ((doc_id * 7) % 256) || '.' || (1 + doc_id % 250)
+           ELSE '' END ||
+           CASE WHEN doc_id % 5 = 2 THEN
+             ' acct ' || (1000000000000 + doc_id)
+           ELSE '' END AS text
+    FROM documents
+  )
+  SELECT doc_id, text, {red} AS redacted FROM aug
+)
 """
+
+
+SQL_TOKEN_COUNT = _token_count_sql()
 
 
 def q_simhash(spark, sf_dir):
@@ -385,15 +706,47 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k. Approximate vs brute force by design, but the
-    quantizer is deterministic (md5-ordered centroid pick, tie-broken cell
-    assignment), so the SQL oracle replays the exact IVF plan; recall vs
-    brute force covered by tests/test_dedup_similarity.py."""
+    """Union gate, two variants sharing the deterministic quantizer
+    (md5-ordered centroid pick, tie-broken cell assignment): 'ivf' = IVF
+    approximate top-k (recall vs brute force covered by
+    tests/test_dedup_similarity.py); 'semdedup' = SemDeDup semantic dedup
+    (similarity.semdedup — cluster, compare within-cluster, keep the
+    lowest-centroid-similarity member of each duplicate pair). The
+    synthetic embeddings have no natural near-dups (max cos ~0.5), so the
+    corpus is augmented with deterministic nonlinear copies
+    (x -> x + 0.05 x^2 of every 20th vector, id + 10^7) built IDENTICALLY
+    by both engines, making the oracle replay detection AND the keep rule
+    end to end."""
     from diive_spark.operators import similarity
     embs = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_ivf(
+    _sd = ("vec_id", "centroid_id", "centroid_sim", "is_removed")
+    a = similarity.cosine_topk_ivf(
         embs, embs.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=4
+    ).select(
+        F.lit("ivf").alias("variant"), "query_id", "nbr_id", "sim", "rnk",
+        F.lit(None).cast("bigint").alias("vec_id"),
+        F.lit(None).cast("bigint").alias("centroid_id"),
+        F.lit(None).cast("double").alias("centroid_sim"),
+        F.lit(None).cast("int").alias("is_removed"),
     )
+    e = F.col("embedding").cast("array<double>")
+    dupes = embs.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(e, lambda x: x + F.lit(0.05) * x * x).alias("embedding"),
+    )
+    aug = embs.select("vec_id", e.alias("embedding")).unionByName(dupes)
+    b = similarity.semdedup(
+        aug, n_clusters=8, threshold=0.9, refine_iters=0
+    ).select(
+        F.lit("semdedup").alias("variant"),
+        F.lit(None).cast("bigint").alias("query_id"),
+        F.lit(None).cast("bigint").alias("nbr_id"),
+        F.lit(None).cast("double").alias("sim"),
+        F.lit(None).cast("bigint").alias("rnk"),
+        "vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        "centroid_sim", "is_removed",
+    )
+    return a.unionByName(b)
 
 
 QUERIES.update({
@@ -785,7 +1138,10 @@ WHERE round(1e-9 + n_int / (z1.n_sh + z2.n_sh - n_int), 6) >= {threshold}
 ORACLES["minhash_lsh"] = _minhash_lsh_sql()
 
 
-SQL_ANN_IVF = """
+_IVF_NULLS = """CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS centroid_id,
+       CAST(NULL AS DOUBLE) AS centroid_sim, CAST(NULL AS INTEGER) AS is_removed"""
+
+SQL_ANN_IVF = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 hashed AS (
   SELECT vec_id, e, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
@@ -816,10 +1172,60 @@ scored AS (
                / nullif(sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(p.qv, p.qv)), 0), 6) AS sim
   FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
   WHERE p.query_id != a.nbr_id
+),
+aug AS (
+  SELECT vec_id, e FROM v
+  UNION ALL
+  SELECT vec_id + 10000000, list_transform(e, x -> x + 0.05 * x * x)
+  FROM v WHERE vec_id % 20 = 0
+),
+sd_hashed AS (
+  SELECT vec_id, e, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM aug
+),
+sd_cents AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS centroid_id, e AS cent
+  FROM (SELECT * FROM sd_hashed ORDER BY h, vec_id LIMIT 8)
+),
+sd_assign AS (
+  SELECT vec_id, e, centroid_id, csim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rk
+  FROM (
+    SELECT a.vec_id, a.e, c.centroid_id,
+           list_dot_product(a.e, c.cent)
+           / nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.cent, c.cent)), 0) AS csim
+    FROM aug a CROSS JOIN sd_cents c
+  )
+),
+sd_assigned AS (
+  SELECT vec_id, e, centroid_id, round(csim + 1e-9, 6) AS centroid_sim
+  FROM sd_assign WHERE rk = 1
+),
+sd_pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         a.centroid_sim AS cs1, b.centroid_sim AS cs2
+  FROM sd_assigned a JOIN sd_assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(1e-9 + list_dot_product(a.e, b.e)
+        / nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 6) >= 0.9
+),
+sd_removed AS (
+  SELECT DISTINCT CASE WHEN cs1 > cs2 THEN id1
+                       WHEN cs2 > cs1 THEN id2
+                       ELSE greatest(id1, id2) END AS vec_id
+  FROM sd_pairs
 )
-SELECT query_id, nbr_id, sim,
-       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS BIGINT) AS rnk
+SELECT 'ivf' AS variant, query_id, nbr_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS BIGINT) AS rnk,
+       {_IVF_NULLS}
 FROM scored QUALIFY rnk <= 5
+UNION ALL
+SELECT 'semdedup' AS variant, CAST(NULL AS BIGINT) AS query_id,
+       CAST(NULL AS BIGINT) AS nbr_id, CAST(NULL AS DOUBLE) AS sim,
+       CAST(NULL AS BIGINT) AS rnk,
+       a.vec_id, CAST(a.centroid_id AS BIGINT) AS centroid_id, a.centroid_sim,
+       CAST(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS is_removed
+FROM sd_assigned a LEFT JOIN sd_removed r USING (vec_id)
 """
 
 ORACLES["ann_ivf"] = SQL_ANN_IVF

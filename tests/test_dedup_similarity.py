@@ -500,3 +500,88 @@ def test_remove_boilerplate_lines(spark):
         spark.createDataFrame(pdf.iloc[:2]), min_count=3) \
         .toPandas().set_index("doc_id")["text"]
     assert out2.loc[1] == "alpha\ncookie notice\nbeta"
+
+
+def _semdedup_oracle(ids, vecs, cents, threshold):
+    """Independent numpy replay of semdedup's assignment + pairwise rule,
+    sharing only the quantizer table (quantizer determinism is certified
+    separately by the ann_ivf gate)."""
+    def r6(x):
+        return round(x + 1e-9, 6)
+
+    V = np.asarray(vecs, dtype=np.float64)
+    C = np.asarray(cents, dtype=np.float64)
+    vn = np.linalg.norm(V, axis=1)
+    cn = np.linalg.norm(C, axis=1)
+    sims = (V @ C.T) / np.outer(vn, cn)
+    # max-cosine assignment, ties -> lowest centroid id (argmax is first-max)
+    cid = sims.argmax(axis=1)
+    csim = np.array([r6(sims[i, cid[i]]) for i in range(len(ids))])
+    removed = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cid[i] != cid[j]:
+                continue
+            s = r6(V[i] @ V[j] / (vn[i] * vn[j]))
+            if s < threshold:
+                continue
+            a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+            ca, cb = (csim[i], csim[j]) if ids[i] < ids[j] else (csim[j], csim[i])
+            if ca > cb:
+                removed.add(a)
+            elif cb > ca:
+                removed.add(b)
+            else:
+                removed.add(max(a, b))
+    return {int(ids[i]): int(cid[i]) for i in range(len(ids))}, removed
+
+
+def test_semdedup_matches_numpy_oracle(spark, embs):
+    """SemDeDup vs a full numpy replay on the corpus + planted near-dup
+    groups: assignment, centroid_sim rounding, pairwise in-cluster
+    comparison, and the lowest-centroid-sim keep rule must all agree."""
+    rng = np.random.default_rng(13)
+    base = embs.orderBy("vec_id").limit(60).toPandas()
+    ids = list(base["vec_id"].astype(int))
+    vecs = [list(map(float, v)) for v in base["embedding"]]
+    # plant near-dup copies of 6 vectors at two perturbation radii: the
+    # copies stay cos>0.99 to their original (natural corpus max ~0.5)
+    for k in range(6):
+        v = np.array(vecs[k])
+        for j, eps in enumerate((0.01, 0.03)):
+            pert = v + eps * rng.standard_normal(v.shape) * np.linalg.norm(v) / 8
+            ids.append(10_000 + 10 * k + j)
+            vecs.append([float(x) for x in pert])
+    df = spark.createDataFrame(
+        list(zip(ids, vecs)), "vec_id bigint, embedding array<double>")
+    out = similarity.semdedup(
+        df, n_clusters=6, threshold=0.9, refine_iters=0).toPandas()
+    cents_pdf = similarity._centroids(df, "vec_id", "embedding", 6) \
+        .orderBy("centroid_id").toPandas()
+    cents = [list(map(float, c)) for c in cents_pdf["cent"]]
+    want_cid, want_removed = _semdedup_oracle(ids, vecs, cents, 0.9)
+
+    got = out.set_index("vec_id")
+    assert len(got) == len(ids)
+    for i in ids:
+        assert int(got.loc[i, "centroid_id"]) == want_cid[i], i
+        assert int(got.loc[i, "is_removed"]) == int(i in want_removed), i
+    # the planted groups must actually exercise the rule: >=6 removals,
+    # and no removal outside the planted id space unless oracle says so
+    assert len(want_removed) >= 6
+    # survivors per planted group: exactly one member kept when the group
+    # is fully connected inside one cluster
+    for k in range(6):
+        grp = [ids[k], 10_000 + 10 * k, 10_000 + 10 * k + 1]
+        if len({want_cid[g] for g in grp}) == 1:
+            kept = [g for g in grp if g not in want_removed]
+            pair_ok = all(
+                _cos(vecs[ids.index(g1)], vecs[ids.index(g2)]) >= 0.9
+                for g1 in grp for g2 in grp if g1 < g2)
+            if pair_ok:
+                assert len(kept) == 1
+
+
+def _cos(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
