@@ -187,18 +187,23 @@ def dsir_logweights(
     Returns raw's (id_col, logw) — logw rounded to 6 decimals."""
     tg = _hashed_grams(target, id_col, text_col, n_buckets, seed)
     rg = _hashed_grams(raw, id_col, text_col, n_buckets, seed)
-    n_t = tg.count()
-    n_r = rg.count()
     tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
     rc = rg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
-    denom_t = float(n_t) + alpha * n_buckets
-    denom_r = float(n_r) + alpha * n_buckets
+    # model totals derive from the (<= n_buckets-row) count tables — no
+    # .count() action, no extra corpus pass, fully lazy single-row aggs
+    tot_t = tc.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("_n_t"))
+    tot_r = rc.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("_n_r"))
+    ab = F.lit(alpha * n_buckets)
     ratio = (
         tc.join(rc, "bucket", "full")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
         .select(
             "bucket",
-            (F.log((F.coalesce("c_t", F.lit(0)) + F.lit(alpha)) / F.lit(denom_t))
-             - F.log((F.coalesce("c_r", F.lit(0)) + F.lit(alpha)) / F.lit(denom_r))
+            (F.log((F.coalesce("c_t", F.lit(0)) + F.lit(alpha))
+                   / (F.col("_n_t") + ab))
+             - F.log((F.coalesce("c_r", F.lit(0)) + F.lit(alpha))
+                     / (F.col("_n_r") + ab))
              ).alias("logratio"),
         )
     )
