@@ -585,3 +585,23 @@ def test_semdedup_matches_numpy_oracle(spark, embs):
 def _cos(a, b):
     a, b = np.asarray(a), np.asarray(b)
     return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_semdedup_arrow_kernel_agrees_with_exact_fold(spark, embs):
+    """The Arrow pair-scoring path (vectorized einsum) must produce the
+    same removal decisions and centroid assignments as the oracle-exact
+    catalyst fold; similarities agree to float noise."""
+    base = embs.select("vec_id", "embedding").limit(80)
+    aug = base.unionByName(base.select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x + F.lit(0.05) * x * x).alias("embedding")))
+    exact = similarity.semdedup(
+        aug, n_clusters=5, threshold=0.9, refine_iters=0) \
+        .toPandas().set_index("vec_id").sort_index()
+    arrow = similarity.semdedup(
+        aug, n_clusters=5, threshold=0.9, refine_iters=0,
+        use_arrow_kernel=True).toPandas().set_index("vec_id").sort_index()
+    assert (exact["centroid_id"] == arrow["centroid_id"]).all()
+    assert (exact["is_removed"] == arrow["is_removed"]).all()
+    assert exact["is_removed"].sum() >= 40
