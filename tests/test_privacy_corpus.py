@@ -225,3 +225,41 @@ def test_dsir_weights_match_pandas_oracle_and_separate_styles(spark):
     assert list(sel["doc_id"]) == list(sel2["doc_id"])
     # style-A enrichment: >= 80% of the selected docs are target-style
     assert (sel["doc_id"] % 2 == 0).mean() >= 0.8
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_round6_curation_plans_are_scale_shaped(spark):
+    """Plan-shape pins for the round-6 curation operators (the properties
+    a 100 TB run depends on):
+    - deterministic_shuffle: per-shard offsets come back via a BROADCAST
+      hash join, and the only single-partition exchange is the bounded
+      (#shards-row) offset window — never the corpus;
+    - dsir_logweights: the bucket-LM ratio table is broadcast (one
+      BroadcastHashJoin); the only nested-loop joins are the two
+      single-row total crossJoins;
+    - semdedup: the within-cluster pair join is a shuffled join keyed on
+      (centroid_id, block) — block salting present — and nested-loop
+      joins appear only for the bounded centroid-table broadcasts."""
+    from diive_spark.operators import mixing, similarity
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    p1 = _plan(mixing.deterministic_shuffle(docs))
+    assert "BroadcastHashJoin" in p1
+    assert p1.count("Exchange SinglePartition") == 1
+
+    p2 = _plan(mixing.dsir_logweights(docs, docs.filter("lang = 'en'")))
+    assert p2.count("BroadcastHashJoin") >= 1
+    assert p2.count("BroadcastNestedLoopJoin") == 2
+
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    p3 = _plan(similarity.semdedup(embs, n_clusters=6, refine_iters=0))
+    pair_join = [l for l in p3.splitlines()
+                 if "Join" in l and "_blk" in l]
+    assert pair_join, "block-salted pair join missing from the plan"
+    assert "BroadcastNestedLoop" not in pair_join[0]
