@@ -301,6 +301,46 @@ def semdedup(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbour label vote over the embedding space — the
+    classic label-propagation / auto-labeling pass of a training-data
+    pipeline (score unlabeled examples by their labeled neighbours).
+
+    Plan: exact top-k per query (cosine_topk_bruteforce: broadcast the
+    small query side, scan the corpus once), broadcast-join the k·|queries|
+    neighbour rows back to their labels, then a bounded groupBy vote.
+    The winner is deterministic: (vote count desc, summed similarity desc,
+    label asc) — engine-portable because the similarities are the rounded
+    gate values.
+
+    Returns (query_id, pred_label, n_votes, w_sim) — one row per query."""
+    nbrs = cosine_topk_bruteforce(corpus, queries, k=k,
+                                  id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(F.col(id_col).alias("nbr_id"),
+                           F.col(label_col).cast("bigint").alias("_lbl"))
+    votes = (
+        nbrs.join(labels, "nbr_id")
+        .groupBy("query_id", "_lbl")
+        .agg(F.count(F.lit(1)).alias("n_votes"),
+             F.round(F.sum("sim") + F.lit(1e-9), 6).alias("w_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.desc("w_sim"), F.asc("_lbl"))
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("query_id", F.col("_lbl").alias("pred_label"),
+                "n_votes", "w_sim")
+    )
+
+
 def _dot_arrow(a: Column, b: Column) -> Column:
     """Arrow-batched pairwise dot product: one einsum per record batch —
     the vectorized hot-loop kernel for semdedup's pair scoring."""

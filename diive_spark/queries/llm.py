@@ -637,26 +637,66 @@ FROM bits GROUP BY 1
 
 
 def q_ann_cosine_topk(spark, sf_dir):
+    """Union gate, two variants: 'topk' = exact brute-force cosine top-5
+    per query; 'knn' = k-nearest-neighbour label vote
+    (similarity.knn_classify, k=15 over the labeled embedding corpus —
+    prediction, vote count, and summed-similarity weight all
+    value-oracled; the tie-break chain count/weight/label is replayed by
+    the SQL)."""
     from diive_spark.operators import similarity
     embs = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_bruteforce(
-        embs, embs.filter(F.col("vec_id") < 10), k=5
-    )
+    q = embs.filter(F.col("vec_id") < 10)
+    _knn_nulls = [F.lit(None).cast("bigint").alias(c)
+                  for c in ("pred_label", "n_votes")]
+    a = similarity.cosine_topk_bruteforce(embs, q, k=5).select(
+        F.lit("topk").alias("variant"), "query_id", "nbr_id", "sim", "rnk",
+        *_knn_nulls, F.lit(None).cast("double").alias("w_sim"))
+    b = similarity.knn_classify(embs, q, k=15).select(
+        F.lit("knn").alias("variant"), "query_id",
+        F.lit(None).cast("bigint").alias("nbr_id"),
+        F.lit(None).cast("double").alias("sim"),
+        F.lit(None).cast("bigint").alias("rnk"),
+        "pred_label", F.col("n_votes").cast("bigint").alias("n_votes"),
+        "w_sim")
+    return a.unionByName(b)
 
 
 SQL_ANN_COSINE_TOPK = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, c.label AS nbr_label,
          round(1e-9 + list_dot_product(q.e, c.e) /
                (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
   FROM v q JOIN v c ON q.vec_id != c.vec_id
   WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS BIGINT) AS rnk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, CAST(nbr_label AS BIGINT) AS lbl,
+         CAST(count(*) AS BIGINT) AS n_votes,
+         round(sum(sim) + 1e-9, 6) AS w_sim
+  FROM ranked WHERE rnk <= 15
+  GROUP BY 1, 2
+),
+winner AS (
+  SELECT query_id, lbl AS pred_label, n_votes, w_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, w_sim DESC, lbl ASC) AS vr
+  FROM votes
 )
-SELECT query_id, nbr_id, sim,
-       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS BIGINT) AS rnk
-FROM scored
-QUALIFY rnk <= 5
+SELECT 'topk' AS variant, query_id, nbr_id, sim, rnk,
+       CAST(NULL AS BIGINT) AS pred_label, CAST(NULL AS BIGINT) AS n_votes,
+       CAST(NULL AS DOUBLE) AS w_sim
+FROM ranked WHERE rnk <= 5
+UNION ALL
+SELECT 'knn' AS variant, query_id, CAST(NULL AS BIGINT) AS nbr_id,
+       CAST(NULL AS DOUBLE) AS sim, CAST(NULL AS BIGINT) AS rnk,
+       pred_label, n_votes, w_sim
+FROM winner WHERE vr = 1
 """
 
 

@@ -605,3 +605,34 @@ def test_semdedup_arrow_kernel_agrees_with_exact_fold(spark, embs):
     assert (exact["centroid_id"] == arrow["centroid_id"]).all()
     assert (exact["is_removed"] == arrow["is_removed"]).all()
     assert exact["is_removed"].sum() >= 40
+
+
+def test_knn_classify_matches_numpy_oracle(spark, embs):
+    """kNN label vote vs a full numpy replay (cosine matrix, top-k with
+    (sim desc, id asc) tie-break, vote by (count, summed rounded sim,
+    label))."""
+    pdf = embs.select("vec_id", "embedding", "label").orderBy("vec_id") \
+        .toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    lbl = pdf["label"].to_numpy()
+    vn = np.linalg.norm(V, axis=1)
+    k = 7
+    got = similarity.knn_classify(
+        embs, embs.filter(F.col("vec_id") < 12), k=k) \
+        .toPandas().set_index("query_id").sort_index()
+    sims = (V @ V.T) / np.outer(vn, vn)
+    for q in range(12):
+        s = np.array([round(x + 1e-9, 6) for x in sims[q]])
+        order = sorted((i for i in range(len(ids)) if ids[i] != q),
+                       key=lambda i: (-s[i], ids[i]))[:k]
+        votes = {}
+        for i in order:
+            c, w = votes.get(lbl[i], (0, 0.0))
+            votes[lbl[i]] = (c + 1, w + s[i])
+        win = sorted(votes.items(),
+                     key=lambda kv: (-kv[1][0], -round(kv[1][1] + 1e-9, 6),
+                                     kv[0]))[0]
+        assert int(got.loc[q, "pred_label"]) == int(win[0]), q
+        assert int(got.loc[q, "n_votes"]) == win[1][0], q
+        assert abs(got.loc[q, "w_sim"] - round(win[1][1] + 1e-9, 6)) < 2e-6, q
