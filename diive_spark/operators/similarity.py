@@ -201,7 +201,13 @@ def semdedup(
     Plan shape (the paper's own tractability argument, distributed):
     - quantizer: seeded hash-pick centroids, optionally refined by
       ``refine_iters`` distributed k-means passes (kmeans_centroids) —
-      the only collected state is the n_clusters x dim table;
+      the only collected state is the n_clusters x dim table. Scale
+      limit, stated honestly: that per-iteration collect sizes
+      refine_iters > 0 for n_clusters up to ~10^4 (a few hundred MB of
+      driver state at dim 768); the billion-doc regime (n_clusters ~
+      10^5-10^6, 'auto') should use refine_iters=0 (hash-pick quantizer,
+      zero driver state) or an external distributed k-means — the pair
+      stage below is unaffected either way;
     - assignment: broadcast the centroid table, max-cosine row_number —
       one corpus scan, no shuffle beyond the per-id window;
     - candidate pairs: ONE self-join keyed on centroid_id (id1 < id2),

@@ -9,6 +9,8 @@ import re
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from diive_spark.operators import dedup, mixing, privacy, textstats
@@ -263,3 +265,43 @@ def test_round6_curation_plans_are_scale_shaped(spark):
                  if "Join" in l and "_blk" in l]
     assert pair_join, "block-salted pair join missing from the plan"
     assert "BroadcastNestedLoop" not in pair_join[0]
+
+
+def _paragraph_dedup_oracle(rows, sep="\n"):
+    """Pandas-free replay of the keep-first policy: global (doc_id, pos)
+    order decides which occurrence of each paragraph survives."""
+    seen = {}
+    occ = []
+    for doc_id, text in rows:
+        for pos, para in enumerate(text.split(sep)):
+            if para == "":
+                continue
+            occ.append((doc_id, pos, para))
+    for doc_id, pos, para in sorted(occ):
+        seen.setdefault(para, (doc_id, pos))
+    out = {}
+    for doc_id, text in rows:
+        kept = [p for i, p in enumerate(text.split(sep))
+                if p != "" and seen[p] == (doc_id, i)]
+        out[doc_id] = (sep.join(kept), len(kept))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", ""]),
+             min_size=0, max_size=6),
+    min_size=1, max_size=12))
+def test_paragraph_dedup_property(spark, paras_per_doc):
+    """Property: for ANY corpus (repeats within docs, across docs, empty
+    paragraphs, all-boilerplate docs), paragraph_dedup equals the
+    sequential keep-first oracle and conserves the doc set."""
+    from diive_spark.operators import dedup
+    rows = [(i, "\n".join(ps)) for i, ps in enumerate(paras_per_doc)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = dedup.paragraph_dedup(df).toPandas().set_index("doc_id")
+    want = _paragraph_dedup_oracle(rows)
+    assert len(got) == len(rows)
+    for doc_id, (text, n) in want.items():
+        assert got.loc[doc_id, "text"] == text, (doc_id, rows)
+        assert int(got.loc[doc_id, "n_paras_kept"]) == n, (doc_id, rows)
