@@ -372,6 +372,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     while i + 4 <= len(blob):
         if blob[i] != 0xFF:
             raise CodecError(f"JPEG marker sync lost at {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while i + 4 <= len(blob) and blob[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(blob):
+            break
         marker = blob[i + 1]
         if marker == 0xD9:  # EOI
             break
@@ -420,6 +425,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if frame is None:
                 raise CodecError("JPEG SOS before SOF")
             ns = data[0]
+            if ns < len(frame["comps"]):
+                raise CodecError(
+                    "non-interleaved JPEG (scan covers "
+                    f"{ns}/{len(frame['comps'])} components) unsupported")
             scan = []
             for c in range(ns):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
@@ -1311,6 +1320,7 @@ def decode_flac(blob: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
 
     channels: list[list[np.ndarray]] = [[] for _ in range(si_nch)]
     got = 0
+    rate = si_rate  # zero-frame streams still return the STREAMINFO rate
     while pos < len(blob) and (total == 0 or got < total):
         frame_start = pos
         r = _FlacBitReader(blob, pos)

@@ -71,7 +71,13 @@ def analyze_highest_quality_flux(
         st = wlmap.agg(F.min("WINSIZE_HAMPEL").alias("lo"),
                        F.max("WINSIZE_HAMPEL").alias("hi"),
                        F.countDistinct("WINSIZE_HAMPEL").alias("nd")).first()
-        if st["nd"] > max_distinct_lengths:
+        if max_distinct_lengths < 1:
+            raise ValueError("max_distinct_lengths must be >= 1")
+        if st["nd"] > max_distinct_lengths and max_distinct_lengths == 1:
+            # degenerate grid: route every key to the max auto length
+            # (wider Hampel window — the conservative direction)
+            wlmap = wlmap.withColumn("WINSIZE_HAMPEL", F.lit(int(st["hi"])))
+        elif st["nd"] > max_distinct_lengths:
             lo, hi = float(st["lo"]), float(st["hi"])
             ratio = (hi / lo) ** (1.0 / (max_distinct_lengths - 1))
             # level index on the geometric grid, rounded up (1e-9 guards

@@ -122,18 +122,43 @@ def temperature_fractions(
     probability p_i proportional to c_i^(1/T) (T=1 -> natural proportions,
     T->inf -> uniform over sources), scaled so the expected kept rows hit
     ``target_rows``; each fraction capped at 1.0 (no upsampling — repeat
-    epochs handle that downstream). One bounded aggregate; the returned
-    dict is vocabulary-of-sources sized."""
+    epochs handle that downstream). Capped sources' shortfall is
+    water-filled onto the uncapped sources (re-scaled on their relative
+    weights each pass) until either the expected kept rows hit
+    ``target_rows`` exactly or every source is capped (target exceeds the
+    corpus — expected rows then undershoot at sum(counts)). One bounded
+    aggregate; the returned dict is vocabulary-of-sources sized."""
     counts = {r[source_col]: r["cnt"] for r in
               df.groupBy(source_col).agg(F.count("*").alias("cnt")).collect()}
     if not counts:
         return {}
     weights = {s: c ** (1.0 / temperature) for s, c in counts.items()}
-    tot_w = sum(weights.values())
-    # expected rows from source i at fraction f_i = f_i * c_i; want
-    # sum_i f_i c_i = target with f_i proportional to w_i / c_i
-    raw = {s: target_rows * (weights[s] / tot_w) / counts[s] for s in counts}
-    return {s: min(f, 1.0) for s, f in raw.items()}
+    fracs = {s: 0.0 for s in counts}
+    capped: set = set()
+    remaining = float(target_rows)
+    # water-filling: each pass distributes the remaining row budget over
+    # the uncapped sources in weight proportion; any source whose implied
+    # fraction exceeds 1.0 is pinned there (contributing its full count)
+    # and its overflow re-enters the pool. <= len(counts) passes.
+    while remaining > 1e-9 and len(capped) < len(counts):
+        free_w = sum(weights[s] for s in counts if s not in capped)
+        newly_capped = False
+        for s in counts:
+            if s in capped:
+                continue
+            want = remaining * (weights[s] / free_w) / counts[s]
+            if want >= 1.0:
+                fracs[s] = 1.0
+                capped.add(s)
+                newly_capped = True
+        if not newly_capped:
+            for s in counts:
+                if s not in capped:
+                    fracs[s] = remaining * (weights[s] / free_w) / counts[s]
+            break
+        remaining = target_rows - sum(
+            fracs[s] * counts[s] for s in capped)
+    return fracs
 
 
 def _hashed_grams(df: DataFrame, id_col: str, text_col: str,

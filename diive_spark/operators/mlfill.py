@@ -347,16 +347,26 @@ def permutation_importance(
 
     if not 0 < test_size < 1:
         raise ValueError("test_size must be in (0, 1) for holdout scoring")
+    # per-row uid: full-row hash breaks duplicate-_ts ties in both the
+    # chronological cut and the permutation pairing (rows that are fully
+    # identical remain interchangeable, so any residual tie is harmless)
+    work = work.withColumn(
+        "_uid", F.xxhash64(F.col("_ts"), F.col("_label"), *fnames))
     # exact chronological cut (reference time_aware_split): train = first
-    # floor(n*(1-test_size)) rows; one ordered offset+limit scan finds the
-    # boundary timestamp, then the split is two prunable range filters
+    # floor(n*(1-test_size)) rows under the total (_ts, _uid) order; one
+    # ordered offset+limit scan finds the boundary row, then the split is
+    # two prunable range filters
     n_total = work.count()
     k = int(n_total * (1.0 - test_size))
     if k < 1 or k >= n_total:
         raise ValueError(f"degenerate split: {k} train of {n_total}")
-    thr = work.select("_ts").orderBy("_ts").offset(k).limit(1).first()[0]
-    train = work.filter(F.col("_ts") < F.lit(thr))
-    holdout = work.filter(F.col("_ts") >= F.lit(thr)).cache()
+    thr_row = (work.select("_ts", "_uid").orderBy("_ts", "_uid")
+               .offset(k).limit(1).first())
+    thr, thr_uid = thr_row[0], thr_row[1]
+    before_cut = (F.col("_ts") < F.lit(thr)) | (
+        (F.col("_ts") == F.lit(thr)) & (F.col("_uid") < F.lit(thr_uid)))
+    train = work.filter(before_cut)
+    holdout = work.filter(~before_cut).cache()
     n_holdout = holdout.count()
     if n_holdout < 3:
         raise ValueError(f"holdout too small ({n_holdout} rows)")
@@ -392,8 +402,8 @@ def permutation_importance(
         drops = []
         for rep in range(n_repeats):
             salt = F.lit(f"{seed}|{fname}|{rep}")
-            wa = Window.orderBy(F.xxhash64(F.col("_ts"), salt))
-            wb = Window.orderBy(F.xxhash64(F.col("_ts"), salt, F.lit("v")))
+            wa = Window.orderBy(F.xxhash64(F.col("_uid"), salt))
+            wb = Window.orderBy(F.xxhash64(F.col("_uid"), salt, F.lit("v")))
             left = holdout.withColumn("_rk", F.row_number().over(wa))
             donor = holdout.select(
                 F.col(fname).alias("_perm"),

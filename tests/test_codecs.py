@@ -361,3 +361,54 @@ def test_flac_crc_primitives_match_public_check_values():
     the integrity primitives are the spec's."""
     assert codecs._crc8(b"123456789") == 0xF4
     assert codecs._crc16(b"123456789") == 0xFEE8
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: optional 0xFF fill bytes may precede any marker.
+    Inserting fills before every header segment must not change the
+    decode (ADVICE r6: the marker loop previously raised 'sync lost')."""
+    img = _smooth_rgb(17, 23)
+    blob = codecs.encode_jpeg(img, 90)
+    # re-assemble with two fill bytes before each post-SOI marker segment
+    out = bytearray(blob[:2])
+    i = 2
+    while i + 4 <= len(blob):
+        marker = blob[i + 1]
+        if marker == 0xDA:  # SOS: keep the rest verbatim (entropy data)
+            out += b"\xff\xff" + blob[i:]
+            break
+        (seg_len,) = struct.unpack(">H", blob[i + 2:i + 4])
+        out += b"\xff\xff" + blob[i:i + 2 + seg_len]
+        i += 2 + seg_len
+    assert np.array_equal(codecs.decode_jpeg(bytes(out)),
+                          codecs.decode_jpeg(blob))
+
+
+def test_jpeg_non_interleaved_scan_rejected():
+    """A legal baseline file whose first scan covers fewer components
+    than the frame (non-interleaved, T.81 allows it) must raise rather
+    than silently return the Y plane (ADVICE r6)."""
+    sof = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sos = bytes([1, 1 << 4 | 1, 0, 63, 0])  # ns=1 of 3
+    blob = (b"\xff\xd8"
+            + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+            + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+    with pytest.raises(codecs.CodecError, match="non-interleaved"):
+        codecs.decode_jpeg(blob)
+
+
+def test_flac_zero_frames_returns_streaminfo_rate():
+    """A valid stream with metadata but zero audio frames decodes to an
+    empty sample array at the STREAMINFO rate instead of raising
+    NameError (ADVICE r6)."""
+    enc = codecs.encode_flac(_tone(n=2000), 16000)
+    hdr = bytearray(enc[:42])          # fLaC + block header + STREAMINFO
+    hdr[4] |= 0x80                     # mark STREAMINFO as the last block
+    body = bytearray(hdr[8:42])
+    body[13] &= 0xF0                   # total-samples := 0 (unknown)
+    body[14:18] = b"\x00\x00\x00\x00"
+    body[18:34] = b"\x00" * 16         # MD5 unset -> verify skipped
+    samples, rate = codecs.decode_flac(bytes(hdr[:8]) + bytes(body))
+    assert rate == 16000
+    assert samples.shape[0] == 0

@@ -636,3 +636,32 @@ def test_knn_classify_matches_numpy_oracle(spark, embs):
         assert int(got.loc[q, "pred_label"]) == int(win[0]), q
         assert int(got.loc[q, "n_votes"]) == win[1][0], q
         assert abs(got.loc[q, "w_sim"] - round(win[1][1] + 1e-9, 6)) < 2e-6, q
+
+
+def test_temperature_fractions_water_filling(spark):
+    """ADVICE r6: when a small source caps at 1.0, its shortfall must be
+    redistributed onto the uncapped sources so expected kept rows still
+    hit target_rows (previously the cap silently undershot)."""
+    from diive_spark.operators import mixing
+
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(1000)],
+        "source": ["tiny"] * 20 + ["mid"] * 280 + ["big"] * 700,
+    })
+    docs = spark.createDataFrame(pdf)
+    # T->inf-ish: near-uniform weights force the tiny source over 1.0
+    tf = mixing.temperature_fractions(docs, temperature=100.0,
+                                      target_rows=600)
+    counts = {"tiny": 20, "mid": 280, "big": 700}
+    assert tf["tiny"] == 1.0
+    assert all(0.0 < f <= 1.0 for f in tf.values())
+    expected = sum(tf[s] * counts[s] for s in tf)
+    np.testing.assert_allclose(expected, 600, rtol=1e-9)
+    # the near-uniform budget pushes mid over 1.0 on the second pass
+    # too; big absorbs the full residual (600 - 20 - 280) / 700
+    assert tf["mid"] == 1.0
+    np.testing.assert_allclose(tf["big"], 300 / 700, rtol=1e-9)
+    # target beyond the corpus: everything caps, expectation == corpus
+    tf_all = mixing.temperature_fractions(docs, temperature=2.0,
+                                          target_rows=10_000)
+    assert all(f == 1.0 for f in tf_all.values())

@@ -308,3 +308,30 @@ def test_optimize_params_ts_fold_geometry_matches_sklearn(spark):
     assert len(cv.loc[0, "split_test_scores"]) == 4
     # every fold scored on exactly f rows => finite negMSE, model sane
     assert all(np.isfinite(s) for s in cv.loc[0, "split_test_scores"])
+
+
+def test_permutation_importance_duplicate_timestamps_deterministic(spark):
+    """ADVICE r6: duplicate timestamps previously made the chronological
+    cut fuzzy and the hash-rank permutation pairing tie-dependent. The
+    (_ts, row-hash) keying must give an exact k-row split and identical
+    importances on rerun even when every timestamp appears twice."""
+    rng = np.random.default_rng(23)
+    n = 400
+    ts = np.repeat(pd.date_range("2024-05-01", periods=n // 2,
+                                 freq="30min"), 2)
+    x = rng.normal(0, 1, n)
+    y = 3.0 * x + rng.normal(0, 0.2, n)
+    junk = rng.normal(0, 1, n)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"ts": ts, "y": y, "x": x, "junk": junk}))
+
+    runs = [mlfill.permutation_importance(
+        df, "ts", "y", ["x", "junk"], n_repeats=2, seed=5,
+        num_trees=10, max_depth=5, test_size=0.25)
+        .toPandas().set_index("feature") for _ in range(2)]
+    # exact split: holdout is exactly ceil(n*0.25) rows
+    assert runs[0]["n_holdout"].iloc[0] == n - int(n * 0.75)
+    np.testing.assert_allclose(runs[0]["importance"], runs[1]["importance"])
+    np.testing.assert_allclose(runs[0]["baseline_r2"],
+                               runs[1]["baseline_r2"])
+    assert runs[0].loc["x", "importance"] > 0.5

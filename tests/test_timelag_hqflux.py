@@ -425,3 +425,33 @@ def test_hqflux_auto_length_bucketing_bounded(spark):
         assert row["window_length"] >= exact[row["site"]]
     assert hqdf.count() == sum(n * 48 for n in [10, 20, 35, 50, 70, 90, 120,
                                                 150, 180, 210, 240, 270])
+
+
+def test_hqflux_single_distinct_length_routes_to_max(spark):
+    """ADVICE r6: max_distinct_lengths=1 previously divided by zero when
+    keys had >1 distinct auto length; now every key routes to the max
+    auto length (wider window — the conservative direction)."""
+    import pandas as pd
+    from diive_spark.operators.hqflux import analyze_highest_quality_flux
+
+    rng = np.random.default_rng(3)
+    frames = []
+    for i, n_days in enumerate([10, 30, 60]):
+        ts = pd.date_range("2024-01-01", periods=n_days * 48, freq="30min")
+        frames.append(pd.DataFrame({
+            "site": f"s{i}", "ts": ts,
+            "flux": rng.normal(0, 1, len(ts))}))
+    sdf = spark.createDataFrame(pd.concat(frames))
+    hqdf, summary = analyze_highest_quality_flux(
+        sdf, ["site"], "ts", "flux", lat=47.0, lon=8.0, utc_offset=1,
+        max_distinct_lengths=1)
+    s = summary.toPandas()
+    assert len(s) == 3
+    # exact rule maxes at 60*48/100 = 28; all keys routed there
+    assert set(s["window_length"]) == {28}
+    assert hqdf.count() == (10 + 30 + 60) * 48
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_distinct_lengths"):
+        analyze_highest_quality_flux(
+            sdf, ["site"], "ts", "flux", lat=47.0, lon=8.0, utc_offset=1,
+            max_distinct_lengths=0)
