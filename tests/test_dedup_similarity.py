@@ -199,24 +199,40 @@ def test_adjacent_repeated_stopwords_counted(spark):
 
 
 def test_gated_embedding_query_plan_is_bucketed(spark, embs):
-    """The gated near-dup query must run the hyperplane-LSH plan: no O(n^2)
-    BroadcastNestedLoopJoin / CartesianProduct anywhere in the physical plan,
-    and (at the tuned 2-planes x 24-tables s-curve) results identical to the
-    exact all-pairs baseline."""
-    out = similarity.cosine_lsh_pairs(embs, threshold=0.35, n_planes=2, n_tables=32)
+    """The gated near-dup query (r7 regime: cos >= 0.8, auto planes,
+    augmented corpus) must run the hyperplane-LSH plan: no O(n^2)
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in the physical
+    plan, the inline verify keeps candidate pairs out of every Exchange
+    (survivors-only distinct), and results are identical to the exact
+    all-pairs baseline — planted copies sit at cos ~0.995 where the
+    per-pair miss prob is < 1e-19."""
+    from diive_spark.queries.llm import _augmented_embeddings
+    aug = _augmented_embeddings(embs)
+    out = similarity.cosine_lsh_pairs(aug, threshold=0.8,
+                                      n_planes="auto", n_tables=32)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     # single-pass candidate generation: all 32 table buckets in one
-    # projection + posexplode, ONE candidate self-join — not 32 scans + a
-    # 32-way union (the round-2 plan)
+    # projection + posexplode, ONE candidate self-join — the only Union
+    # is the corpus augmentation (2 branches), never a per-table fanout
     assert plan.count("Scan parquet") <= 4
-    assert "Union" not in plan
-    exact = dedup.embedding_near_dups(embs, threshold=0.35).toPandas()
+    assert plan.count("Union") <= 2
+    # bucket-local verification: no join at all — one grouped-map pass
+    # over (table, bucket), then a survivors-only distinct
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") <= 2
+    exact = dedup.embedding_near_dups(aug, threshold=0.8).toPandas()
     got = out.toPandas()
     e = set(zip(exact["id1"], exact["id2"]))
     g = set(zip(got["id1"], got["id2"]))
-    assert g == e  # miss prob per pair ~(1 - 0.614^2)^32 ~= 3e-7
+    assert len(e) > 0  # augmentation actually planted qualifying pairs
+    assert g == e
+    # values match the exact baseline too
+    em = exact.set_index(["id1", "id2"])["sim"]
+    gm = got.set_index(["id1", "id2"])["sim"]
+    np.testing.assert_allclose(gm.sort_index(), em.sort_index())
 
 
 def test_ivf_centroids_no_single_task_stage(spark, embs):
