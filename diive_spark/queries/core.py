@@ -166,15 +166,27 @@ FROM events GROUP BY 1
 
 
 def q_gap_table_1h(spark, sf_dir):
-    g = grid.gap_table(_hourly_gridded(spark, sf_dir), ["event_type"], "value_cnt",
-                       tier="1h")
+    """Gap detection over the hourly grid, with a SCALE-LAW carve: events
+    in epoch-hours where floor(epoch/3600) % 101 == 7 are dropped before
+    gridding, so ~1% of interior hours are guaranteed-empty at ANY data
+    density. At sf0.01 the natural sparsity adds more gaps; at sf1 the
+    densified corpus would otherwise have none (r6 finding: both engines
+    agreed on 0 rows — a vacuous pass). The carve is a pure column
+    predicate replayed identically by the oracle."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.pmod(F.floor(F.unix_timestamp("ts") / 3600), F.lit(101)) != 7)
+    r = resample.rollup(ev, "ts", ["value"], "1h", key_cols=["event_type"])
+    g = grid.gap_table(grid.gridded(r, "1h", ["event_type"]),
+                       ["event_type"], "value_cnt", tier="1h")
     return g.select("event_type", "gap_start", "gap_end", "gap_length")
 
 
 SQL_GAP_TABLE_1H = """
 WITH agg AS (
   SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE CAST(floor(epoch(ts) / 3600) AS BIGINT) % 101 <> 7
+  GROUP BY 1, 2
 ),
 bounds AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM agg),
 grid AS (
