@@ -4,9 +4,16 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
 
 Extra keys (informational): tokens_per_sec (tier-0 ingest throughput on the
-deterministic token table), rollup_points_per_sec, compression_ratio.
+deterministic token table), rollup_points_per_sec, compression_ratio,
+filter_docs_per_sec / dedup_docs_per_sec (curation-tier throughput).
 Scaling-efficiency evidence (local[8] vs local[32]) lives in
 scripts/scaling_bench.py -> BENCH/BASELINE.md.
+
+RECORD HYGIENE (r6 VERDICT items 2+3): the stdout JSON is kept well under
+the driver's ~3 KB tail window — per-trial timings and the per-query best
+map go to BENCH/last_run_detail.json instead of stdout — and before
+measuring, the harness waits (bounded, stderr-only progress) for the host
+load to drop so the artifact of record is captured on a quiet machine.
 """
 
 from __future__ import annotations
@@ -23,7 +30,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from diive_spark import queries as qcat  # noqa: E402
 from diive_spark import synth  # noqa: E402
 from diive_spark.compression import gorilla  # noqa: E402
-from diive_spark.operators import bpe, dedup, gapfill, grid, mlfill, resample  # noqa: E402
+from diive_spark.operators import (bpe, dedup, gapfill, grid, mlfill,  # noqa: E402
+                                   privacy, resample, textstats)
 from diive_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,6 +123,28 @@ def run_light(spark) -> tuple[dict, dict]:
         timings[name] = round(time.time() - t0, 3)
         _ = n
 
+    # --- curation filter_scan: the corpus-sized quality pass ---------------
+    # (text stats + Gopher repetition + PII redaction + fingerprint, one
+    # wide projection over 100% of document bytes — the pass a training
+    # pipeline runs on everything; first-class leg since r7 so its
+    # docs/sec is tracked round-over-round like tokens/sec)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .repartition(int(CPUS)).cache()
+    n_docs = docs.count()
+    t0 = time.time()
+    out = textstats.add_text_stats(docs)
+    out = textstats.repetition_stats(out)
+    out = privacy.redact_pii(out)
+    out = textstats.fingerprint(out)
+    # tiny aggregate forces every expression on every row
+    out.selectExpr("count(*) n", "sum(n_pii_email) e",
+                   "sum(CAST(dup_2gram_frac > 0.3 AS BIGINT)) r",
+                   "sum(fp % 97) f").collect()
+    el = time.time() - t0
+    timings["filter_scan"] = round(el, 3)
+    extras["filter_docs_per_sec"] = round(n_docs / el)
+    docs.unpersist()
+
     packed.unpersist()
     t1m.unpersist()
     t1h.unpersist()
@@ -159,11 +189,14 @@ def run_heavy(spark) -> tuple[dict, dict]:
     # shingling/minhash run wide (at real scale the input is many files)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
         .repartition(int(CPUS))
+    n_docs = docs.count()
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.02,
                                     max_doc_freq=5)
     n_clustered = dedup.connected_components(pairs).count()
-    timings["dedup_cluster_cc"] = round(time.time() - t0, 3)
+    el = time.time() - t0
+    timings["dedup_cluster_cc"] = round(el, 3)
     extras["dedup_clustered_ids"] = n_clustered
+    extras["dedup_docs_per_sec"] = round(n_docs / el)
 
     # --- BPE tokenize the corpus (train once, Arrow-batched encode) ---------
     t0 = time.time()
@@ -205,11 +238,30 @@ def _median(xs):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
+def _wait_for_idle_host() -> float:
+    """Block (bounded) until load1 drops below the threshold, so the
+    artifact of record is captured on a quiet host (r6 VERDICT item 2:
+    two rounds running the official record carried load1_start ~3 while
+    clean evidence runs existed hours earlier). Progress goes to stderr —
+    stdout stays reserved for the single JSON record line."""
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "300"))
+    thr = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD1", "0.5"))
+    t0 = time.time()
+    load1 = os.getloadavg()[0]
+    while load1 >= thr and time.time() - t0 < budget:
+        print(f"[bench] waiting for idle host: load1={load1:.2f} "
+              f"(threshold {thr}, {int(budget - (time.time() - t0))}s left)",
+              file=sys.stderr)
+        time.sleep(10)
+        load1 = os.getloadavg()[0]
+    return load1
+
+
 def main() -> None:
+    load1_start = _wait_for_idle_host()
     spark = get_spark("diive_spark_bench", master=f"local[{CPUS}]",
                       shuffle_partitions=str(max(int(CPUS) * 2, 8)))
     spark.sparkContext.setLogLevel("ERROR")
-    load1_start = os.getloadavg()[0]
     control_sec = _cpu_control(spark)
 
     # N_TRIALS passes per phase: the per-query MEDIAN is the headline
@@ -256,22 +308,39 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         sf = SF_DIR
-    print(json.dumps({
-        "metric": "rollup-engine headline suite (3-tier cascade + gapfill + gorilla + operator queries)",
+    record = {
+        "metric": "rollup-engine headline suite",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "value_r4_comparable": legacy_total,
         "value_best": round(sum(queries_best.values()), 3),
         "value_r4_comparable_best": legacy_best,
-        "queries_best": queries_best,
         "sf": sf,
         "trials": N_TRIALS,
-        "per_trial": per_trial,
         "load1_start": round(load1_start, 2),
         "control_sec": control_sec,
         **extras,
-    }))
+    }
+    # per-trial dispersion + per-query bests: side file, NOT stdout — the
+    # driver's tail window is ~3 KB and r6's record overflowed it
+    # (BENCH_r06 parsed: null); the stdout line must stay well under it
+    detail_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH")
+    try:
+        os.makedirs(detail_dir, exist_ok=True)
+        with open(os.path.join(detail_dir, "last_run_detail.json"), "w") as f:
+            json.dump({"per_trial": per_trial, "queries_best": queries_best,
+                       **record}, f, indent=1)
+    except OSError as exc:
+        print(f"[bench] detail side-file write failed: {exc}", file=sys.stderr)
+    line = json.dumps(record)
+    if len(line) > 2500:
+        # keep the record parseable even if the suite grows: drop the
+        # per-query map (it stays in the side file) before the extras
+        slim = {k: v for k, v in record.items() if k != "queries"}
+        line = json.dumps(slim)
+    print(line)
 
 
 if __name__ == "__main__":

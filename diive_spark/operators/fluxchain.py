@@ -65,10 +65,15 @@ def run_level31(
     tier_seconds: int = 1800,
     src_col: str | None = None,
 ) -> DataFrame:
-    """Level-3.1 single-point storage correction (level31.py:52):
-    ``{flux}_L31 = flux + storage``; a gappy storage term is filled with a
-    rolling median first (informational ISFILLED flag, deliberately NOT a
-    _TEST column — provenance, not quality).
+    """Level-3.1 single-point storage correction (level31.py:52, and the
+    standalone class flux/lowres/storage_correction.py:21 it wraps):
+    ``{flux}_L31 = flux + storage``; a gappy storage term is filled first
+    with the reference's EXPANDING rolling median (window 3, 5, 7, ...,
+    min 3 valid values per window, 0.0 fallback so every flux record
+    carries a storage term — storage_correction.py:229, replayed exactly
+    by gapfill.storage_gapfill_expanding and REFERENCE-EXECUTED-tested in
+    tests/test_reference_parity.py). The ISFILLED flag is informational,
+    deliberately NOT a _TEST column — provenance, not quality.
 
     ``src_col`` lets the chain feed a quality-FILTERED series (e.g. the
     appended ``{flux}_L2_QCF``) while keeping the reference-style output
@@ -82,18 +87,10 @@ def run_level31(
     work = df
     strg_use = strg_col
     if gapfill_storage_term:
-        filled = gapfill.rolling_median_fill(
-            work.withColumn("filled", F.col(strg_col))
-            .withColumn("fill_flag", F.when(F.col(strg_col).isNotNull(), F.lit(0)).cast("int"))
-            .withColumn("fill_granular", F.lit(None).cast("int")),
-            key_cols, ts_col, strg_col, tier_seconds=tier_seconds,
-        )
-        work = (
-            filled.withColumn(f"FLAG_{strg_col}_ISFILLED",
-                              F.when(F.col(strg_col).isNull()
-                                     & F.col("filled").isNotNull(), 1).otherwise(0))
-            .withColumn("_strg_filled", F.col("filled"))
-            .drop("filled", "fill_flag", "fill_granular")
+        work = gapfill.storage_gapfill_expanding(
+            work, key_cols, ts_col, strg_col, gate_col=src,
+            filled_col="_strg_filled",
+            flag_col=f"FLAG_{strg_col}_ISFILLED",
         )
         strg_use = "_strg_filled"
     out = work.withColumn(out_col, F.col(src) + F.col(strg_use))

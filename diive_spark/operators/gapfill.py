@@ -232,6 +232,64 @@ def rolling_median_fill(
     )
 
 
+def storage_gapfill_expanding(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    strg_col: str,
+    gate_col: str,
+    filled_col: str = "_strg_filled",
+    flag_col: str = "FLAG_STRG_ISFILLED",
+) -> DataFrame:
+    """EXPANDING rolling-median fill of a storage term — the reference's
+    FluxStorageCorrectionSinglePointEddyPro._gapfill_storage_term
+    (flux/lowres/storage_correction.py:229) semantics, exactly:
+
+    - only rows where ``gate_col`` (the flux being corrected) is non-null
+      participate: rows with no flux keep NULL fill and NULL flag;
+    - the centered positional rolling median (min_periods=3) is computed
+      over the ORIGINAL full storage series at window 3, then 5, 7, ...
+      (each pass fills whatever newly becomes coverable), capped at
+      2*len+1 and skipped entirely when fewer than 3 valid storage values
+      exist;
+    - anything still missing falls back to 0.0 (no storage contribution),
+      flagged filled — every gated flux row ends up with a storage term.
+
+    Runs as ONE grouped map per key: the reference operates on a single
+    site's series, and a key here is a site(-year) — a bounded group
+    (~17.5k rows/site-year at 30min). For unbounded keys use the
+    slab+halo :func:`rolling_median_fill` tiers instead; this kernel
+    exists for reference-exact L3.1 parity."""
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{out_fields}, {filled_col} double, {flag_col} int"
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        s = pd.to_numeric(pdf[strg_col], errors="coerce")
+        gate = pdf[gate_col].notna()
+        filled = s.where(gate)
+        flag = pd.Series(np.where(gate, 0.0, np.nan), index=pdf.index)
+        n_valid = int(s.notna().sum())
+        max_window = 2 * len(s) + 1
+        window = 0
+        missing = gate & filled.isna()
+        while n_valid >= 3 and missing.any() and window < max_window:
+            window = 3 if window == 0 else window + 2
+            rmed = s.rolling(window=window, center=True, min_periods=3).median()
+            filled[missing] = rmed[missing]
+            flag[missing & filled.notna()] = 1.0
+            missing = gate & filled.isna()
+        if missing.any():
+            filled[missing] = 0.0
+            flag[missing] = 1.0
+        pdf[filled_col] = filled
+        pdf[flag_col] = flag.astype("Int64")
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(_kernel, schema=schema)
+
+
 def gapfill_cascade(
     gridded_df: DataFrame,
     key_cols: list[str],

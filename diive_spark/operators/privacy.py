@@ -31,14 +31,40 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+#: one alternation regex covering every category, in application order —
+#: ONE scan of the document instead of one per category (r6 VERDICT item
+#: 3: the four independent count scans were the regex-heavy residual in
+#: the corpus-sized filter pass). Both Java regex and RE2 resolve
+#: alternation leftmost-first in declaration order, so the fused match
+#: stream is engine-portable like the per-category patterns.
+PII_COMBINED: str = "|".join(f"({pat})" for _, pat, _ in PII_PATTERNS)
+
+
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-category match counts on the ORIGINAL text (before redaction),
-    each ``size(regexp_extract_all(...))`` — one regex scan per category,
-    all riding the same projection."""
-    return {
-        cat: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint")
-        for cat, pat, _ in PII_PATTERNS
-    }
+    """Per-category match counts from ONE fused alternation scan: all
+    matches are extracted once, then classified by match shape (every
+    email contains '@'; a phone starts with '+'; an IP contains '.';
+    anything left is a long ID) — string tests on the tiny match
+    substrings, never another pass over the document.
+
+    Fused-scan semantics (matching the redaction): matches are
+    NON-OVERLAPPING in priority order, so a digit run inside an already
+    matched email is not additionally counted as a long ID — exactly the
+    spans the redaction chain masks. (The pre-r7 independent scans could
+    double-count text nested inside an earlier category's match.)"""
+    all_matches = F.regexp_extract_all(text, F.lit(PII_COMBINED), 0)
+    n = F.size(all_matches).cast("bigint")
+    email = F.size(F.filter(
+        all_matches, lambda m: m.contains("@"))).cast("bigint")
+    phone = F.size(F.filter(
+        all_matches,
+        lambda m: ~m.contains("@") & m.startswith("+"))).cast("bigint")
+    ip = F.size(F.filter(
+        all_matches,
+        lambda m: ~m.contains("@") & ~m.startswith("+")
+        & m.contains("."))).cast("bigint")
+    return {"email": email, "ip": ip, "phone": phone,
+            "longid": n - email - phone - ip}
 
 
 def redact_pii(
@@ -48,12 +74,13 @@ def redact_pii(
     count: bool = True,
 ) -> DataFrame:
     """Mask every PII category in ``text_col`` into ``out_col`` and (by
-    default) add ``n_pii_<category>`` count columns measured pre-redaction.
+    default) add ``n_pii_<category>`` count columns.
 
-    Counting happens on the original text so categories whose matches are
-    destroyed by an earlier replacement (an email's domain never contains
-    an IP, but the guarantee is structural, not lexical) still report the
-    true occurrence count."""
+    Counts come from the fused single-scan match stream (see
+    :func:`pii_counts`): non-overlapping matches in priority order — the
+    same spans the redaction chain masks — so count and redaction
+    semantics agree and the document is scanned once for all four
+    categories."""
     t = F.col(text_col)
     if count:
         for cat, c in pii_counts(t).items():
@@ -67,10 +94,20 @@ def redact_pii(
 def pii_sql_exprs(text_expr: str) -> tuple[list[str], str]:
     """The DuckDB replay of :func:`redact_pii`: (count select-exprs,
     redacted-text expr) over ``text_expr``. Lives next to the patterns so
-    a pattern edit cannot drift from its oracle."""
+    a pattern edit cannot drift from its oracle. Counts replay the FUSED
+    single-scan classification (RE2 resolves the alternation
+    leftmost-first in the same declaration order as Java regex)."""
+    am = f"regexp_extract_all({text_expr}, '{PII_COMBINED}')"
+    email = f"len(list_filter({am}, m -> contains(m, '@')))"
+    phone = (f"len(list_filter({am}, m -> NOT contains(m, '@')"
+             f" AND starts_with(m, '+')))")
+    ip = (f"len(list_filter({am}, m -> NOT contains(m, '@')"
+          f" AND NOT starts_with(m, '+') AND contains(m, '.')))")
     counts = [
-        f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT) AS n_pii_{cat}"
-        for cat, pat, _ in PII_PATTERNS
+        f"CAST({email} AS BIGINT) AS n_pii_email",
+        f"CAST({ip} AS BIGINT) AS n_pii_ip",
+        f"CAST({phone} AS BIGINT) AS n_pii_phone",
+        f"CAST(len({am}) - {email} - {phone} - {ip} AS BIGINT) AS n_pii_longid",
     ]
     red = text_expr
     for _, pat, repl in PII_PATTERNS:

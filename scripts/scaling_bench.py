@@ -194,7 +194,7 @@ def run_code(code: str, cores: int, spinners: int = 0) -> dict:
 
 
 def run_emulated(tmpl: str, data_dir: str, n_jvms: int, cores_each: int,
-                 trials: int, **extra) -> dict:
+                 trials: int, key: str = "tokens_per_sec", **extra) -> dict:
     """Executor emulation: ``n_jvms`` INDEPENDENT JVMs x ``cores_each``
     threads, each owning a disjoint slice of the range-partitioned input
     (round-robin over the part files = each JVM gets a spread of event-time
@@ -224,7 +224,7 @@ def run_emulated(tmpl: str, data_dir: str, n_jvms: int, cores_each: int,
             raise RuntimeError("emulation JVM produced no result")
         results.append(json.loads(lines[-1]))
     return {
-        "throughput": sum(r["tokens_per_sec"] for r in results),
+        "throughput": sum(r[key] for r in results),
         "max_elapsed": max(r["elapsed"] for r in results),
         "per_jvm": results,
     }

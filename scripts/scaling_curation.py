@@ -35,7 +35,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-from scaling_bench import run_code  # noqa: E402
+from scaling_bench import run_code, run_emulated  # noqa: E402
 
 DEDUP_TEMPLATE = r"""
 import json, sys, time
@@ -85,6 +85,38 @@ for trial in range({trials}):
     out = textstats.fingerprint(out)
     # tiny aggregate forces every expression on every row without
     # collecting the corpus
+    n_probe = out.selectExpr(
+        "count(*) n", "sum(n_pii_email) e",
+        "sum(CAST(dup_2gram_frac > 0.3 AS BIGINT)) r",
+        "sum(fp % 97) f").collect()[0]["n"]
+    el = time.time() - t0
+    best = el if best is None or el < best else best
+print(json.dumps({{"cores": {cores}, "elapsed": best,
+                   "docs_per_sec": n_docs / best,
+                   "n_docs": n_docs, "n_probe": n_probe}}))
+"""
+
+
+FILTER_EMU_TEMPLATE = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from diive_spark.session import get_spark
+from pyspark.sql import functions as F
+from diive_spark.operators import privacy, textstats
+
+spark = get_spark("scalfilter-emu-{cores}", master="local[{cores}]",
+                  shuffle_partitions="{shuffle}")
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(*{data!r}).repartition({cores} * 2).cache()
+n_docs = docs.count()
+
+best = None
+for trial in range({trials}):
+    t0 = time.time()
+    out = textstats.add_text_stats(docs)
+    out = textstats.repetition_stats(out)
+    out = privacy.redact_pii(out)
+    out = textstats.fingerprint(out)
     n_probe = out.selectExpr(
         "count(*) n", "sum(n_pii_email) e",
         "sum(CAST(dup_2gram_frac > 0.3 AS BIGINT)) r",
@@ -183,9 +215,25 @@ def main() -> None:
             "efficiency_eq": round(lo_eq["elapsed"] / hi["elapsed"] / ratio, 3),
         }
 
+    # executor emulation for filter_scan (the corpus-sized pass carrying
+    # the scaling claim): high/low independent JVMs x low cores each,
+    # concurrent, disjoint part-file slices — the direct cluster analogue
+    # (same protocol as the ingest legs, which read 0.802 there).
+    n_jvms = args.high // args.low
+    emu = run_emulated(FILTER_EMU_TEMPLATE, args.data, n_jvms, args.low,
+                       trials=args.trials, key="docs_per_sec")
+    lo_thr = res["filter_scan"]["low_docs_per_sec"]
+    lo_eq = res["filter_scan"]["low_eq_sec"]
+    lo_eq_thr = res["filter_scan"]["n_docs"] / lo_eq
+    emu_eff = round(emu["throughput"] / (n_jvms * lo_thr), 3)
+    emu_eff_eq = round(emu["throughput"] / (n_jvms * lo_eq_thr), 3)
+    res["filter_scan"]["emulated_docs_per_sec"] = round(emu["throughput"])
+    res["filter_scan"]["emulated_efficiency"] = emu_eff
+    res["filter_scan"]["emulated_efficiency_eq"] = emu_eff_eq
+
     f, d = res["filter_scan"], res["dedup_lsh_cc"]
     md = f"""
-## Addendum: curation-workload scaling (round 6)
+## Addendum: curation-workload scaling (round 7 re-run; fused PII scan)
 
 Same two-parallelism protocol as the ingest legs, on the curation tier's
 two job shapes over {f['n_docs']:,} documents (the sf1 rehearsal corpus
@@ -197,8 +245,15 @@ local[{args.low}] vs local[{args.high}]:
 | filter_scan (quality+repetition+PII+fingerprint, one projection) | {f['low_sec']} | {f['low_eq_sec']} | {f['high_sec']} | {f['high_docs_per_sec']:,} | {f['efficiency']} | **{f['efficiency_eq']}** |
 | dedup_lsh_cc (MinHash LSH + connected components) | {d['low_sec']} | {d['low_eq_sec']} | {d['high_sec']} | {d['high_docs_per_sec']:,} | {d['efficiency']} | {d['efficiency_eq']} |
 
+Executor emulation ({n_jvms} JVMs x {args.low} cores, concurrent disjoint
+slices — the direct cluster analogue): aggregate
+{f['emulated_docs_per_sec']:,} docs/sec = **{f['emulated_efficiency']}**
+efficiency vs {n_jvms}x the raw low leg ({f['emulated_efficiency_eq']} vs
+the equalized leg).
+
 filter_scan is the corpus-sized pass (touches 100% of bytes) and carries
-the scaling claim for this tier. dedup_lsh_cc at sandbox sizes is
+the scaling claim for this tier; since r7 its PII counts come from ONE
+fused alternation scan instead of four per-category scans. dedup_lsh_cc at sandbox sizes is
 LATENCY-FLOORED: ~30 sequential small stages (16 per-band bucket joins,
 CC barrier rounds with localCheckpoint) put a fixed multi-second floor
 under the wall independent of core count — 50k and 500k docs measure the

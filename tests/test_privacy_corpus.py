@@ -305,3 +305,39 @@ def test_paragraph_dedup_property(spark, paras_per_doc):
     for doc_id, (text, n) in want.items():
         assert got.loc[doc_id, "text"] == text, (doc_id, rows)
         assert int(got.loc[doc_id, "n_paras_kept"]) == n, (doc_id, rows)
+
+
+def test_pii_fused_scan_nested_matches_cross_engine(spark):
+    """r7 fused single-scan semantics: a category pattern nested INSIDE an
+    earlier category's match is consumed by the alternation (leftmost,
+    priority order) and not double-counted — and DuckDB's RE2 replay
+    agrees with Spark's Java regex on exactly these adversarial spans."""
+    import duckdb
+
+    docs = [
+        # 16-digit run inside an email local part: email wins, no longid
+        (1, "pay 1234567890123456@bank.example now"),
+        # IP-shaped domain is NOT an email (TLD must be letters): both
+        # dotted quads count as IPs
+        (2, "root@1.2.3.4 logged in from 5.6.7.8"),
+        # back-to-back: email then adjacent longid still counted
+        (3, "a@b.co 1234567890123456"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in privacy.redact_pii(df).collect()}
+    assert (got[1]["n_pii_email"], got[1]["n_pii_longid"]) == (1, 0)
+    assert (got[2]["n_pii_email"], got[2]["n_pii_ip"]) == (0, 2)
+    assert (got[3]["n_pii_email"], got[3]["n_pii_longid"]) == (1, 1)
+
+    counts, red = privacy.pii_sql_exprs("text")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+    want = con.execute(
+        f"SELECT doc_id, {', '.join(counts)}, {red} AS text_redacted "
+        "FROM t ORDER BY doc_id").df().set_index("doc_id")
+    for doc_id in (1, 2, 3):
+        r, w = got[doc_id], want.loc[doc_id]
+        for c in ("n_pii_email", "n_pii_ip", "n_pii_phone", "n_pii_longid"):
+            assert r[c] == w[c], (doc_id, c)
+        assert r["text_redacted"] == w["text_redacted"]

@@ -904,3 +904,97 @@ print(json.dumps({{
     # strongest harmonic is the planted 24-record cycle
     top = out.loc[out["amplitude"].idxmax()]
     assert abs(top["period"] - 24.0) < 0.6
+
+
+EDDYPRO_2012 = ("/root/reference/diive/configs/exampledata/"
+                "exampledata_EDDYPRO-FLUXNET-CSV-30MIN_2012_eddypro_"
+                "CH-FRU_FR-20230425-220357_fluxnet_2023-04-26T201227_adv.csv")
+
+_STRG_GEN = r"""
+def make_strg(seed, n):
+    rng = np.random.default_rng(seed)
+    flux = rng.normal(-2, 4, n)
+    flux[rng.random(n) < 0.2] = np.nan
+    strg = rng.normal(0.1, 0.6, n)
+    strg[rng.random(n) < 0.25] = np.nan
+    strg[100:180] = np.nan   # long gap -> forces window expansion
+    return flux, strg
+"""
+
+
+def _exec_strg(seed, n):
+    ns = {"np": np}
+    exec(_STRG_GEN, ns)
+    return ns["make_strg"](seed, n)
+
+
+def test_storage_correction_matches_executed_reference(spark):
+    """FluxStorageCorrectionSinglePointEddyPro (reference
+    flux/lowres/storage_correction.py:21) EXECUTED on (a) its own bundled
+    EddyPro FLUXNET file and (b) a seeded gappy series with a long
+    storage gap, vs fluxchain.run_level31: corrected flux, gap-filled
+    storage and the ISFILLED flag must match value-for-value (r6 VERDICT
+    item 6 — the last in-scope class without an executed oracle)."""
+    import pandas as pd
+    from diive_spark.operators import fluxchain
+
+    flux_s, strg_s = _exec_strg(29, 600)
+    ref = run_reference(_STRG_GEN + f"""
+import pandas as pd
+from diive.flux.lowres.storage_correction import (
+    FluxStorageCorrectionSinglePointEddyPro)
+
+out = {{}}
+for name, (flux, strg) in (
+    ("file", (None, None)), ("synth", make_strg(29, 600))):
+    if name == "file":
+        raw = pd.read_csv({EDDYPRO_2012!r}, na_values=[-9999])
+        df = pd.DataFrame({{
+            "FC": pd.to_numeric(raw["FC"], errors="coerce"),
+            "SC_SINGLE": pd.to_numeric(raw["SC_SINGLE"], errors="coerce"),
+        }})
+    else:
+        df = pd.DataFrame({{"FC": flux, "SC_SINGLE": strg}})
+    c = FluxStorageCorrectionSinglePointEddyPro(
+        df=df, fluxcol="FC", basevar="CO2", gapfill_storage_term=True)
+    c.storage_correction()
+    r = c.results
+    nn = lambda s: [None if pd.isna(x) else float(x) for x in s]
+    out[name] = {{
+        "corrected": nn(r[c.flux_corrected_col]),
+        "filled": nn(r[c.gapfilled_strgcol]),
+        "flag": nn(r[c.flag_isgapfilled]),
+    }}
+print(json.dumps(out))
+""", timeout=600)
+
+    raw = pd.read_csv(EDDYPRO_2012, na_values=[-9999])
+    fixtures = {
+        "file": (pd.to_numeric(raw["FC"], errors="coerce").to_numpy(),
+                 pd.to_numeric(raw["SC_SINGLE"], errors="coerce").to_numpy()),
+        "synth": (flux_s, strg_s),
+    }
+    for name, (flux, strg) in fixtures.items():
+        n = len(flux)
+        ts = pd.date_range("2021-01-01", periods=n, freq="30min")
+        sdf = spark.createDataFrame(pd.DataFrame({
+            "site": "s0", "ts": ts, "FC": flux, "SC_SINGLE": strg}))
+        got = (fluxchain.run_level31(sdf, ["site"], "ts", "FC", "SC_SINGLE")
+               .orderBy("ts").toPandas())
+        want = ref[name]
+
+        def arr(xs):
+            return np.array([np.nan if x is None else x for x in xs])
+
+        # corrected = FC + filled on every gated row, so matching the
+        # corrected series value-for-value pins the fill values too
+        np.testing.assert_allclose(
+            got["FC_L31"].to_numpy(dtype=float), arr(want["corrected"]),
+            rtol=0, atol=0, equal_nan=True, err_msg=f"{name}: corrected")
+        np.testing.assert_allclose(
+            got["FLAG_SC_SINGLE_ISFILLED"].to_numpy(dtype=float),
+            arr(want["flag"]), rtol=0, atol=0, equal_nan=True,
+            err_msg=f"{name}: flag")
+        # the synth fixture actually exercised the expanding window
+        if name == "synth":
+            assert np.nansum(arr(want["flag"])) > 100
