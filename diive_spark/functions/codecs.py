@@ -1407,3 +1407,223 @@ def decode_flac(blob: bytes, verify: bool = True) -> tuple[np.ndarray, int]:
             raise CodecError("FLAC: decoded stream fails STREAMINFO MD5")
     out = np.stack(full, axis=1).astype(np.float64)
     return (out[:, 0] if si_nch == 1 else out), int(rate)
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3 family) — frame-structure parser, ISO/IEC 11172-3 / 13818-3
+# ---------------------------------------------------------------------------
+# Everything here is derivable from the public header layout: the 32-bit
+# frame header fields, the bitrate/samplerate tables, the frame-length and
+# samples-per-frame formulas, the Layer III side-info sizes, and the
+# Xing/Info and VBRI variable-bitrate headers. This covers the corpus-
+# curation need (duration / bitrate / channel / VBR filters over crawled
+# audio without decoding a single sample). Full PCM decode remains behind
+# DecodeUnavailable: it requires the 512-entry synthesis-window table and
+# the 34 Huffman code tables of Annex B, which cannot be re-derived from
+# first principles — and in a sandbox with no real MP3 fixture, a
+# self-round-trip test could not distinguish correct tables from wrong
+# ones (an encoder and decoder sharing a mistranscribed table still
+# round-trip), so shipping them unverifiable would be a silently-wrong
+# codec rather than an honest seam.
+
+#: bitrate kbps by [version_group][layer][index]; 0 = "free format"
+_MPEG_BITRATES = {
+    # MPEG-1
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    # MPEG-2 / 2.5 (lower sampling frequencies)
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MPEG_RATES = {3: (44100, 48000, 32000),    # version bits 11 = MPEG-1
+               2: (22050, 24000, 16000),    # 10 = MPEG-2
+               0: (11025, 12000, 8000)}     # 00 = MPEG-2.5
+
+
+def _id3v2_size(blob: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 if none): 'ID3' + ver(2) +
+    flags(1) + 28-bit syncsafe size (+10 header, +10 if footer flag)."""
+    if blob[:3] != b"ID3" or len(blob) < 10:
+        return 0
+    size = ((blob[6] & 0x7F) << 21) | ((blob[7] & 0x7F) << 14) \
+        | ((blob[8] & 0x7F) << 7) | (blob[9] & 0x7F)
+    return 10 + size + (10 if blob[5] & 0x10 else 0)
+
+
+def _mpeg_frame_at(blob: bytes, i: int):
+    """Parse the frame header at offset i. Returns None when the 4 bytes
+    there are not a valid header, else a dict with frame geometry."""
+    if i + 4 > len(blob):
+        return None
+    b0, b1, b2, b3 = blob[i], blob[i + 1], blob[i + 2], blob[i + 3]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version_bits = (b1 >> 3) & 3          # 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    layer_bits = (b1 >> 1) & 3            # 3=Layer I, 2=II, 1=III
+    if version_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits                # 1, 2, 3
+    crc = not (b1 & 1)
+    br_idx = (b2 >> 4) & 15
+    sr_idx = (b2 >> 2) & 3
+    padding = (b2 >> 1) & 1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None                       # free-format / reserved: skip
+    vgrp = 1 if version_bits == 3 else 2
+    bitrate = _MPEG_BITRATES[(vgrp, layer)][br_idx] * 1000
+    rate = _MPEG_RATES[version_bits][sr_idx]
+    mode = (b3 >> 6) & 3                  # 0 stereo, 1 joint, 2 dual, 3 mono
+    if layer == 1:
+        nsamp = 384
+        length = (12 * bitrate // rate + padding) * 4
+    elif layer == 2:
+        nsamp = 1152
+        length = 144 * bitrate // rate + padding
+    else:
+        nsamp = 1152 if vgrp == 1 else 576
+        length = (144 if vgrp == 1 else 72) * bitrate // rate + padding
+    return {"version": {3: "1", 2: "2", 0: "2.5"}[version_bits],
+            "layer": layer, "bitrate": bitrate, "sample_rate": rate,
+            "channels": 1 if mode == 3 else 2, "mode": mode, "crc": crc,
+            "n_samples": nsamp, "length": length}
+
+
+def _xing_info(blob: bytes, i: int, hdr: dict):
+    """Xing/Info or VBRI VBR header inside the first frame, if present.
+    Xing sits after the Layer III side info (32/17 bytes MPEG-1
+    stereo/mono, 17/9 MPEG-2); VBRI sits at a fixed 32-byte offset."""
+    if hdr["layer"] != 3:
+        return None
+    side = (32 if hdr["channels"] == 2 else 17) if hdr["version"] == "1" \
+        else (17 if hdr["channels"] == 2 else 9)
+    p = i + 4 + (2 if hdr["crc"] else 0) + side
+    if blob[p:p + 4] in (b"Xing", b"Info"):
+        flags = int.from_bytes(blob[p + 4:p + 8], "big")
+        q = p + 8
+        frames = bytes_ = None
+        if flags & 1:
+            frames = int.from_bytes(blob[q:q + 4], "big"); q += 4
+        if flags & 2:
+            bytes_ = int.from_bytes(blob[q:q + 4], "big"); q += 4
+        return {"tag": blob[p:p + 4].decode(), "frames": frames,
+                "bytes": bytes_}
+    p = i + 4 + 32
+    if blob[p:p + 4] == b"VBRI":
+        return {"tag": "VBRI",
+                "frames": int.from_bytes(blob[p + 14:p + 18], "big"),
+                "bytes": int.from_bytes(blob[p + 10:p + 14], "big")}
+    return None
+
+
+def parse_mpeg_audio(blob: bytes, max_resync: int = 65536) -> dict:
+    """Walk every MPEG audio frame and return stream metadata:
+    (container='mp3', version, layer, sample_rate, channels, n_frames,
+    n_samples, duration_sec, bitrate_kbps mean, is_vbr, vbr_tag) —
+    without decoding any audio. Skips a leading ID3v2 tag and a trailing
+    ID3v1 tag; tolerates up to ``max_resync`` junk bytes between frames
+    (crawled files are routinely truncated or glued). Raises CodecError
+    when no valid frame exists."""
+    end = len(blob)
+    if blob[end - 128:end - 125] == b"TAG":
+        end -= 128
+    i = _id3v2_size(blob)
+    frames = 0
+    samples = 0
+    bitrates: set = set()
+    br_sum = 0
+    first = None
+    vbr = None
+    resync = 0
+    while i + 4 <= end:
+        hdr = _mpeg_frame_at(blob, i)
+        if hdr is None:
+            resync += 1
+            if resync > max_resync:
+                break
+            i += 1
+            continue
+        resync = 0
+        if first is None:
+            first = hdr
+            vbr = _xing_info(blob, i, hdr)
+        frames += 1
+        samples += hdr["n_samples"]
+        bitrates.add(hdr["bitrate"])
+        br_sum += hdr["bitrate"]
+        i += max(hdr["length"], 4)
+    if first is None:
+        raise CodecError("no MPEG audio frame found")
+    # a Xing/Info first frame is a metadata frame, not audio
+    audio_frames = frames - (1 if vbr and vbr["tag"] in ("Xing", "Info") else 0)
+    audio_samples = samples - (first["n_samples"] if audio_frames < frames else 0)
+    if vbr and vbr.get("frames"):
+        audio_frames = vbr["frames"]
+        audio_samples = vbr["frames"] * first["n_samples"]
+    return {
+        "container": "mp3", "version": first["version"],
+        "layer": first["layer"], "sample_rate": first["sample_rate"],
+        "channels": first["channels"], "n_frames": int(audio_frames),
+        "n_samples": int(audio_samples),
+        "duration_sec": audio_samples / first["sample_rate"],
+        "bitrate_kbps": (br_sum / frames / 1000.0) if frames else 0.0,
+        "is_vbr": len(bitrates) > 1 or (vbr is not None and vbr["tag"] in ("Xing", "VBRI")),
+        "vbr_tag": vbr["tag"] if vbr else None,
+    }
+
+
+def parse_audio_metadata(blob: bytes) -> dict:
+    """Container metadata WITHOUT PCM decode, for WAV / FLAC / MPEG audio:
+    (container, sample_rate, channels, n_samples, duration_sec,
+    bitrate_kbps, n_frames, is_vbr). The header-only path a 100 TB
+    curation filter runs over crawled audio — duration/bitrate/channel
+    gates never need samples. Raises CodecError on unknown containers."""
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        pos, fmt, data_len = 12, None, None
+        while pos + 8 <= len(blob):
+            tag = blob[pos:pos + 4]
+            (length,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+            if tag == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", blob[pos + 8:pos + 24])
+            elif tag == b"data":
+                data_len = length
+            pos += 8 + length + (length & 1)
+        if fmt is None or data_len is None:
+            raise CodecError("WAV missing fmt/data chunk")
+        _afmt, n_ch, rate, byte_rate, block, _bits = fmt
+        n = data_len // block if block else 0
+        return {"container": "wav", "sample_rate": int(rate),
+                "channels": int(n_ch), "n_samples": int(n),
+                "duration_sec": n / rate if rate else 0.0,
+                "bitrate_kbps": byte_rate * 8 / 1000.0,
+                "n_frames": int(n), "is_vbr": False}
+    if blob[:4] == b"fLaC":
+        pos = 4
+        while True:
+            if pos + 4 > len(blob):
+                raise CodecError("FLAC: truncated metadata")
+            last = blob[pos] & 0x80
+            btype = blob[pos] & 0x7F
+            length = int.from_bytes(blob[pos + 1:pos + 4], "big")
+            body = blob[pos + 4:pos + 4 + length]
+            if btype == 0:
+                si = _FlacBitReader(body)
+                si.read(16); si.read(16); si.read(24); si.read(24)
+                rate = si.read(20)
+                n_ch = si.read(3) + 1
+                bps = si.read(5) + 1
+                total = si.read(36)
+                return {"container": "flac", "sample_rate": int(rate),
+                        "channels": int(n_ch), "n_samples": int(total),
+                        "duration_sec": total / rate if rate else 0.0,
+                        "bitrate_kbps": rate * n_ch * bps / 1000.0,
+                        "n_frames": int(total), "is_vbr": True}
+            pos += 4 + length
+            if last:
+                break
+        raise CodecError("FLAC: missing STREAMINFO")
+    meta = parse_mpeg_audio(blob)  # raises CodecError if not MPEG audio
+    return {k: meta[k] for k in ("container", "sample_rate", "channels",
+                                 "n_samples", "duration_sec",
+                                 "bitrate_kbps", "n_frames", "is_vbr")}

@@ -172,10 +172,18 @@ def _decode_audio_bytes(blob: bytes, media_type: str) -> np.ndarray:
     """Audio codec seam: WAV (RIFF/PCM) and FLAC (the dominant lossless
     speech-corpus format — LibriSpeech/MLS ship as FLAC) decode via the
     stdlib-only codecs in functions/codecs.py (multichannel averaged to
-    mono); fake PCM decodes with frombuffer. Lossy formats (MP3/Vorbis/
-    Opus) still raise: their spec-tabulated filterbank windows are not
-    reproducible from first principles here, and a wrong table would be a
-    silently-wrong codec — install a codec library and extend this seam."""
+    mono); fake PCM decodes with frombuffer. MP3 et al: the full frame
+    structure (headers, durations, bitrates, VBR tags) parses via
+    codecs.parse_mpeg_audio / extract_audio_metadata — the path curation
+    filters actually need — but PCM decode still raises. The blocker is
+    verifiability, not effort: Layer III needs the 512-entry synthesis
+    window and 34 Annex-B Huffman tables, which are lookup data (not
+    derivable), and with no real MP3 fixture reachable here a
+    self-round-trip test cannot distinguish correct tables from
+    mistranscribed ones (an encoder/decoder pair sharing the error still
+    round-trips) — so shipping them would be a silently-wrong codec.
+    Install a codec library (or add a verified fixture) and extend this
+    seam."""
     if media_type == "audio/fake-pcm16":
         return np.frombuffer(blob, dtype=np.int16).astype(np.float64)
     if media_type in ("audio/wav", "audio/x-wav") or bytes(blob[:4]) == b"RIFF":
@@ -191,6 +199,43 @@ def _decode_audio_bytes(blob: bytes, media_type: str) -> np.ndarray:
         f"no decoder for {media_type!r} in this environment; "
         "install a codec and extend _decode_audio_bytes"
     )
+
+
+AUDIO_METADATA_SCHEMA = (
+    "doc_id string, container string, sample_rate int, channels int, "
+    "n_samples bigint, duration_sec double, bitrate_kbps double, "
+    "n_frames bigint, is_vbr boolean"
+)
+
+
+def extract_audio_metadata(df: DataFrame) -> DataFrame:
+    """Container metadata WITHOUT PCM decode (codecs.parse_audio_metadata):
+    WAV fmt/data chunks, FLAC STREAMINFO, and the full MPEG audio (MP3)
+    frame walk — version/layer/bitrate tables, Xing/Info/VBRI VBR headers,
+    ID3 skip. This is the operator a crawled-audio curation pass actually
+    runs at 100 TB: duration/bitrate/channel/VBR gates filter the corpus
+    before any sample is decoded, so the kernel's cost is header bytes,
+    not media bytes. (MP3 PCM decode itself stays behind DecodeUnavailable
+    — see _decode_audio_bytes — but every MP3 passes through THIS operator
+    fine.) Same Arrow-batched mapInPandas shape as the feature kernels."""
+    from diive_spark.functions.codecs import parse_audio_metadata
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                m = parse_audio_metadata(bytes(blob))
+                rows.append((doc_id, m["container"], m["sample_rate"],
+                             m["channels"], m["n_samples"],
+                             m["duration_sec"], m["bitrate_kbps"],
+                             m["n_frames"], bool(m["is_vbr"])))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "container", "sample_rate", "channels",
+                "n_samples", "duration_sec", "bitrate_kbps", "n_frames",
+                "is_vbr"])
+
+    return df.select("doc_id", "media").mapInPandas(
+        kernel, schema=AUDIO_METADATA_SCHEMA)
 
 
 def extract_audio_features(df: DataFrame) -> DataFrame:

@@ -412,3 +412,133 @@ def test_flac_zero_frames_returns_streaminfo_rate():
     samples, rate = codecs.decode_flac(bytes(hdr[:8]) + bytes(body))
     assert rate == 16000
     assert samples.shape[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3) frame parser — spec-derived fixtures
+# ---------------------------------------------------------------------------
+
+def _mp3_frame(version="1", layer=3, bitrate_kbps=128, rate=44100,
+               padding=0, mono=False, payload=None):
+    """Construct one spec-valid MPEG audio frame (header + filler payload).
+    Header fields and the length formula are computed HERE, independently,
+    so the parser is checked against a second derivation of the spec."""
+    vbits = {"1": 3, "2": 2, "2.5": 0}[version]
+    lbits = 4 - layer
+    rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+             0: (11025, 12000, 8000)}[vbits]
+    sr_idx = rates.index(rate)
+    table = {
+        (3, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+        (3, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+        (3, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+        (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        (0, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    }[(vbits, layer)]
+    br_idx = table.index(bitrate_kbps)
+    b1 = 0xE0 | (vbits << 3) | (lbits << 1) | 1      # no CRC
+    b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = 0xC0 if mono else 0x00
+    if layer == 1:
+        length = (12 * bitrate_kbps * 1000 // rate + padding) * 4
+    else:
+        factor = 144 if (vbits == 3 or layer == 2) else 72
+        length = factor * bitrate_kbps * 1000 // rate + padding
+    body = payload if payload is not None else bytes(length - 4)
+    return bytes([0xFF, b1, b2, b3]) + body[:length - 4].ljust(length - 4, b"\x00")
+
+
+def test_mpeg_parser_cbr_geometry_and_duration():
+    blob = b"".join(_mp3_frame(padding=i % 2) for i in range(20))
+    m = codecs.parse_mpeg_audio(blob)
+    assert (m["version"], m["layer"]) == ("1", 3)
+    assert (m["sample_rate"], m["channels"]) == (44100, 2)
+    assert m["n_frames"] == 20 and m["n_samples"] == 20 * 1152
+    assert m["duration_sec"] == pytest.approx(20 * 1152 / 44100)
+    assert m["bitrate_kbps"] == pytest.approx(128.0)
+    assert not m["is_vbr"] and m["vbr_tag"] is None
+
+
+@pytest.mark.parametrize("version,layer,kbps,rate,nsamp,length", [
+    ("1", 1, 192, 48000, 384, (12 * 192000 // 48000) * 4),
+    ("1", 2, 160, 44100, 1152, 144 * 160000 // 44100),
+    ("2", 3, 64, 22050, 576, 72 * 64000 // 22050),
+    ("2.5", 3, 32, 11025, 576, 72 * 32000 // 11025),
+])
+def test_mpeg_parser_layer_version_matrix(version, layer, kbps, rate,
+                                          nsamp, length):
+    frame = _mp3_frame(version=version, layer=layer, bitrate_kbps=kbps,
+                       rate=rate)
+    assert len(frame) == length  # fixture itself honors the spec formula
+    m = codecs.parse_mpeg_audio(frame * 7)
+    assert (m["version"], m["layer"], m["sample_rate"]) == (version, layer, rate)
+    assert m["n_frames"] == 7 and m["n_samples"] == 7 * nsamp
+
+
+def test_mpeg_parser_id3_xing_and_vbr():
+    # ID3v2 (syncsafe size 300) + Xing first frame + 5 audio frames,
+    # trailing ID3v1 'TAG' block
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 300 >> 7, 300 & 0x7F]) + bytes(300)
+    xing_payload = bytes(32) + b"Xing" + (3).to_bytes(4, "big") \
+        + (500).to_bytes(4, "big") + (209000).to_bytes(4, "big")
+    first = _mp3_frame(payload=xing_payload)
+    audio = b"".join(_mp3_frame(bitrate_kbps=k)
+                     for k in (112, 128, 160, 128, 96))
+    blob = id3 + first + audio + b"TAG" + bytes(125)
+    m = codecs.parse_mpeg_audio(blob)
+    assert m["vbr_tag"] == "Xing" and m["is_vbr"]
+    # Xing frame count wins over the walked count
+    assert m["n_frames"] == 500
+    assert m["duration_sec"] == pytest.approx(500 * 1152 / 44100)
+
+
+def test_mpeg_parser_resync_and_garbage():
+    blob = bytes(100) + _mp3_frame(mono=True) + bytes(33) + _mp3_frame(mono=True)
+    m = codecs.parse_mpeg_audio(blob)
+    assert m["n_frames"] == 2 and m["channels"] == 1
+    with pytest.raises(codecs.CodecError, match="no MPEG audio frame"):
+        codecs.parse_mpeg_audio(bytes(4096))
+
+
+def test_parse_audio_metadata_wav_flac_cross_checked():
+    x = _tone(n=12000, sr=16000)
+    wav = codecs.encode_wav(x, 16000)
+    flac = codecs.encode_flac(x, 16000)
+    mw = codecs.parse_audio_metadata(wav)
+    assert (mw["container"], mw["sample_rate"], mw["channels"]) == ("wav", 16000, 1)
+    assert mw["n_samples"] == 12000
+    assert mw["duration_sec"] == pytest.approx(0.75)
+    assert mw["bitrate_kbps"] == pytest.approx(16000 * 2 * 8 / 1000)
+    mf = codecs.parse_audio_metadata(flac)
+    assert (mf["container"], mf["n_samples"]) == ("flac", 12000)
+    assert mf["duration_sec"] == pytest.approx(0.75)
+    with pytest.raises(codecs.CodecError):
+        codecs.parse_audio_metadata(b"\x00" * 64)
+
+
+def test_extract_audio_metadata_operator_mixed_containers(spark):
+    """The no-decode curation operator over a mixed WAV/FLAC/MP3 table —
+    every MP3 flows through (only PCM decode remains behind the seam)."""
+    x = _tone(n=8000, sr=8000)
+    rows = [
+        ("w0", bytearray(codecs.encode_wav(x, 8000)), "audio/wav", 8000, 8000),
+        ("f0", bytearray(codecs.encode_flac(x, 8000)), "audio/flac", 8000, 8000),
+        ("m0", bytearray(b"".join(_mp3_frame() for _ in range(10))),
+         "audio/mpeg", 44100, 0),
+        ("m1", bytearray(b"".join(_mp3_frame(version="2", bitrate_kbps=64,
+                                             rate=22050, mono=True)
+                                  for _ in range(4))),
+         "audio/mpeg", 22050, 0),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.AUDIO_SCHEMA)
+    out = multimodal.extract_audio_metadata(df).toPandas().set_index("doc_id")
+    assert out.loc["w0", "container"] == "wav"
+    assert out.loc["f0", "n_samples"] == 8000
+    assert out.loc["m0", "n_frames"] == 10
+    assert out.loc["m0", "duration_sec"] == pytest.approx(10 * 1152 / 44100)
+    assert out.loc["m1", "channels"] == 1
+    assert out.loc["m1", "sample_rate"] == 22050
+    # PCM decode for MP3 is still the documented seam
+    mp3_rows = df.filter("doc_id = 'm0'")
+    with pytest.raises(Exception, match="no decoder for 'audio/mpeg'"):
+        multimodal.extract_audio_features(mp3_rows).collect()
