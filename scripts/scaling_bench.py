@@ -168,12 +168,25 @@ print(json.dumps({{"cores": {cores}, "elapsed": best}}))
 SPIN = "while True:\n    pass\n"
 
 
+def _wait_idle(thr: float = 1.0, budget: float = 240.0) -> None:
+    """Bounded idle wait before every leg: a leg that starts on a loaded
+    host measures the LOAD, not the code (r7: a contended low leg read
+    efficiency_eq > 1). Stderr-only progress."""
+    t0 = time.time()
+    while os.getloadavg()[0] >= thr and time.time() - t0 < budget:
+        print(f"[scaling] waiting for idle host: load1="
+              f"{os.getloadavg()[0]:.2f}", file=sys.stderr)
+        time.sleep(10)
+
+
 def run_code(code: str, cores: int, spinners: int = 0) -> dict:
     """Run a bench subprocess; optionally keep ``spinners`` cores busy with
     register-only spin loops (frequency equalization: stops single-core turbo
     from inflating the low-core baseline — on a real N-vs-4N-node cluster
     every node runs at the same clock, so the un-equalized local ratio
-    UNDERSTATES cluster efficiency by the turbo margin)."""
+    UNDERSTATES cluster efficiency by the turbo margin). Each leg starts
+    only once the host is idle (_wait_idle)."""
+    _wait_idle()
     procs = [
         subprocess.Popen([sys.executable, "-c", SPIN],
                          stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
