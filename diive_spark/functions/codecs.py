@@ -10,9 +10,9 @@ parse, canonical Huffman entropy decode, dequantize, 2-D IDCT as two 8x8
 matrix products vectorized over all blocks, chroma upsampling and JFIF
 YCbCr->RGB; FLAC is bit-exact lossless coding — rice-coded residuals of
 fixed or LPC predictors with CRC-8/16 and MD5 integrity checks.
-Remaining exotic formats (progressive/arithmetic JPEG, MP3/Vorbis/Opus,
-...) stay behind ``DecodeUnavailable`` — the seam's contract is unchanged,
-the dominant interchange formats just work now.
+Remaining exotic formats (arithmetic-coded JPEG, MP3/Vorbis/Opus PCM,
+WebP, ...) stay behind ``DecodeUnavailable`` — the seam's contract is
+unchanged, the dominant interchange formats just work now.
 
 Decoders are kernel-side helpers (called per blob inside Arrow-batched
 mapInPandas kernels); the per-symbol Huffman walk is the only Python loop
@@ -22,10 +22,15 @@ seam without touching any Spark plumbing.
 
 PNG subset: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
 6 (RGBA), no interlace. WAV subset: PCM integer 8/16/32-bit, any channel
-count. JPEG subset: baseline sequential Huffman (SOF0), 8-bit, grayscale
-or YCbCr with any 1/2-factor subsampling (4:4:4, 4:2:2, 4:2:0), restart
-intervals; the bundled encoder writes spec-compliant grayscale/4:4:4/4:2:0
-JFIF with the Annex K tables.
+count. JPEG subset: baseline sequential Huffman (SOF0/1, interleaved or
+multi-scan non-interleaved) AND progressive (SOF2: spectral selection +
+successive approximation, all four scan kinds of T.81 G.1.2, EOB runs,
+interleaved and non-interleaved scans), 8-bit, grayscale or YCbCr with
+any 1/2-factor subsampling (4:4:4, 4:2:2, 4:2:0), restart intervals; the
+bundled encoder writes spec-compliant grayscale/4:4:4/4:2:0 JFIF —
+baseline with the Annex K tables, or progressive (libjpeg's standard
+scan script) with per-scan OPTIMIZED Huffman tables built by the Annex
+K.2 procedure (required: the typical tables carry no EOBn symbols).
 """
 
 from __future__ import annotations
@@ -358,15 +363,20 @@ def _entropy_segments(blob: bytes, start: int):
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JPEG into uint8: (h, w) for one
-    component, (h, w, 3) RGB for YCbCr. Progressive (SOF2) and other
-    non-baseline frames raise CodecError — the documented seam."""
+    """Decode a JPEG into uint8: (h, w) for one component, (h, w, 3) RGB
+    for YCbCr. Covers baseline/extended sequential (SOF0/1) — interleaved
+    single-scan fast path or multi-scan non-interleaved — and progressive
+    (SOF2) with spectral selection, successive approximation and EOB runs
+    (T.81 G.1.2). Arithmetic-coded and lossless frames raise CodecError —
+    the documented seam. Cross-implementation checked against bundled
+    libjpeg-produced progressive files (test_codecs)."""
     if blob[:2] != b"\xff\xd8":
         raise CodecError("not a JPEG (bad SOI)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    stores = None  # persistent per-component zigzag coefficients (multi-scan)
     restart_interval = 0
     i = 2
     while i + 4 <= len(blob):
@@ -408,7 +418,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_map(bits, vals)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: (extended) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise CodecError(f"unsupported JPEG precision {prec}")
@@ -416,8 +426,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps, "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise CodecError(
                 f"non-baseline JPEG frame (SOF{marker - 0xC0}) unsupported")
@@ -425,19 +435,39 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if frame is None:
                 raise CodecError("JPEG SOS before SOF")
             ns = data[0]
-            if ns < len(frame["comps"]):
-                raise CodecError(
-                    "non-interleaved JPEG (scan covers "
-                    f"{ns}/{len(frame['comps'])} components) unsupported")
             scan = []
             for c in range(ns):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                comp = next(
+                    (x for x in frame["comps"] if x["id"] == cs), None)
+                if comp is None:
+                    raise CodecError(f"JPEG scan names unknown component {cs}")
                 scan.append((comp, tt >> 4, tt & 15))
-            segs, _end = _entropy_segments(blob, i)
-            return _decode_scan(frame, scan, qt, huff_dc, huff_ac,
-                                segs, restart_interval)
+            p = 1 + 2 * ns
+            ss, se, ahal = data[p], data[p + 1], data[p + 2]
+            if not frame["prog"] and ns == len(frame["comps"]):
+                # single interleaved sequential scan: the fast path
+                segs, _end = _entropy_segments(blob, i)
+                return _decode_scan(frame, scan, qt, huff_dc, huff_ac,
+                                    segs, restart_interval)
+            if stores is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mcux = -(-frame["w"] // (8 * hmax))
+                mcuy = -(-frame["h"] // (8 * vmax))
+                stores = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"] * mcux * c["h"], 64), np.int64)
+                    for c in frame["comps"]
+                }
+            segs, end = _entropy_segments(blob, i)
+            _decode_scan_general(frame, scan, ss, se, ahal >> 4, ahal & 15,
+                                 huff_dc, huff_ac, stores, segs,
+                                 restart_interval)
+            i = end
         # APPn / COM / others: skipped
+    if stores is not None:
+        return _assemble_multiscan(frame, stores, qt)
     raise CodecError("JPEG has no SOS scan")
 
 
@@ -502,6 +532,11 @@ def _decode_scan(frame, scan, qt, huff_dc, huff_ac, segs, restart_interval):
         plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0),
                           hmax // comp["h"], axis=1)
         planes.append(plane[:h, :w])
+    return _planes_to_img(planes)
+
+
+def _planes_to_img(planes) -> np.ndarray:
+    """Full-resolution component planes -> uint8 image (JFIF YCbCr->RGB)."""
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     if len(planes) != 3:
@@ -512,6 +547,177 @@ def _decode_scan(frame, scan, qt, huff_dc, huff_ac, segs, restart_interval):
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255) \
         .astype(np.uint8)
+
+
+def _scan_geom(frame, scan_comps):
+    """Unit iteration geometry for one scan (T.81 A.2): scans with several
+    components step MCUs over the frame grid; single-component scans step
+    the component's TRUE block grid (ceil of its scaled dimensions), which
+    can be smaller than its MCU-padded store. Returns (n_units, unit_fn)
+    where unit_fn(u) lists (scan_ci, store_block_index)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    if len(scan_comps) == 1:
+        comp = scan_comps[0]
+        cw = -(-(frame["w"] * comp["h"]) // hmax)
+        ch = -(-(frame["h"] * comp["v"]) // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        pad_bw = mcux * comp["h"]
+
+        def unit(u, _bw=bw, _pad=pad_bw):
+            row, col = divmod(u, _bw)
+            return ((0, row * _pad + col),)
+
+        return bw * bh, unit
+
+    def unit(m):
+        my, mx = divmod(m, mcux)
+        out = []
+        for ci, comp in enumerate(scan_comps):
+            pad_bw = mcux * comp["h"]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    out.append((ci, (my * comp["v"] + by) * pad_bw
+                                + mx * comp["h"] + bx))
+        return out
+
+    return mcux * mcuy, unit
+
+
+def _ac_first(reader, coef, ss, se, al, ac_tbl, eobrun):
+    """AC coefficients, first pass for this band (T.81 G.1.2.2; also the
+    AC half of a sequential scan when al == 0). ``coef`` is the block's
+    flat zigzag store. Returns the remaining EOB run."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise CodecError("JPEG AC index overflow")
+        coef[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(reader, coef, ss, se, al, ac_tbl, eobrun):
+    """AC successive-approximation refinement (T.81 G.1.2.3): one
+    correction bit per already-nonzero coefficient, new coefficients
+    appear as +-(1<<al). Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15 (ZRL): pass 16 zero-history positions
+            else:
+                if s != 1:
+                    raise CodecError("JPEG AC refinement size != 1")
+                s_val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if coef[k]:
+                    if reader.read_bit() and not (coef[k] & p1):
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val and k <= se:
+                coef[k] = s_val
+            k += 1
+    if eobrun:
+        # inside an EOB run: only correction bits for nonzero history
+        while k <= se:
+            if coef[k]:
+                if reader.read_bit() and not (coef[k] & p1):
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_general(frame, scan, ss, se, ah, al, huff_dc, huff_ac,
+                         stores, segs, restart_interval):
+    """One scan of a multi-scan JPEG (progressive SOF2, or non-interleaved
+    sequential SOF0/1) into the persistent per-component zigzag stores."""
+    comps = [c for c, _, _ in scan]
+    n_units, unit_fn = _scan_geom(frame, comps)
+    preds = [0] * len(scan)
+    eobrun = 0
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise CodecError("JPEG missing restart segment")
+            reader = _BitReader(segs[seg_idx])
+            preds = [0] * len(scan)
+            eobrun = 0
+        for ci, bidx in unit_fn(u):
+            comp, td, ta = scan[ci]
+            coef = stores[comp["id"]][bidx]
+            if ss == 0 and ah == 0:
+                # DC first (plus, for sequential scans, the AC tail)
+                s = reader.read_symbol(huff_dc[td])
+                preds[ci] += _extend(reader.read_bits(s), s) if s else 0
+                coef[0] = preds[ci] << al
+                if se > 0:
+                    eobrun = _ac_first(reader, coef, 1, se, al,
+                                       huff_ac[ta], eobrun)
+            elif ss == 0:  # DC refinement: one appended bit per block
+                if reader.read_bit():
+                    coef[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first(reader, coef, ss, se, al,
+                                   huff_ac[ta], eobrun)
+            else:
+                eobrun = _ac_refine(reader, coef, ss, se, al,
+                                    huff_ac[ta], eobrun)
+
+
+def _assemble_multiscan(frame, stores, qt):
+    """Dequantize + IDCT the accumulated zigzag stores, upsample, crop."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    planes = []
+    for comp in frame["comps"]:
+        q = qt[comp["tq"]].astype(np.float64)
+        zz = stores[comp["id"]].astype(np.float64)
+        raster = np.zeros_like(zz)
+        raster[:, _ZIGZAG] = zz
+        bw, bh = mcux * comp["h"], mcuy * comp["v"]
+        px = _idct_blocks(raster.reshape(-1, 8, 8) * q) + 128.0
+        plane = (px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8))
+        plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0),
+                          hmax // comp["h"], axis=1)
+        planes.append(plane[:frame["h"], :frame["w"]])
+    return _planes_to_img(planes)
 
 
 def _huff_encode_map(bits, vals):
@@ -626,13 +832,10 @@ def _plane_blocks(plane: np.ndarray, q_raster: np.ndarray) -> np.ndarray:
     return zz.reshape(by, bx, 64)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90,
-                subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as baseline JFIF
-    JPEG: Annex K quantization (quality-scaled) + Annex K typical Huffman
-    tables, single interleaved scan, optional 4:2:0 chroma subsampling
-    and restart intervals."""
+def _prep_components(img: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front half: color transform, subsampling, DCT +
+    quantization. Returns (h, w, gray, samp, comp_zz, q_lum_r, q_chr_r,
+    mcux, mcuy) with comp_zz grown to full MCU coverage."""
     a = np.asarray(img, dtype=np.uint8).astype(np.float64)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -683,15 +886,60 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                 grown[:, bx:] = grown[:, bx - 1:bx]
             zz = grown
         comp_zz.append(zz)
+    return h, w, gray, samp, comp_zz, q_lum_r, q_chr_r, mcux, mcuy
+
+
+def _jpeg_headers(h, w, gray, samp, q_lum_r, q_chr_r, sof_marker,
+                  restart_interval=0):
+    """SOI + APP0 + DQT(s) + optional DRI + SOF as a bytearray."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(q_lum_r[_ZIGZAG].tolist()))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(q_chr_r[_ZIGZAG].tolist()))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(samp)))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += _seg(sof_marker, bytes(sof))
+    return out
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+        + payload
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsample: str = "444",
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as JFIF JPEG.
+    Baseline (default): Annex K quantization (quality-scaled) + Annex K
+    typical Huffman tables, single interleaved scan, optional 4:2:0
+    chroma subsampling and restart intervals. ``progressive=True`` writes
+    an SOF2 stream with libjpeg's standard scan script (spectral
+    selection + two successive-approximation levels) and per-scan
+    optimized Huffman tables; restart_interval is ignored there. Both
+    modes quantize identically, so decode(progressive) is bit-identical
+    to decode(baseline) — the round-trip test exploits that."""
+    if progressive:
+        prep = _prep_components(img, quality, subsample)
+        ncomp = 1 if prep[2] else 3
+        return _encode_multiscan(prep, _std_progressive_script(ncomp), 0xC2)
+    h, w, gray, samp, comp_zz, q_lum_r, q_chr_r, mcux, mcuy = \
+        _prep_components(img, quality, subsample)
 
     dc_lum = _huff_encode_map(*_K_DC_LUM)
     ac_lum = _huff_encode_map(*_K_AC_LUM)
     dc_chr = _huff_encode_map(*_K_DC_CHR)
     ac_chr = _huff_encode_map(*_K_AC_CHR)
-    maps = [(dc_lum, ac_lum)] + [(dc_chr, ac_chr)] * (len(planes) - 1)
+    ncomp = len(samp)
+    maps = [(dc_lum, ac_lum)] + [(dc_chr, ac_chr)] * (ncomp - 1)
 
     writer = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * ncomp
     chunks = []
     rst = 0
     for m in range(mcux * mcuy):
@@ -701,7 +949,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
             chunks.append(bytes([0xFF, 0xD0 + (rst & 7)]))
             rst += 1
             writer = _BitWriter()
-            preds = [0] * len(planes)
+            preds = [0] * ncomp
         my, mx = divmod(m, mcux)
         for ci, ((sh, sv), (dcm, acm)) in enumerate(zip(samp, maps)):
             for byy in range(sv):
@@ -713,31 +961,313 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     chunks.append(bytes(writer.out))
     entropy = b"".join(chunks)
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
-            + payload
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(q_lum_r[_ZIGZAG].tolist()))
-    if not gray:
-        out += seg(0xDB, bytes([0x01]) + bytes(q_chr_r[_ZIGZAG].tolist()))
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(planes)))
-    for ci, (sh, sv) in enumerate(samp):
-        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += seg(0xC0, bytes(sof))
+    out = _jpeg_headers(h, w, gray, samp, q_lum_r, q_chr_r, 0xC0,
+                        restart_interval)
     for tc_th, (bits, vals) in ((0x00, _K_DC_LUM), (0x10, _K_AC_LUM),
                                 *(() if gray else
                                   ((0x01, _K_DC_CHR), (0x11, _K_AC_CHR)))):
-        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
-    sos = bytearray([len(planes)])
-    for ci in range(len(planes)):
+        out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += b"\x00\x3f\x00"
-    out += seg(0xDA, bytes(sos))
+    out += _seg(0xDA, bytes(sos))
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------- #
+# progressive JPEG encoder (SOF2)
+# --------------------------------------------------------------------------- #
+
+def _build_huffman(freq_map: dict) -> tuple[list, list]:
+    """Optimal length-limited JPEG Huffman table from symbol frequencies —
+    the T.81 Annex K.2 procedure: pairwise merge with the reserved
+    pseudo-symbol 256 (keeps the all-ones codeword unassigned), then fold
+    code lengths above 16 down (Figure K.3). Returns (bits, vals)."""
+    freq = np.zeros(257, np.int64)
+    for sym, n in freq_map.items():
+        freq[sym] = n
+    freq[256] = 1
+    codesize = np.zeros(257, np.int64)
+    others = np.full(257, -1, np.int64)
+    while True:
+        nz = np.nonzero(freq)[0]
+        if len(nz) < 2:
+            break
+        # v1 = least-frequent (ties -> largest symbol), v2 = next least
+        order = nz[np.lexsort((-nz, freq[nz]))]
+        v1, v2 = int(order[0]), int(order[1])
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = int(others[v1])
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = int(others[v2])
+            codesize[v2] += 1
+    bits = np.zeros(33, np.int64)
+    for cs in codesize[codesize > 0]:
+        bits[min(int(cs), 32)] += 1
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's (longest) codeword
+    syms = [s for s in range(256) if codesize[s] > 0]
+    syms.sort(key=lambda s: (codesize[s], s))
+    return [int(b) for b in bits[1:17]], syms
+
+
+class _HuffStats:
+    """Statistics pass: counts Huffman symbols, discards raw bits."""
+
+    __slots__ = ("dc", "ac")
+
+    def __init__(self):
+        self.dc = {}
+        self.ac = {}
+
+    def dc_sym(self, s):
+        self.dc[s] = self.dc.get(s, 0) + 1
+
+    def ac_sym(self, s):
+        self.ac[s] = self.ac.get(s, 0) + 1
+
+    def bits(self, v, n):
+        pass
+
+    def bit(self, b):
+        pass
+
+
+class _HuffEmit:
+    """Emission pass: writes symbols through the scan's built tables."""
+
+    __slots__ = ("w", "dc_map", "ac_map")
+
+    def __init__(self, dc_map, ac_map):
+        self.w = _BitWriter()
+        self.dc_map = dc_map
+        self.ac_map = ac_map
+
+    def dc_sym(self, s):
+        c, ln = self.dc_map[s]
+        self.w.write(c, ln)
+
+    def ac_sym(self, s):
+        c, ln = self.ac_map[s]
+        self.w.write(c, ln)
+
+    def bits(self, v, n):
+        if n:
+            self.w.write(v, n)
+
+    def bit(self, b):
+        self.w.write(1 if b else 0, 1)
+
+
+def _std_progressive_script(ncomp: int):
+    """libjpeg's standard progressive scan script (jcparam.c): DC first at
+    Al=1, AC first passes (luma split 1-5 / 6-63 at Al=2, chroma 1-63 at
+    Al=1), then the successive-approximation refinements. Entries are
+    (comp_indices, Ss, Se, Ah, Al)."""
+    if ncomp == 1:
+        return [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    return [([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0), ([0], 1, 63, 1, 0)]
+
+
+def _enc_blocks_in_scan(comp_zz, samp, mcux, mcuy, w, h, comp_ids):
+    """Yield (scan_ci, zigzag_block) in scan order — the mirror of the
+    decoder's _scan_geom: MCU-interleaved for multi-component scans, the
+    TRUE block grid for single-component scans."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if len(comp_ids) == 1:
+        ci = comp_ids[0]
+        sh, sv = samp[ci]
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        for row in range(bh):
+            for col in range(bw):
+                yield 0, comp_zz[ci][row, col]
+        return
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for sci, ci in enumerate(comp_ids):
+            sh, sv = samp[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    yield sci, comp_zz[ci][my * sv + by, mx * sh + bx]
+
+
+def _enc_ac_first(out, blocks, ss, se, al):
+    """AC first pass with EOB-run accumulation (T.81 G.1.2.2 encoder)."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            out.ac_sym(r << 4)
+            out.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for blk in blocks:
+        nz = [k for k in range(ss, se + 1) if abs(int(blk[k])) >> al]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        prev = ss - 1
+        for k in nz:
+            r = k - prev - 1
+            while r > 15:
+                out.ac_sym(0xF0)
+                r -= 16
+            v = int(blk[k])
+            tval = abs(v) >> al
+            if v < 0:
+                tval = -tval
+            s, code = _mag_bits(tval)
+            out.ac_sym((r << 4) | s)
+            out.bits(code, s)
+            prev = k
+        if nz[-1] != se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(out, blocks, ss, se, al):
+    """AC refinement pass (T.81 G.1.2.3 encoder, libjpeg's buffered-bit
+    scheme): newly-nonzero coefficients get (run, 1) symbols + sign;
+    already-nonzero coefficients owe one correction bit each, buffered so
+    they land after the symbol (or after the EOBn that closes a run)."""
+    eobrun = 0
+    pending = []
+
+    def flush():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            out.ac_sym(r << 4)
+            out.bits(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            out.bit(b)
+        pending = []
+
+    for blk in blocks:
+        band = [(abs(int(blk[k])) >> al, int(blk[k]) < 0)
+                for k in range(ss, se + 1)]
+        eob = 0  # band-relative index AFTER the last newly-nonzero coef
+        for idx, (t, _) in enumerate(band):
+            if t == 1:
+                eob = idx + 1
+        r = 0
+        br = []
+        for idx, (t, neg) in enumerate(band):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and idx < eob:
+                flush()
+                out.ac_sym(0xF0)
+                r -= 16
+                for b in br:
+                    out.bit(b)
+                br = []
+            if t > 1:  # nonzero history: one buffered correction bit
+                br.append(t & 1)
+                continue
+            flush()  # newly nonzero at this level
+            out.ac_sym((r << 4) | 1)
+            out.bit(0 if neg else 1)
+            for b in br:
+                out.bit(b)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _encode_multiscan(prep, scans, sof_marker: int) -> bytes:
+    """Emit a multi-scan JPEG (progressive, or sequential non-interleaved
+    for sof_marker 0xC0 with full-band scans). Each Huffman-coded scan is
+    two passes: gather symbol statistics, build optimized tables (emitted
+    as a DHT right before the scan's SOS), then emit."""
+    h, w, gray, samp, comp_zz, q_lum_r, q_chr_r, mcux, mcuy = prep
+    out = _jpeg_headers(h, w, gray, samp, q_lum_r, q_chr_r, sof_marker)
+    for comp_ids, ss, se, ah, al in scans:
+        def run(sink):
+            blocks = _enc_blocks_in_scan(comp_zz, samp, mcux, mcuy, w, h,
+                                         comp_ids)
+            if ss == 0:
+                preds = [0] * len(comp_ids)
+                for sci, blk in blocks:
+                    if ah == 0:
+                        v = int(blk[0]) >> al
+                        s, code = _mag_bits(v - preds[sci])
+                        preds[sci] = v
+                        sink.dc_sym(s)
+                        sink.bits(code, s)
+                        if se > 0:  # sequential scan: AC tail follows DC
+                            _enc_ac_first(sink, [blk], 1, se, al)
+                    else:
+                        sink.bit((int(blk[0]) >> al) & 1)
+            elif ah == 0:
+                _enc_ac_first(sink, (b for _, b in blocks), ss, se, al)
+            else:
+                _enc_ac_refine(sink, (b for _, b in blocks), ss, se, al)
+
+        stats = _HuffStats()
+        run(stats)
+        dc_map = ac_map = None
+        if stats.dc:
+            bits, vals = _build_huffman(stats.dc)
+            dc_map = _huff_encode_map(bits, vals)
+            out += _seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+        if stats.ac:
+            bits, vals = _build_huffman(stats.ac)
+            ac_map = _huff_encode_map(bits, vals)
+            out += _seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+        emit = _HuffEmit(dc_map, ac_map)
+        run(emit)
+        emit.w.flush()
+        sos = bytearray([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, bytes(sos))
+        out += bytes(emit.w.out)
     out += b"\xff\xd9"
     return bytes(out)
 

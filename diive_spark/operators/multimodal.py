@@ -3,11 +3,12 @@
 The Spark-side plumbing (schemas, partition-friendly batch shapes, Arrow
 mapInPandas kernels) is real and tested, and the codec seam now decodes the
 dominant interchange formats with STDLIB-ONLY codecs (functions/codecs.py):
-baseline-sequential JPEG (T.81 Huffman + DCT), PNG via zlib inflate + spec
-unfilter, WAV via struct RIFF/PCM parsing. A deterministic fake format
-remains for plumbing-only tests; the remaining exotic formats
-(progressive/arithmetic JPEG, MP3, ...) still raise DecodeUnavailable until
-a codec library is installed — swapping one in changes ONE function
+sequential AND progressive JPEG (T.81 Huffman + DCT, spectral selection +
+successive approximation), PNG via zlib inflate + spec unfilter, WAV via
+struct RIFF/PCM parsing, FLAC. A deterministic fake format remains for
+plumbing-only tests; the remaining exotic formats (arithmetic-coded JPEG,
+WebP, MP3/Vorbis/Opus PCM, ...) still raise DecodeUnavailable until a
+codec library is installed — swapping one in changes ONE function
 (_decode_image_bytes / _decode_audio_bytes) and nothing else.
 
 Design notes for 100 TB:
@@ -68,11 +69,11 @@ def synth_media_table(spark, n_rows: int = 64, fmt: str = "fake-gray") -> DataFr
 
 
 def _decode_image_bytes(blob: bytes, media_type: str, width: int, height: int) -> np.ndarray:
-    """Codec seam. JPEG (baseline sequential, T.81 Huffman + DCT) and PNG
-    decode via the stdlib-only codecs (functions/codecs.py); the
+    """Codec seam. JPEG (sequential AND progressive, T.81 Huffman + DCT)
+    and PNG decode via the stdlib-only codecs (functions/codecs.py); the
     deterministic fake format decodes to a (h, w) uint8 array; anything
-    else (progressive JPEG, webp, ...) raises until a codec library is
-    installed. Multichannel images are collapsed to grayscale (channel
+    else (arithmetic-coded JPEG, webp, ...) raises until a codec library
+    is installed. Multichannel images are collapsed to grayscale (channel
     mean) so every feature path sees (h, w)."""
     if media_type == "image/fake-gray":
         return np.frombuffer(blob, dtype=np.uint8)[: width * height].reshape(height, width)
