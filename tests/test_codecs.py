@@ -618,6 +618,30 @@ def test_mpeg_parser_id3_xing_and_vbr():
     assert m["duration_sec"] == pytest.approx(500 * 1152 / 44100)
 
 
+def test_mpeg_parser_real_third_party_mp3():
+    """Cross-implementation check on a REAL encoder-produced MP3 shipped
+    by a system package (MPEG-2 Layer III, 22.05 kHz mono CBR). The
+    external consistency proof: file size must equal bitrate x duration
+    derived purely from the walked frame geometry."""
+    import os
+    path = ("/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+            "test_data/test.mp3")
+    if not os.path.exists(path):
+        pytest.skip("no system MP3 available")
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    m = codecs.parse_mpeg_audio(blob)
+    assert (m["version"], m["layer"]) == ("2", 3)
+    assert (m["sample_rate"], m["channels"]) == (22050, 1)
+    assert m["n_samples"] == m["n_frames"] * 576
+    assert m["duration_sec"] == pytest.approx(m["n_samples"] / 22050)
+    # every byte accounted for: 45 frames x 64 kbps at 22.05 kHz
+    assert len(blob) == pytest.approx(
+        m["bitrate_kbps"] * 1000 * m["duration_sec"] / 8, rel=0.01)
+    meta = codecs.parse_audio_metadata(blob)
+    assert meta["container"] == "mp3" and not meta["is_vbr"]
+
+
 def test_mpeg_parser_resync_and_garbage():
     blob = bytes(100) + _mp3_frame(mono=True) + bytes(33) + _mp3_frame(mono=True)
     m = codecs.parse_mpeg_audio(blob)
