@@ -40,9 +40,21 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 PII_COMBINED: str = "|".join(f"({pat})" for _, pat, _ in PII_PATTERNS)
 
 
-def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-category match counts from ONE fused alternation scan: all
-    matches are extracted once, then classified by match shape (every
+def pii_matches(text: Column) -> Column:
+    """The fused single-scan match stream: every PII match in the
+    document, one combined-alternation regex pass. MATERIALIZE this as
+    its own projection column before classifying (see redact_pii):
+    Catalyst does no common-subexpression elimination across duplicated
+    regex/HOF subtrees (the documented sf1 HOF trap, textstats.py), so
+    inlining it once per category re-ran the combined scan 4x per row —
+    measured 0.6 s -> 51 s on the sf1 token_count gate before the r7
+    materialization."""
+    return F.regexp_extract_all(text, F.lit(PII_COMBINED), 0)
+
+
+def pii_counts(matches: Column) -> dict[str, Column]:
+    """Per-category match counts from the already-extracted fused match
+    array (:func:`pii_matches`): matches are classified by shape (every
     email contains '@'; a phone starts with '+'; an IP contains '.';
     anything left is a long ID) — string tests on the tiny match
     substrings, never another pass over the document.
@@ -52,15 +64,14 @@ def pii_counts(text: Column) -> dict[str, Column]:
     matched email is not additionally counted as a long ID — exactly the
     spans the redaction chain masks. (The pre-r7 independent scans could
     double-count text nested inside an earlier category's match.)"""
-    all_matches = F.regexp_extract_all(text, F.lit(PII_COMBINED), 0)
-    n = F.size(all_matches).cast("bigint")
+    n = F.size(matches).cast("bigint")
     email = F.size(F.filter(
-        all_matches, lambda m: m.contains("@"))).cast("bigint")
+        matches, lambda m: m.contains("@"))).cast("bigint")
     phone = F.size(F.filter(
-        all_matches,
+        matches,
         lambda m: ~m.contains("@") & m.startswith("+"))).cast("bigint")
     ip = F.size(F.filter(
-        all_matches,
+        matches,
         lambda m: ~m.contains("@") & ~m.startswith("+")
         & m.contains("."))).cast("bigint")
     return {"email": email, "ip": ip, "phone": phone,
@@ -77,14 +88,20 @@ def redact_pii(
     default) add ``n_pii_<category>`` count columns.
 
     Counts come from the fused single-scan match stream (see
-    :func:`pii_counts`): non-overlapping matches in priority order — the
+    :func:`pii_matches`): non-overlapping matches in priority order — the
     same spans the redaction chain masks — so count and redaction
-    semantics agree and the document is scanned once for all four
-    categories."""
+    semantics agree and the document is scanned ONCE for all four
+    categories. The match array is materialized as an intermediate
+    column on purpose: it is non-cheap and referenced once per category,
+    so CollapseProject keeps the projection boundary and the combined
+    regex runs once per row (the inline form re-ran it 4x — the sf1 HOF
+    trap)."""
     t = F.col(text_col)
     if count:
-        for cat, c in pii_counts(t).items():
+        df = df.withColumn("_pii_m", pii_matches(t))
+        for cat, c in pii_counts(F.col("_pii_m")).items():
             df = df.withColumn(f"n_pii_{cat}", c)
+        df = df.drop("_pii_m")
     red = t
     for _, pat, repl in PII_PATTERNS:
         red = F.regexp_replace(red, pat, repl)
