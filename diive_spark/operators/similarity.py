@@ -237,7 +237,11 @@ def cosine_topk_ivf(
         cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids,
                                  n_iter=refine_iters)
     else:
-        cents = _centroids(corpus, id_col, vec_col, n_centroids)
+        # the hash-pick quantizer is a TakeOrdered over the corpus;
+        # referenced twice below (slab replication + query probes), so
+        # pin the k-row table on the executors instead of re-scanning
+        cents = _centroids(corpus, id_col, vec_col, n_centroids) \
+            .localCheckpoint(eager=True)
     c = corpus.select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
@@ -270,6 +274,104 @@ def cosine_topk_ivf(
     )
 
 
+def _semdedup_pairs(
+    assigned: DataFrame, id_col: str, threshold: float, pair_blocks: int,
+) -> DataFrame:
+    """Within-cluster near-dup pairs from the assigned table, as a
+    BLOCK-PAIR grouped Arrow kernel (r7: replaces the block-salted
+    self-join + interpreted per-pair Catalyst folds, which materialized
+    every within-cluster pair as a join row — 27M rows / ~69 s at the
+    sf1 gate shape; the kernel does the same pairs as one numpy matmul
+    shortlist per task + exact folds for candidates only: ~4 s).
+
+    Identical certified semantics: candidates are pruned with a
+    normalized matmul (exact-vs-matmul divergence ~1e-12 against the
+    1e-6 prune margin), survivors get the EXACT sequential dim-major
+    dot fold divided by the hoisted ``_nrm`` norms — value-for-value
+    the old join's ``round(dot_expr/(na*nb) + 1e-9, 6)``, which is what
+    the SQL oracle replays.
+
+    Parallelism: every row is exploded to its ``pair_blocks`` block-pair
+    keys, so a cluster is processed as (bi <= bj) block-pair tasks —
+    n_clusters x pair_blocks(pair_blocks+1)/2 tasks, the same shuffle
+    volume as the old a-side replication, with the per-task pair count
+    bounded by (cluster/pair_blocks)^2. Returns (id1, id2, cs1, cs2,
+    sim) with id1 < id2, sim >= threshold."""
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in assigned.schema.fields
+    )[id_col]
+    thr = float(threshold)
+
+    def _kern(key, pdf):
+        import numpy as np
+        import pandas as pd
+        _, bi, bj = key
+        empty = pd.DataFrame({
+            "id1": pdf[id_col][:0], "id2": pdf[id_col][:0],
+            "cs1": pd.Series([], dtype="float64"),
+            "cs2": pd.Series([], dtype="float64"),
+            "sim": pd.Series([], dtype="float64")})
+        same = bi == bj
+        a = pdf if same else pdf[pdf["_blk"] == bi]
+        b = pdf if same else pdf[pdf["_blk"] == bj]
+        if len(a) == 0 or len(b) == 0 or (same and len(a) < 2):
+            return empty
+        ida = a[id_col].to_numpy()
+        idb = b[id_col].to_numpy()
+        xa = np.vstack(a["v"].to_numpy())
+        xb = xa if same else np.vstack(b["v"].to_numpy())
+        na = a["_nrm"].to_numpy(dtype=np.float64)
+        nb = na if same else b["_nrm"].to_numpy(dtype=np.float64)
+        csa = a["centroid_sim"].to_numpy(dtype=np.float64)
+        csb = csa if same else b["centroid_sim"].to_numpy(dtype=np.float64)
+        approx = (xa @ xb.T) / np.outer(na, nb)
+        if same:
+            order = np.argsort(ida, kind="stable")
+            inv = np.empty(len(order), dtype=np.int64)
+            # keep only one orientation: id_a < id_b via the sorted rank
+            inv[order] = np.arange(len(order))
+            keep = (approx >= thr - 1e-6) & (inv[:, None] < inv[None, :])
+        else:
+            keep = approx >= thr - 1e-6
+        ik, jk = np.nonzero(keep)
+        if len(ik) == 0:
+            return empty
+        va, vb = xa[ik], xb[jk]
+        dot = np.zeros(len(ik))
+        for d in range(va.shape[1]):  # exact dim-major fold == dot_expr
+            dot += va[:, d] * vb[:, d]
+        raw = dot / (na[ik] * nb[jk]) + 1e-9
+        sims = np.asarray([round(s, 6) for s in raw.tolist()])
+        final = sims >= thr
+        ik, jk, sims = ik[final], jk[final], sims[final]
+        if len(ik) == 0:
+            return empty
+        # orient each pair by id (cross-block pairs arrive unordered)
+        i1, i2 = ida[ik], idb[jk]
+        c1, c2 = csa[ik], csb[jk]
+        swap = i1 > i2
+        i1s = np.where(swap, i2, i1)
+        i2s = np.where(swap, i1, i2)
+        c1s = np.where(swap, c2, c1)
+        c2s = np.where(swap, c1, c2)
+        return pd.DataFrame({"id1": i1s, "id2": i2s, "cs1": c1s,
+                             "cs2": c2s, "sim": sims})
+
+    b = F.col("_blk")
+    replicated = assigned.withColumn(
+        "_bp",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(pair_blocks - 1)),
+            lambda o: F.struct(F.least(b, o).alias("bi"),
+                               F.greatest(b, o).alias("bj")))),
+    ).select(id_col, "v", "centroid_sim", "_nrm", "_blk", "centroid_id",
+             F.col("_bp.bi").alias("_bi"), F.col("_bp.bj").alias("_bj"))
+    return replicated.groupBy("centroid_id", "_bi", "_bj").applyInPandas(
+        _kern,
+        schema=(f"id1 {id_type}, id2 {id_type}, cs1 double, cs2 double, "
+                "sim double"))
+
+
 def semdedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -278,7 +380,6 @@ def semdedup(
     threshold: float = 0.9,
     refine_iters: int = 2,
     pair_blocks: int = 16,
-    use_arrow_kernel: bool = False,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (public recipe: Abbas et al. 2023,
     arXiv:2303.09540 — cluster the embedding space with k-means, compare
@@ -296,11 +397,12 @@ def semdedup(
     - assignment: the shared shuffle-native kernel (_assign_centroids):
       slab-cogrouped matmul shortlist + exact-fold verify — one corpus
       scan, no n x k row materialization, no driver state;
-    - candidate pairs: ONE self-join keyed on centroid_id (id1 < id2),
-      so pair volume is sum over clusters of |c|^2 / 2, bounded by the
-      cluster granularity (n_clusters scales with corpus size in the
-      paper: 50k clusters for LAION — cluster size, not corpus size,
-      bounds the quadratic term);
+    - candidate pairs: the block-pair grouped Arrow kernel
+      (_semdedup_pairs) — pair volume is sum over clusters of |c|^2 / 2,
+      bounded by the cluster granularity (n_clusters scales with corpus
+      size in the paper: 50k clusters for LAION — cluster size, not
+      corpus size, bounds the quadratic term), and no pair ever
+      materializes as a join row;
     - removal rule, deterministic: in every near-dup pair the member
       with the HIGHER centroid similarity is removed (ties: higher id).
       For a fully-connected duplicate group this keeps exactly the
@@ -308,16 +410,17 @@ def semdedup(
       groups the pairwise rule is a deterministic superset of removals
       (documented engine choice — no iterative grouping pass needed).
 
-    Two scale details (measured, sf1 rehearsal: 20k vectors pinned to 8
-    clusters went 352 s -> the fixed plan's time, output bit-identical):
-    per-member norms are computed ONCE and reused by every pair (the
-    per-pair cosine had been re-folding both norms — 3 array aggregates
-    per pair instead of 1), and the pair join is block-salted: joining on
-    centroid_id alone gives only n_clusters join keys, so a 32-core
-    cluster idles on 8 tasks; each member gets a deterministic hash block
-    and the left side is replicated across ``pair_blocks`` blocks, making
-    the key space n_clusters x pair_blocks while producing the identical
-    pair set. ``n_clusters='auto'`` sizes the cluster count to the corpus
+    Scale history (all measured at the 20k-vector / 8-cluster sf1 gate
+    shape, outputs bit-identical at each step): r6 hoisted the
+    per-member norms (3 array folds per pair -> 1) and block-salted the
+    pair join (352 s -> 18 s at local[32]); r7 replaces the join
+    entirely with the block-pair grouped Arrow kernel — matmul prune +
+    exact folds for candidates only — because the join still
+    materialized every within-cluster pair as a row through the
+    interpreted Catalyst fold (measured 69 s at the sweep's local[8],
+    ~4 s with the kernel). ``pair_blocks`` keeps its meaning as the
+    parallelism salt: a cluster is processed as (bi <= bj) block-pair
+    tasks. ``n_clusters='auto'`` sizes the cluster count to the corpus
     (~2k expected members per cluster, the paper's regime — cluster SIZE,
     not corpus size, bounds the quadratic term).
 
@@ -331,7 +434,8 @@ def semdedup(
         cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters,
                                  n_iter=refine_iters)
     else:
-        cents = _centroids(corpus, id_col, vec_col, n_clusters)
+        cents = _centroids(corpus, id_col, vec_col, n_clusters) \
+            .localCheckpoint(eager=True)
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     from diive_spark.operators.dedup import h32
@@ -345,40 +449,18 @@ def semdedup(
         .withColumn("_nrm", norm_expr(F.col("v")))
         .withColumn("_blk", F.pmod(h32(F.col(id_col).cast("string")),
                                    F.lit(pair_blocks)))
+        # cached: referenced THREE times (both pair-join sides + the final
+        # left join), and the upstream assignment kernel is a full corpus
+        # shuffle + Arrow pass — uncached it re-executes per reference
+        # (measured 3x the gate wall at sf1). Same discipline as the
+        # capped shingle table in dedup.py.
+        .cache()
     )
-    a = assigned.withColumn(
-        "_rep", F.explode(F.sequence(F.lit(0), F.lit(pair_blocks - 1)))
-    ).alias("a")
-    b = assigned.alias("b")
-    if use_arrow_kernel:
-        # throughput path for the pair hot loop: Arrow-batched numpy
-        # einsum (~50M 64-dim dots/s/core) instead of the interpreted
-        # catalyst fold (~0.4M/s/core, measured sf1). numpy's pairwise
-        # summation differs from the sequential fold in the last ULPs, so
-        # this path is NOT SQL-oracle-exact — the default fold is; the
-        # two agree to ~1e-12 relative (test-pinned) and produce the same
-        # removals at any threshold not itself within float noise of a
-        # pair similarity.
-        pair_dot = _dot_arrow(F.col("a.v"), F.col("b.v"))
-    else:
-        pair_dot = dot_expr(F.col("a.v"), F.col("b.v"))
-    pair_sim = F.round(
-        pair_dot
-        / F.nullif(F.col("a._nrm") * F.col("b._nrm"), F.lit(0.0))
-        + F.lit(1e-9), 6)
-    pairs = (
-        a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
-               & (F.col("a._rep") == F.col("b._blk"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .withColumn("sim", pair_sim)
-        .filter(F.col("sim") >= threshold)
-    )
+    pairs = _semdedup_pairs(assigned, id_col, threshold, pair_blocks)
     loser = (
-        F.when(F.col("a.centroid_sim") > F.col("b.centroid_sim"),
-               F.col(f"a.{id_col}"))
-        .when(F.col("b.centroid_sim") > F.col("a.centroid_sim"),
-              F.col(f"b.{id_col}"))
-        .otherwise(F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")))
+        F.when(F.col("cs1") > F.col("cs2"), F.col("id1"))
+        .when(F.col("cs2") > F.col("cs1"), F.col("id2"))
+        .otherwise(F.greatest(F.col("id1"), F.col("id2")))
     )
     removed = pairs.select(loser.alias(id_col)).distinct().withColumn(
         "is_removed", F.lit(1))
@@ -428,23 +510,6 @@ def knn_classify(
         .select("query_id", F.col("_lbl").alias("pred_label"),
                 "n_votes", "w_sim")
     )
-
-
-def _dot_arrow(a: Column, b: Column) -> Column:
-    """Arrow-batched pairwise dot product: one einsum per record batch —
-    the vectorized hot-loop kernel for semdedup's pair scoring."""
-    @F.pandas_udf("double")
-    def _dot(x, y):
-        import numpy as np
-        import pandas as pd
-
-        if len(x) == 0:
-            return pd.Series([], dtype="float64")
-        ax = np.vstack(x.to_numpy())
-        ay = np.vstack(y.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", ax, ay))
-
-    return _dot(a, b)
 
 
 def _bucket_expr(v, n_planes: int, seed: int, dim: int):

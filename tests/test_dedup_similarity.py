@@ -603,24 +603,49 @@ def _cos(a, b):
     return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
 
 
-def test_semdedup_arrow_kernel_agrees_with_exact_fold(spark, embs):
-    """The Arrow pair-scoring path (vectorized einsum) must produce the
-    same removal decisions and centroid assignments as the oracle-exact
-    catalyst fold; similarities agree to float noise."""
-    base = embs.select("vec_id", "embedding").limit(80)
-    aug = base.unionByName(base.select(
-        (F.col("vec_id") + 50000).alias("vec_id"),
-        F.transform(F.col("embedding").cast("array<double>"),
-                    lambda x: x + F.lit(0.05) * x * x).alias("embedding")))
-    exact = similarity.semdedup(
-        aug, n_clusters=5, threshold=0.9, refine_iters=0) \
-        .toPandas().set_index("vec_id").sort_index()
-    arrow = similarity.semdedup(
-        aug, n_clusters=5, threshold=0.9, refine_iters=0,
-        use_arrow_kernel=True).toPandas().set_index("vec_id").sort_index()
-    assert (exact["centroid_id"] == arrow["centroid_id"]).all()
-    assert (exact["is_removed"] == arrow["is_removed"]).all()
-    assert exact["is_removed"].sum() >= 40
+def test_semdedup_pair_kernel_matches_numpy_bruteforce(spark):
+    """The block-pair grouped Arrow kernel (r7: replaces the block-salted
+    pair join) must reproduce EXACTLY the brute-force within-cluster pair
+    set: every (id1 < id2) pair in the same cluster whose
+    round(dim-major-fold-dot / (nrm1*nrm2) + 1e-9, 6) >= threshold, with
+    the pair's sim value and both centroid sims — across block-pair
+    replication, same-block triangles, and cross-block orientation."""
+    rng = np.random.default_rng(3)
+    n, dim, ncl, blocks, thr = 120, 16, 3, 4, 0.9
+    V = rng.normal(size=(n, dim))
+    for src, dst in [(10, 50), (11, 51), (12, 52), (13, 53), (20, 90)]:
+        V[dst] = V[src] * (1.0 + 0.001 * dst)  # planted near-dups
+    cl = rng.integers(0, ncl, n)
+    cl[50], cl[51], cl[52], cl[90] = cl[10], cl[11], cl[12], cl[20]
+    cl[53] = (cl[13] + 1) % ncl  # same vector, different cluster: no pair
+    nrm = np.zeros(n)
+    for d in range(dim):  # exact dim-major fold of norm_expr
+        nrm += V[:, d] * V[:, d]
+    nrm = np.sqrt(nrm)
+    csim = np.round(rng.uniform(0, 1, n), 6)
+    rows = [(int(i), [float(x) for x in V[i]], int(cl[i]), float(csim[i]),
+             float(nrm[i]), int(i % blocks)) for i in range(n)]
+    assigned = spark.createDataFrame(
+        rows, "vec_id bigint, v array<double>, centroid_id int, "
+              "centroid_sim double, _nrm double, _blk int")
+    got = similarity._semdedup_pairs(assigned, "vec_id", thr, blocks) \
+        .toPandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    want = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cl[i] != cl[j]:
+                continue
+            dot = 0.0
+            for d in range(dim):
+                dot += V[i, d] * V[j, d]
+            sim = round(dot / (nrm[i] * nrm[j]) + 1e-9, 6)
+            if sim >= thr:
+                want.append((i, j, csim[i], csim[j], sim))
+    assert len(want) >= 4  # the planted pairs actually qualify
+    assert len(got) == len(want)
+    for (i, j, c1, c2, sim), row in zip(want, got.itertuples(index=False)):
+        assert (row.id1, row.id2) == (i, j)
+        assert row.sim == sim and row.cs1 == c1 and row.cs2 == c2
 
 
 def test_knn_classify_matches_numpy_oracle(spark, embs):
