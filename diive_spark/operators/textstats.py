@@ -264,17 +264,58 @@ def remove_boilerplate_lines(
     )
 
 
-def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 impl: str = "arrow") -> DataFrame:
     """Per-document Shannon entropy over characters (nats) — the classic
     cheap gibberish/encoded-blob detector (public recipe: compression-ratio
     and entropy filters in web-corpus pipelines; entropy is the
     distributable, dependency-free proxy).
 
-    Pure column expression, no shuffle: sort the char array, then ONE fold
-    accumulating sum(run * ln run) over equal-char runs; H = ln n - S/n.
-    Mathematically identical to the groupBy form (runs of the sorted array
-    ARE the character groups), which is how the SQL oracle replays it."""
+    Both impls compute IDENTICAL values (test-pinned, including astral
+    plane + empty docs): sort the chars, accumulate S = sum(run * ln run)
+    over equal-char runs IN SORTED ORDER, H = round(ln n - S/n + 1e-9, 6).
+
+    - ``impl='arrow'`` (default): vectorized Arrow kernel — per doc one
+      numpy codepoint sort + unique + a sequential cumsum reproducing the
+      fold's left-to-right accumulation. Spark compares strings in UTF-8
+      binary order == codepoint order, so numpy's codepoint sort IS the
+      array_sort order; split('') keeps astral chars whole (one element
+      per codepoint) and maps '' -> [''] (n=1, H=0.0), both replicated.
+      ~24x faster than the fold at sf1 (24 s -> ~1 s for 50k docs at
+      local[8]): HOF aggregate lambdas are interpreted per ELEMENT, and
+      this one runs per character.
+    - ``impl='fold'``: the pure-column sorted-run fold (shuffle-free, no
+      Python) — kept as the cross-implementation check the equivalence
+      test pins the kernel against, and as the SQL-oracle-shaped form
+      (the oracle replays the mathematically identical char-groupBy)."""
     t = F.col(text_col)
+    if impl == "arrow":
+        @F.pandas_udf("double")
+        def _h(texts):
+            import numpy as np
+            import pandas as pd
+            out = np.empty(len(texts))
+            for i, s in enumerate(texts):
+                if s is None:
+                    out[i] = np.nan
+                    continue
+                n = len(s)
+                if n == 0:
+                    out[i] = round(1e-9, 6)  # split('') -> [''] run, n=1
+                    continue
+                cps = np.frombuffer(s.encode("utf-32-le"), "<u4")
+                counts = np.unique(cps, return_counts=True)[1] \
+                    .astype(np.float64)
+                terms = counts * np.log(counts)
+                # cumsum = sequential left-to-right accumulation, exactly
+                # the fold's float addition order over sorted runs
+                srun = float(np.cumsum(terms)[-1]) if len(terms) else 0.0
+                out[i] = round(float(np.log(float(n))) - srun / n + 1e-9, 6)
+            res = pd.Series(out)
+            return res.where(~np.isnan(out), None)
+        return df.withColumn("char_entropy", _h(t))
+    if impl != "fold":
+        raise ValueError(f"unknown char_entropy impl {impl!r}")
     chars = F.array_sort(F.split(t, ""))
     n = F.size(chars).cast("double")
 

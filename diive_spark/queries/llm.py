@@ -516,8 +516,10 @@ def _pii_augmented(docs):
 def q_token_count(spark, sf_dir):
     """Union gate, three variants: 'count' = whitespace + BPE-estimate
     token counts; 'entropy' = per-doc character Shannon entropy (the
-    gibberish detector — a shuffle-free sorted-run fold in Spark, replayed
-    by the oracle as the mathematically identical char-groupBy); 'pii' =
+    gibberish detector — the vectorized Arrow kernel since r7,
+    value-identical to the sorted-run fold it replaced [test-pinned] and
+    replayed by the oracle as the mathematically identical char-groupBy);
+    'pii' =
     regex PII detection + redaction (privacy.redact_pii) over
     deterministically injected emails/phones/IPs/long-ids, certified by
     per-category counts plus the redacted text's length and md5

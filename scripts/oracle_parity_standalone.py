@@ -95,16 +95,26 @@ def main() -> None:
                 print(f"{name}: rows_only {n} rows "
                       f"{results[name]['sec']}s", flush=True)
                 continue
+            # spark_sec / duck_sec time query execution + collect ONLY;
+            # the pandas normalization (a full multi-column sort of the
+            # collected frame) is harness cost, billed separately —
+            # before r7 it dominated the big union gates' "spark" walls
+            # (token_count read 32 s of which 0.3 s was engine).
             ts = time.time()
-            got = _normalize(queries.QUERIES[name](spark, SF_DIR).toPandas())
+            raw = queries.QUERIES[name](spark, SF_DIR).toPandas()
             t_spark = time.time() - ts
             td = time.time()
-            want = _normalize(duck.execute(queries.ORACLES[name]).df())
+            raw_want = duck.execute(queries.ORACLES[name]).df()
             t_duck = time.time() - td
+            tn = time.time()
+            got = _normalize(raw)
+            want = _normalize(raw_want)
+            t_norm = time.time() - tn
             err = _compare(got, want)
             results[name] = {
                 "mode": "value", "rows": len(got), "match": err is None,
                 "spark_sec": round(t_spark, 2), "duck_sec": round(t_duck, 2),
+                "normalize_sec": round(t_norm, 2),
             }
             if err:
                 results[name]["err"] = err

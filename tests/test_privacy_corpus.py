@@ -146,6 +146,23 @@ def test_char_entropy_matches_numpy(spark):
     assert got[1] == 0.0  # single-symbol text has zero entropy
 
 
+def test_char_entropy_arrow_identical_to_fold(spark):
+    """The r7 Arrow kernel must equal the pure-column sorted-run fold
+    VALUE FOR VALUE on the tricky shapes: empty doc (split('') -> ['']),
+    astral-plane codepoints (one element per codepoint, UTF-8 binary ==
+    codepoint sort order), long runs, nulls."""
+    texts = ["abc", "", "a\U0001D11Eb�z\U0001D11E", "aab", None,
+             "x" * 500 + "y" * 3, "hello world " * 40, "éèe"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    arrow = {r["doc_id"]: r["char_entropy"]
+             for r in textstats.char_entropy(df, impl="arrow").collect()}
+    fold = {r["doc_id"]: r["char_entropy"]
+            for r in textstats.char_entropy(df, impl="fold").collect()}
+    assert arrow == fold
+    assert arrow[1] == 0.0 and arrow[4] is None
+
+
 def test_vocab_and_zipf(spark):
     df = spark.createDataFrame(
         [(1, "a", "b b a c"), (2, "a", "b a"), (3, "x", "d d d")],
@@ -242,9 +259,12 @@ def test_round6_curation_plans_are_scale_shaped(spark):
     - dsir_logweights: the bucket-LM ratio table is broadcast (one
       BroadcastHashJoin); the only nested-loop joins are the two
       single-row total crossJoins;
-    - semdedup: the within-cluster pair join is a shuffled join keyed on
-      (centroid_id, block) — block salting present — and nested-loop
-      joins appear only for the bounded centroid-table broadcasts."""
+    - semdedup (r7 plan): candidate pairs NEVER materialize as join rows
+      — assignment is the slab-cogrouped Arrow kernel
+      (FlatMapCoGroupsInPandas) and pair scoring is the block-pair
+      grouped kernel (FlatMapGroupsInPandas keyed on centroid_id +
+      block pair); the only join left is the bounded removed-ids
+      left join."""
     from diive_spark.operators import mixing, similarity
 
     docs = spark.read.parquet(
@@ -261,10 +281,12 @@ def test_round6_curation_plans_are_scale_shaped(spark):
         "/root/testdata/sf0.001/embeddings.parquet") \
         .select("vec_id", "embedding")
     p3 = _plan(similarity.semdedup(embs, n_clusters=6, refine_iters=0))
+    assert "FlatMapCoGroupsInPandas" in p3   # slab-cogrouped assignment
+    assert "FlatMapGroupsInPandas" in p3     # block-pair pair kernel
     pair_join = [l for l in p3.splitlines()
                  if "Join" in l and "_blk" in l]
-    assert pair_join, "block-salted pair join missing from the plan"
-    assert "BroadcastNestedLoop" not in pair_join[0]
+    assert not pair_join, "pair join resurfaced — pairs must stay kernel-local"
+    assert "BroadcastNestedLoop" not in p3
 
 
 def _paragraph_dedup_oracle(rows, sep="\n"):
