@@ -168,17 +168,23 @@ def _hashed_grams(df: DataFrame, id_col: str, text_col: str,
     by the engine's md5-derived 32-bit hash mod n_buckets. The gram
     construction is the one-pass zip_with form (never element_at inside a
     lambda, which re-evaluates split() per element)."""
-    uni = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # the word array is non-cheap (filter-HOF over split) and referenced
+    # three times by the gram expression — materialize it as its own
+    # projection column so it is built once per row (the CSE rule; the
+    # inline form re-ran the filtered split per reference)
+    uni = F.col("_uni")
     big = F.zip_with(
         F.slice(uni, 1, F.greatest(F.size(uni) - 1, F.lit(0))),
         F.slice(uni, 2, F.greatest(F.size(uni) - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    grams = F.concat(uni, big)
     bucket = F.pmod(
         h32(F.concat(F.col("gram"), F.lit(f":{seed}"))), F.lit(n_buckets))
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        df.select(F.col(id_col),
+                  F.filter(F.split(F.col(text_col), " "),
+                           lambda x: x != "").alias("_uni"))
+        .select(F.col(id_col), F.explode(F.concat(uni, big)).alias("gram"))
         .select(id_col, bucket.alias("bucket"))
     )
 
@@ -202,18 +208,29 @@ def dsir_logweights(
     with add-alpha smoothed bucket unigram models over ``n_buckets``
     hashed features.
 
-    Scale shape: the only corpus-sized steps are the two gram counts
-    (groupBy bucket — output bounded by n_buckets) and the per-doc sum
-    (one shuffle keyed on id); the bucket model is a broadcast table.
-    The two model totals are single-row aggregates collected to the
-    driver (bounded). Deterministic and engine-portable: buckets are
-    md5-derived, so a SQL oracle replays the exact weights.
+    Scale shape (r7): ONE raw gram explode feeds a per-(doc, bucket)
+    count table — the hashed feature bag, localCheckpoint-ed (ints only,
+    far smaller than the gram stream) — from which BOTH the raw bucket
+    model (regroup by bucket) and the per-doc weight sum (join the
+    broadcast ratio, sum n * logratio) derive; the target pays one gram
+    explode into its bounded bucket-count table. The bounded count
+    tables are pinned too: each is referenced twice (ratio full-join +
+    its total), and re-deriving them re-ran the corpus explode per
+    reference. No driver-side data anywhere. Deterministic and
+    engine-portable: buckets are md5-derived, so a SQL oracle replays
+    the exact weights (per-doc float-sum ordering differs from a
+    gram-by-gram fold only in the ~1e-13 reassociation range the
+    +1e-9/round-6 convention absorbs).
 
     Returns raw's (id_col, logw) — logw rounded to 6 decimals."""
     tg = _hashed_grams(target, id_col, text_col, n_buckets, seed)
     rg = _hashed_grams(raw, id_col, text_col, n_buckets, seed)
-    tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
-    rc = rg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    pdb = rg.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n")) \
+        .localCheckpoint(eager=True)
+    tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t")) \
+        .localCheckpoint(eager=True)
+    rc = pdb.groupBy("bucket").agg(F.sum("n").alias("c_r")) \
+        .localCheckpoint(eager=True)
     # model totals derive from the (<= n_buckets-row) count tables — no
     # .count() action, no extra corpus pass, fully lazy single-row aggs
     tot_t = tc.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("_n_t"))
@@ -233,9 +250,10 @@ def dsir_logweights(
         )
     )
     summed = (
-        rg.join(F.broadcast(ratio), "bucket")
+        pdb.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
-        .agg(F.round(F.sum("logratio") + F.lit(1e-9), 6).alias("logw"))
+        .agg(F.round(F.sum(F.col("n") * F.col("logratio")) + F.lit(1e-9), 6)
+             .alias("logw"))
     )
     # docs with zero grams score 0, not dropped
     return (
