@@ -320,6 +320,13 @@ def main() -> None:
         "trials": N_TRIALS,
         "load1_start": round(load1_start, 2),
         "control_sec": control_sec,
+        # end-of-run control: mid-run host drift (noisy neighbors eating
+        # PARALLEL throughput) is invisible to load1-at-start and to the
+        # start control — r7 measured same-code medians swinging 15.2 ->
+        # 18.4 -> 15.4 s across an hour with clean start controls. A
+        # control_sec_end far from control_sec marks the record as taken
+        # on a drifting host.
+        "control_sec_end": _cpu_control(spark),
         **extras,
     }
     # per-trial dispersion + per-query bests: side file, NOT stdout — the
