@@ -333,6 +333,14 @@ def pack_blocks(
         )
         return pd.DataFrame(row)
 
+    # explicit numbered repartition on the group key: the encode kernel is
+    # Python-CPU-bound, and AQE's size-based coalescing would fold a small
+    # tier's shuffle onto one partition, serialising every block through a
+    # single Python worker (see halo.apply_with_halo — same trap). At
+    # scale block count >> cores, so tasks stay full either way.
+    sc = df.sparkSession.sparkContext
+    src = src.repartition(max(sc.defaultParallelism, 1),
+                          *key_cols, "block_id")
     return src.groupBy(*key_cols, "block_id").applyInPandas(pack, schema=out_schema)
 
 
@@ -344,6 +352,15 @@ def unpack_blocks(packed: DataFrame, key_cols: list[str],
     out_schema = ", ".join(
         [f"{c} string" for c in key_cols] + ["ts bigint", "value double"]
     )
+    # floor the decode parallelism at the cluster core count: a packed
+    # tier is tiny in BYTES (that is the point of packing) so a cached or
+    # AQE-coalesced input often arrives on 1-2 partitions, serialising the
+    # Python decode loop; blobs are self-contained, so a round-robin
+    # spread is free of semantics. Inputs already wider than the core
+    # count (the 100 TB case) are left untouched.
+    sc = packed.sparkSession.sparkContext
+    if packed.rdd.getNumPartitions() < sc.defaultParallelism:
+        packed = packed.repartition(sc.defaultParallelism)
 
     def unpack(pdf_iter):
         # one decode call per BLOCK (a blob is a single encoded unit holding

@@ -38,11 +38,22 @@ def time_grid(
     ``False`` spans each key's own min..max.
     """
     interval = TIER_INTERVALS[tier]
+    # ONE per-key min/max aggregate serves both the key list and the span:
+    # the old form (global min/max agg + separate distinct-keys agg + the
+    # data side of the join) put three DIFFERENT aggregates over the same
+    # input subtree, so neither ReuseExchange nor AQE stage reuse could
+    # dedup them and the upstream rollup (and its raw-table scan) executed
+    # three times per gridded query (r8 plan audit: 3x `Scan parquet
+    # events` in gap_table_1h/interp_linear_1h/time_since). Now all three
+    # consumers share the IDENTICAL rollup subtree below their exchanges,
+    # which AQE dedups to one physical stage — one raw scan per query.
+    perkey = df.groupBy(*key_cols).agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"))
     if global_span:
-        span = df.select(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"))
-        keys = df.select(*key_cols).distinct().crossJoin(F.broadcast(span))
+        span = perkey.agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+        keys = perkey.select(*key_cols).crossJoin(F.broadcast(span))
     else:
-        keys = df.groupBy(*key_cols).agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi"))
+        keys = perkey
     return keys.select(
         *key_cols,
         F.explode(

@@ -86,6 +86,17 @@ def apply_with_halo(
     (half_window_rows * tier_seconds).
     """
     expanded = explode_halo_slabs(df, ts_col, slab_seconds, halo_seconds)
+    # Pin the grouped-map exchange to cluster parallelism: the kernel is
+    # Python-CPU-bound per ROW, but AQE's size-based coalescing sees only
+    # its (tiny) shuffle BYTES and folds a small tier onto ONE partition,
+    # serialising every slab through a single Python worker (r8
+    # measurement: the whole sf1 gapfill cascade ran as a 1-task stage).
+    # An explicit numbered repartition is exempt from AQE coalescing and
+    # satisfies the groupBy's clustering, so no second exchange is added;
+    # at scale the slab count dwarfs any core count and tasks stay full.
+    sc = df.sparkSession.sparkContext
+    expanded = expanded.repartition(
+        max(sc.defaultParallelism, 1), *key_cols, "_slab")
 
     out_cols = [c.strip().split()[0] for c in output_schema.split(",")]
 

@@ -123,18 +123,23 @@ def tree_model_fill(
     else:
         train, holdout = observed, None
 
-    # MLlib tree training runs one job per tree-depth level over the
-    # training partitions; after the upstream aggregates AQE often leaves
-    # this frame on ONE partition, serialising every level job on a
-    # single core. Spread it (bounded: ≥5k rows per partition so tiny
-    # frames don't drown in task overhead) and cache — the dozens of
-    # level jobs each rescan it.
+    # MLlib tree training runs one job per node-group iteration (~tree
+    # depth of them) over the training partitions; each iteration is a
+    # full task wave, so BOTH extremes hurt: one partition serialises
+    # every level job on a single core, while inheriting the session
+    # shuffle width (64 here) pays 64 task launches per iteration for
+    # kB-sized stats (guide §2.2 — fewer, larger partitions). Size to
+    # ~10k rows per partition, capped at the cluster parallelism —
+    # scale-adaptive, not a local[32] constant. No .cache(): the RF/GBT
+    # trainer immediately converts the frame to its own internally
+    # persisted BaggedPoint RDD and reads our frame exactly once, so a
+    # DataFrame cache here bought one extra full materialization pass
+    # per call (r8 phase profile: ~0.9 s of the 6.4 s leg).
     sc = df.sparkSession.sparkContext
     n_train = train.count()
-    n_parts = int(max(1, min(sc.defaultParallelism, n_train // 5000)))
-    if train.rdd.getNumPartitions() < n_parts:
+    n_parts = int(max(1, min(sc.defaultParallelism, n_train // 10_000)))
+    if train.rdd.getNumPartitions() != n_parts:
         train = train.repartition(n_parts)
-    train = train.cache()
     if n_train < min_train:
         out = work.drop(*fnames)
         if flag_col not in df.columns:
@@ -159,7 +164,6 @@ def tree_model_fill(
         raise ValueError(f"unknown model {model!r}")
 
     fitted = _make_reg().fit(train)
-    train.unpersist()
 
     if reduce_features_below is not None and len(fnames) > 1:
         # the reference's reduce_features() step (randomforest_ts.py:70,

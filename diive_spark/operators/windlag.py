@@ -185,22 +185,34 @@ def auto_peak_flags(cov_abs):
 
 def max_covariance(
     df: DataFrame, key_cols: list[str], order_col: str,
-    ref_col: str, lagged_col: str,
+    ref_col: str, lagged_col: str | None,
     winsize_from: int = -1000, winsize_to: int = 1000,
     shift_stepsize: int = 1,
+    lag_records: int | None = None,
 ) -> DataFrame:
     """Per-key covariance lag search. Returns one row per (key, shift):
     (key..., shift, cov, cov_abs, flag_peak_max_cov_abs,
     flag_peak_auto). Negative shift moves the lagged series "upwards"
-    (the reference's convention)."""
+    (the reference's convention).
+
+    ``lag_records`` (with ``lagged_col=None``): derive the lagged series
+    INSIDE the per-key kernel as ``ref`` shifted by that many records —
+    value-identical to pre-computing ``F.lag(ref, n)`` over a
+    (key, order) window, but without paying that window's extra full
+    sort+shuffle pass before the kernel's own (guide §2.4: two
+    operations keyed the same way should establish the partitioning
+    once — here the kernel already sorts per key)."""
     import pandas as pd
 
+    if (lagged_col is None) == (lag_records is None):
+        raise ValueError("pass exactly one of lagged_col / lag_records")
     shifts = list(range(int(winsize_from),
                         int(winsize_to) + shift_stepsize, shift_stepsize))
+    lag_expr = (F.col(lagged_col) if lagged_col is not None
+                else F.lit(None)).cast("double").alias("_lag")
     work = df.select(
         *key_cols, F.col(order_col).alias("_ord"),
-        F.col(ref_col).cast("double").alias("_ref"),
-        F.col(lagged_col).cast("double").alias("_lag"))
+        F.col(ref_col).cast("double").alias("_ref"), lag_expr)
     key_fields = [f for f in work.schema.fields if f.name in key_cols]
     schema = StructType(key_fields + [
         StructField("shift", LongType()),
@@ -212,8 +224,10 @@ def max_covariance(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_ord")
+        lag_arr = (pdf["_ref"].shift(lag_records).to_numpy()
+                   if lag_records is not None else pdf["_lag"].to_numpy())
         cov, cov_abs = max_cov_kernel(
-            pdf["_ref"].to_numpy(), pdf["_lag"].to_numpy(), shifts)
+            pdf["_ref"].to_numpy(), lag_arr, shifts)
         fmax, fauto = auto_peak_flags(cov_abs)
         out = pd.DataFrame({
             "shift": np.asarray(shifts, np.int64), "cov": cov,

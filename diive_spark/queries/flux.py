@@ -1015,11 +1015,12 @@ def q_wind_rot_lag(spark, sf_dir):
         F.lit(None).cast("double").alias("cov"),
         F.lit(None).cast("double").alias("cov_abs"),
         F.lit(None).cast("int").alias("flag_max"))
-    kw = Window.partitionBy("event_type").orderBy("event_id")
-    lagged = (ev.withColumn("ref", F.col("value") / 100.0)
-              .withColumn("lagv", F.lag(F.col("value") / 100.0, 7).over(kw)))
+    # the 7-record lag is derived inside the per-key kernel (r8: the
+    # F.lag window pre-pass paid a full extra sort+shuffle of the events
+    # table before the kernel's own per-key sort — value-identical)
+    lagged = ev.withColumn("ref", F.col("value") / 100.0)
     mc = windlag.max_covariance(lagged, ["event_type"], "event_id",
-                                "ref", "lagv",
+                                "ref", None, lag_records=7,
                                 winsize_from=-12, winsize_to=12)
     b = mc.select(
         F.lit("lag").alias("variant"), "event_type",

@@ -54,6 +54,14 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # let AQE coalesce the output partitioning of CACHED plans too
+        # (default false): without it every .cache() pins the full
+        # session shuffle width onto downstream jobs — a cached 200k-row
+        # rollup tier occupies `shuffle.partitions` near-empty partitions
+        # and every later stage pays that many tasks (guide §2.2: fewer,
+        # larger partitions). Scale-neutral: AQE targets
+        # advisoryPartitionSizeInBytes, so big caches keep full width.
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         # Arrow transfer for every pandas UDF / applyInPandas kernel.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

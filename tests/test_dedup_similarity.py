@@ -445,13 +445,35 @@ def test_dedup_clusters_end_to_end_minhash(spark):
 
 def test_connected_components_long_chain_logarithmic(spark):
     # pointer doubling: a 200-node path must converge well under its
-    # diameter (plain min-propagation would need ~199 rounds)
+    # diameter (plain min-propagation would need ~199 rounds).
+    # small_graph_edges=0 FORCES the distributed loop (r8: small graphs
+    # short-circuit into the single-task union-find kernel by default).
     pairs = pd.DataFrame({"id1": list(range(199)),
                           "id2": list(range(1, 200))})
     out = dedup.connected_components(
-        spark.createDataFrame(pairs), max_iters=12).toPandas()
+        spark.createDataFrame(pairs), max_iters=12,
+        small_graph_edges=0).toPandas()
     assert set(out["component"]) == {0}
     assert len(out) == 200
+
+
+def test_connected_components_kernel_equals_loop(spark):
+    # r8: the size-gated single-task union-find path must agree with the
+    # distributed loop exactly (same ids, same canonical min labels) on a
+    # multi-component graph with chains, a star and random merges
+    rng = np.random.default_rng(5)
+    pairs = [(i, i + 1) for i in range(0, 60, 2)]
+    pairs += [(500, 500 + k) for k in range(1, 9)]
+    pairs += [(int(rng.integers(0, 300)), int(rng.integers(0, 300)))
+              for _ in range(40)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    sdf = spark.createDataFrame(pd.DataFrame(pairs, columns=["id1", "id2"]))
+    via_kernel = dedup.connected_components(sdf) \
+        .toPandas().set_index("id")["component"].to_dict()
+    via_loop = dedup.connected_components(sdf, small_graph_edges=0) \
+        .toPandas().set_index("id")["component"].to_dict()
+    assert via_kernel == via_loop
+    assert via_kernel == _uf_oracle(pairs)
 
 
 def test_deterministic_mixing(spark, docs):
