@@ -150,17 +150,26 @@ def tree_model_fill(
             return out, None
         return out
 
+    # cacheNodeIds: keep each instance's current tree node in a persisted
+    # RDD instead of re-walking every tree from the root on every level
+    # job; maxMemoryInMB raises the per-iteration node-group budget so
+    # deep trees need fewer sequential jobs. Pure execution-strategy
+    # knobs: predictions are bit-identical with and without (r8
+    # experiment: checksum-equal on the sf1 bench grid, fit wall
+    # 3.4 s -> 2.1 s).
     def _make_reg():
         if model == "random_forest":
             return RandomForestRegressor(
                 featuresCol="_fvec", labelCol="_label", predictionCol="_pred",
                 numTrees=num_trees, maxDepth=max_depth, seed=seed,
-                subsamplingRate=subsampling_rate)
+                subsamplingRate=subsampling_rate,
+                cacheNodeIds=True, maxMemoryInMB=1024)
         if model == "gbt":
             return GBTRegressor(
                 featuresCol="_fvec", labelCol="_label", predictionCol="_pred",
                 maxIter=max_iter, maxDepth=max_depth, seed=seed,
-                subsamplingRate=subsampling_rate)
+                subsamplingRate=subsampling_rate,
+                cacheNodeIds=True, maxMemoryInMB=1024)
         raise ValueError(f"unknown model {model!r}")
 
     fitted = _make_reg().fit(train)
@@ -379,11 +388,13 @@ def permutation_importance(
     if model == "random_forest":
         reg = RandomForestRegressor(
             featuresCol="_fvec", labelCol="_label", predictionCol="_pred",
-            numTrees=num_trees, maxDepth=max_depth, seed=seed)
+            numTrees=num_trees, maxDepth=max_depth, seed=seed,
+            cacheNodeIds=True, maxMemoryInMB=1024)
     elif model == "gbt":
         reg = GBTRegressor(
             featuresCol="_fvec", labelCol="_label", predictionCol="_pred",
-            maxIter=max_iter, maxDepth=max_depth, seed=seed)
+            maxIter=max_iter, maxDepth=max_depth, seed=seed,
+            cacheNodeIds=True, maxMemoryInMB=1024)
     else:
         raise ValueError(f"unknown model {model!r}")
     fitted = reg.fit(assembler.transform(train))
@@ -530,10 +541,12 @@ def optimize_params_ts(
         if model == "random_forest":
             reg = RandomForestRegressor(
                 featuresCol="_fvec", labelCol="_label",
-                predictionCol="_pred", seed=seed)
+                predictionCol="_pred", seed=seed,
+                cacheNodeIds=True, maxMemoryInMB=1024)
         elif model == "gbt":
             reg = GBTRegressor(featuresCol="_fvec", labelCol="_label",
-                               predictionCol="_pred", seed=seed)
+                               predictionCol="_pred", seed=seed,
+                               cacheNodeIds=True, maxMemoryInMB=1024)
         else:
             raise ValueError(f"unknown model {model!r}")
         for k, v in params.items():

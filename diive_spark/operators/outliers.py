@@ -88,18 +88,31 @@ def flag_zscore(
     flag_col: str = "FLAG_ZSCORE_TEST",
 ) -> DataFrame:
     """Global (or per-daynight-group) z-score; population SD (np.std ddof=0,
-    funcs.py:54)."""
+    funcs.py:54).
+
+    The per-group mean/SD are a grouped AGGREGATE broadcast-joined back,
+    not a whole-partition window: the window form exchanges AND sorts the
+    full table just to attach two per-group scalars (r8 plan audit), while
+    the aggregate rides map-side partial aggregation and the join-back is
+    a broadcast of one tiny row per group — the scan stays the only full
+    pass. Group cardinality is variable count x day/night — bounded far
+    below broadcast limits in any realistic screening corpus."""
     parts = [*key_cols, *(group_cols or [])]
-    w = Window.partitionBy(*parts) if parts else Window.partitionBy()
     v = F.col(value_col)
     # null out a zero SD (constant/stuck series) instead of ANSI-mode
     # DIVIDE_BY_ZERO: z becomes null -> no flag, matching numpy's nan
-    sd = F.nullif(F.stddev_pop(v).over(w), F.lit(0.0))
-    z = F.abs((v - F.avg(v).over(w)) / sd)
-    return df.withColumn(
+    stats_aggs = [F.avg(v).alias("_zs_mean"),
+                  F.nullif(F.stddev_pop(v), F.lit(0.0)).alias("_zs_sd")]
+    if parts:
+        stats = df.groupBy(*parts).agg(*stats_aggs)
+        out = df.join(F.broadcast(stats), parts, "left")
+    else:
+        out = df.crossJoin(F.broadcast(df.agg(*stats_aggs)))
+    z = F.abs((v - F.col("_zs_mean")) / F.col("_zs_sd"))
+    return out.withColumn(
         flag_col,
         F.when(v.isNull(), F.lit(None)).when(z > thres_zscore, F.lit(2)).otherwise(F.lit(0)).cast("int"),
-    )
+    ).drop("_zs_mean", "_zs_sd")
 
 
 def flag_zscore_rolling(
