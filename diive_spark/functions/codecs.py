@@ -2056,7 +2056,9 @@ def parse_mpeg_audio(blob: bytes, max_resync: int = 65536) -> dict:
     (crawled files are routinely truncated or glued). Raises CodecError
     when no valid frame exists."""
     end = len(blob)
-    if blob[end - 128:end - 125] == b"TAG":
+    # guard: for blobs under 128 bytes the negative slice would wrap and
+    # could truncate `end` on spurious data (r8 ADVICE fix)
+    if end >= 128 and blob[end - 128:end - 125] == b"TAG":
         end -= 128
     i = _id3v2_size(blob)
     frames = 0
@@ -2085,9 +2087,15 @@ def parse_mpeg_audio(blob: bytes, max_resync: int = 65536) -> dict:
         i += max(hdr["length"], 4)
     if first is None:
         raise CodecError("no MPEG audio frame found")
-    # a Xing/Info first frame is a metadata frame, not audio
+    # a Xing/Info first frame is a metadata frame, not audio — exclude it
+    # from the frame/sample counts AND from the mean bitrate (r8 ADVICE
+    # fix: it previously skewed mean bitrate for short VBR files)
     audio_frames = frames - (1 if vbr and vbr["tag"] in ("Xing", "Info") else 0)
     audio_samples = samples - (first["n_samples"] if audio_frames < frames else 0)
+    br_frames = frames
+    if audio_frames < frames:
+        br_sum -= first["bitrate"]
+        br_frames -= 1
     if vbr and vbr.get("frames"):
         audio_frames = vbr["frames"]
         audio_samples = vbr["frames"] * first["n_samples"]
@@ -2097,7 +2105,7 @@ def parse_mpeg_audio(blob: bytes, max_resync: int = 65536) -> dict:
         "channels": first["channels"], "n_frames": int(audio_frames),
         "n_samples": int(audio_samples),
         "duration_sec": audio_samples / first["sample_rate"],
-        "bitrate_kbps": (br_sum / frames / 1000.0) if frames else 0.0,
+        "bitrate_kbps": (br_sum / br_frames / 1000.0) if br_frames else 0.0,
         "is_vbr": len(bitrates) > 1 or (vbr is not None and vbr["tag"] in ("Xing", "VBRI")),
         "vbr_tag": vbr["tag"] if vbr else None,
     }

@@ -221,11 +221,22 @@ def extract_audio_metadata(df: DataFrame) -> DataFrame:
     fine.) Same Arrow-batched mapInPandas shape as the feature kernels."""
     from diive_spark.functions.codecs import parse_audio_metadata
 
+    from diive_spark.functions.codecs import CodecError
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-                m = parse_audio_metadata(bytes(blob))
+                try:
+                    m = parse_audio_metadata(bytes(blob))
+                except CodecError:
+                    # crawled audio is routinely truncated or glued — a
+                    # single garbage blob must not fail the whole stage
+                    # (r8 ADVICE fix). container=NULL marks the row so a
+                    # downstream filter drops it.
+                    rows.append((doc_id, None, None, None, None,
+                                 None, None, None, None))
+                    continue
                 rows.append((doc_id, m["container"], m["sample_rate"],
                              m["channels"], m["n_samples"],
                              m["duration_sec"], m["bitrate_kbps"],

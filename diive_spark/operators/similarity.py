@@ -11,6 +11,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: previous semdedup call's cached assignment table (released on the next
+#: call — see the unpersist note inside semdedup)
+_SEMDEDUP_PREV_CACHE: DataFrame | None = None
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -125,9 +129,35 @@ def _assign_centroids(
             (exact[:, 1] == exact[:, 0]) & (cid2[:, 1] < cid2[:, 0]))
         sel = np.where(take1, 1, 0)
         rows = np.arange(len(x))
+        win_cid = cid2[rows, sel].astype("int32")
+        win_sim = exact[rows, sel]
+        if k > 2:
+            # 3+ centroids tying on exact cosine (duplicate/colinear
+            # centroids — plausible under a hash-pick quantizer on a
+            # dup-heavy corpus) can leave the minimum centroid_id outside
+            # the top-2 shortlist, breaking the documented
+            # (csim desc, centroid_id asc) tie-break. For the (rare) rows
+            # whose two verified candidates tie, re-verify EVERY centroid
+            # within eps of the fast maximum with the same sequential
+            # dim-major fold and take min centroid_id among exact ties.
+            tied = np.abs(exact[:, 0] - exact[:, 1]) <= 1e-12
+            if tied.any():
+                fmax = fast.max(axis=1)
+                for i in np.where(tied)[0]:
+                    cand = np.where(fast[i] >= fmax[i] - 1e-9)[0]
+                    if len(cand) <= 2:
+                        continue
+                    b = cmat[cand]
+                    dot = np.zeros(len(cand))
+                    for d in range(x.shape[1]):
+                        dot += x[i, d] * b[:, d]
+                    ex = dot / (np.sqrt(xn2[i]) * np.sqrt(cn2[cand]))
+                    best = np.lexsort((cids[cand], -ex))[0]
+                    win_sim[i] = ex[best]
+                    win_cid[i] = np.int32(cids[cand][best])
         out = corp.copy()
-        out["centroid_id"] = cid2[rows, sel].astype("int32")
-        out["csim"] = exact[rows, sel]
+        out["centroid_id"] = win_cid
+        out["csim"] = win_sim
         return out
 
     corp = corpus.withColumn(
@@ -456,6 +486,19 @@ def semdedup(
         # capped shingle table in dedup.py.
         .cache()
     )
+    # release the PREVIOUS call's cache (r8, ADVICE): the return value is
+    # lazy so this call's cache cannot be freed here, but repeated
+    # semdedup calls in one session must not accumulate executor storage.
+    # A caller still holding an unmaterialized earlier result only pays a
+    # recompute — correctness is unaffected.
+    global _SEMDEDUP_PREV_CACHE
+    prev = _SEMDEDUP_PREV_CACHE
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _SEMDEDUP_PREV_CACHE = assigned
     pairs = _semdedup_pairs(assigned, id_col, threshold, pair_blocks)
     loser = (
         F.when(F.col("cs1") > F.col("cs2"), F.col("id1"))

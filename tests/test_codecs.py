@@ -4,6 +4,7 @@ import struct
 import zlib
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from diive_spark.functions import codecs
@@ -616,6 +617,18 @@ def test_mpeg_parser_id3_xing_and_vbr():
     # Xing frame count wins over the walked count
     assert m["n_frames"] == 500
     assert m["duration_sec"] == pytest.approx(500 * 1152 / 44100)
+    # mean bitrate excludes the Xing METADATA frame (r8 ADVICE fix):
+    # only the five audio frames contribute
+    assert m["bitrate_kbps"] == pytest.approx((112 + 128 + 160 + 128 + 96) / 5)
+
+
+def test_mpeg_parser_short_blob_tag_guard():
+    # blobs under 128 bytes must not wrap the ID3v1 slice (r8 ADVICE fix):
+    # a single valid frame shorter than 128 bytes still parses
+    frame = _mp3_frame(version="2.5", bitrate_kbps=8, rate=8000, mono=True)
+    assert len(frame) < 128
+    m = codecs.parse_mpeg_audio(frame)
+    assert m["n_frames"] == 1 and m["channels"] == 1
 
 
 def test_mpeg_parser_real_third_party_mp3():
@@ -692,3 +705,18 @@ def test_extract_audio_metadata_operator_mixed_containers(spark):
     mp3_rows = df.filter("doc_id = 'm0'")
     with pytest.raises(Exception, match="no decoder for 'audio/mpeg'"):
         multimodal.extract_audio_features(mp3_rows).collect()
+
+
+def test_extract_audio_metadata_bad_blob_flagged_not_fatal(spark):
+    """A pure-garbage blob yields a NULL-container row instead of failing
+    the stage (r8 ADVICE fix): crawled audio is routinely truncated."""
+    x = _tone(n=4000, sr=8000)
+    rows = [
+        ("ok", bytearray(codecs.encode_wav(x, 8000)), "audio/wav", 8000, 4000),
+        ("bad", bytearray(b"\x00\x01" * 600), "audio/mpeg", 0, 0),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.AUDIO_SCHEMA)
+    out = multimodal.extract_audio_metadata(df).toPandas().set_index("doc_id")
+    assert out.loc["ok", "container"] == "wav"
+    assert pd.isna(out.loc["bad", "container"])
+    assert pd.isna(out.loc["bad", "duration_sec"])

@@ -457,6 +457,27 @@ def test_connected_components_long_chain_logarithmic(spark):
     assert len(out) == 200
 
 
+def test_assign_centroids_colinear_tiebreak(spark):
+    """3+ exactly-tying centroids (duplicates under a hash-pick quantizer
+    on a dup-heavy corpus): the winner must still follow the documented
+    (csim desc, centroid_id asc) tie-break even when the minimum
+    centroid_id falls outside the top-2 matmul shortlist (r8 ADVICE fix:
+    the shortlist recheck widens to every fast-score tie)."""
+    corp_rows = [("a", [1.0, 2.0, 3.0]), ("b", [3.0, -1.0, 0.5])]
+    dup = [2.0, 4.0, 6.0]         # colinear with doc "a"
+    cents_rows = [(7, dup), (2, dup), (9, dup), (4, [0.0, 0.0, 1.0])]
+    corp = spark.createDataFrame(corp_rows, "vid string, v array<double>")
+    cents = spark.createDataFrame(
+        cents_rows, "centroid_id int, cent array<double>")
+    out = similarity._assign_centroids(corp, cents, "vid", "v") \
+        .toPandas().set_index("vid")
+    # doc "a" ties exactly on all three duplicate centroids -> min id 2
+    assert int(out.loc["a", "centroid_id"]) == 2
+    assert out.loc["a", "csim"] == pytest.approx(1.0)
+    # doc "b" has a unique winner among the duplicates
+    assert int(out.loc["b", "centroid_id"]) in (2, 4)
+
+
 def test_connected_components_kernel_equals_loop(spark):
     # r8: the size-gated single-task union-find path must agree with the
     # distributed loop exactly (same ids, same canonical min labels) on a
