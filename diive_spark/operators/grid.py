@@ -75,7 +75,17 @@ def gridded(
 
     The join key (keys..., window_start) is the rollup's own grouping key, so
     with AQE the shuffle partitioning is reused; the grid side is small.
+
+    The rollup is lazily ``localCheckpoint``-ed first: its three consumers
+    (per-key span aggregate, grid keys, the join's data side) each prune a
+    DIFFERENT column set, so Catalyst specialises the rollup subtree per
+    consumer and neither ReuseExchange nor AQE stage reuse can dedup them —
+    the raw-table scan + rollup executed three times per gridded query
+    (r8 runtime plan check: 3x `Scan parquet`, 0 reuse). Checkpointing
+    pins ONE materialization of the (tiny, tier-sized) rollup that all
+    consumers read. Lazy: no extra job — the first consumer materializes.
     """
+    rollup_df = rollup_df.localCheckpoint(eager=False)
     grid = time_grid(rollup_df, tier, key_cols, global_span=global_span)
     data = rollup_df.drop("window_end")
     return grid.join(data, on=[*key_cols, "window_start"], how="left")

@@ -146,6 +146,17 @@ def profile_dataframe(df: DataFrame, cols: list[str] | None = None) -> DataFrame
         if f.dataType.simpleString() in ("double", "float", "int", "bigint", "smallint")
         and (cols is None or f.name in cols)
     ]
+    # project to the profiled columns FIRST (guide §2.3), then spread a
+    # narrow input: exact percentiles buffer every value, so a single
+    # unsplittable input file (1-2 row-group-bound scan tasks) serialises
+    # the whole collection through one core — measured 57 s for 3 columns
+    # of a 6M-row single-file lineitem at sf1, ~4 s once spread. The
+    # shuffle moves only the profiled columns; inputs already wider than
+    # the core count are untouched.
+    df = df.select(*numeric)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     total = F.count(F.lit(1))
     rows = []
     aggs = [total.alias("_total")]
@@ -154,9 +165,14 @@ def profile_dataframe(df: DataFrame, cols: list[str] | None = None) -> DataFrame
         aggs += [
             F.count(v).alias(f"{c}__n"), F.avg(v).alias(f"{c}__mean"),
             F.stddev_samp(v).alias(f"{c}__sd"), F.min(v).alias(f"{c}__min"),
-            F.percentile(v, F.lit(0.25)).alias(f"{c}__q25"),
-            F.percentile(v, F.lit(0.5)).alias(f"{c}__median"),
-            F.percentile(v, F.lit(0.75)).alias(f"{c}__q75"),
+            # ONE array-form percentile per column: the exact percentile
+            # aggregate buffers every (value, count) pair, so three
+            # separate quartile aggregates built three independent
+            # buffers over the same column (r8 measurement on a 6M-row
+            # distinct-heavy column: 52 s -> 20 s with the shared
+            # buffer). Identical exact values — same function.
+            F.percentile(v, F.array(F.lit(0.25), F.lit(0.5),
+                                    F.lit(0.75))).alias(f"{c}__q"),
             F.max(v).alias(f"{c}__max"),
         ]
     wide = df.agg(*aggs)
@@ -168,9 +184,9 @@ def profile_dataframe(df: DataFrame, cols: list[str] | None = None) -> DataFrame
             F.col(f"{c}__mean").cast("double").alias("mean"),
             F.col(f"{c}__sd").cast("double").alias("sd"),
             F.col(f"{c}__min").cast("double").alias("min"),
-            F.col(f"{c}__q25").cast("double").alias("q25"),
-            F.col(f"{c}__median").cast("double").alias("median"),
-            F.col(f"{c}__q75").cast("double").alias("q75"),
+            F.col(f"{c}__q")[0].cast("double").alias("q25"),
+            F.col(f"{c}__q")[1].cast("double").alias("median"),
+            F.col(f"{c}__q")[2].cast("double").alias("q75"),
             F.col(f"{c}__max").cast("double").alias("max"),
         )
         for c in numeric

@@ -911,6 +911,11 @@ def q_timestamp_shift(spark, sf_dir):
         F.lit(0.0), 900.0 * F.sin(_math.pi * (F.col("hf") + 0.5 - 6.0) / 12.0))
     grid = grid.withColumn("pot", pot).withColumn("meas", meas) \
                .withColumn("site", F.lit("S"))
+    # the fft and noon branches both consume this 672-row grid, and their
+    # duplicated subtrees each re-scan events for the d0 aggregate (r8
+    # runtime plan check: 2x Scan parquet, no broadcast reuse). A lazy
+    # localCheckpoint pins one materialization both branches read.
+    grid = grid.localCheckpoint(eager=False)
     # dt_min passed explicitly: the gate's constant literal key would
     # constant-fold the inference window into an unpartitioned global
     # window (harmless at 672 rows, but noisy and needless — the oracle
