@@ -394,6 +394,69 @@ def ustar_mp_bootstrap(
             out[f.name] = pdf[f.name].iloc[0]
         return out[[f.name for f in key_fields] + ["scenario", "threshold", "n_samples"]]
 
+    if resample == "hash":
+        # The hash draw is a pure function of (b, j), so the n_boot
+        # resamples are independent — run each as its OWN task instead of
+        # a sequential loop inside one grouped-map task (r8: the md5 draw
+        # is ~1 µs/record of per-row Python; 8 resamples x 1M records ran
+        # ~15 s single-task at sf1, ~2-3 s spread). The rng path keeps the
+        # in-kernel loop: its generator state is shared across resamples.
+        # Values are identical: each task sorts the same full record the
+        # same way, computes the same threshold, and np.percentile over
+        # the per-resample thresholds is permutation-invariant.
+        wb = work.withColumn(
+            "_b", F.explode(F.array(*[F.lit(b) for b in range(n_boot)])))
+        schema_b = StructType(key_fields + [StructField("_thr", DoubleType())])
+
+        def boot_one(pdf: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+            b = int(pdf["_b"].iloc[0])
+            pdf = pdf.sort_values(["_ustar", "_nee"]).reset_index(drop=True)
+            nee, ta, ustar, month, valid, night = _night_arrays(pdf, cfg)
+            N = len(pdf)
+            thr = np.nan
+            enough = (N >= cfg["min_samples_period"]
+                      and int(valid.sum()) >= cfg["min_samples_period"])
+            if enough:
+                idx = np.array([
+                    int(hashlib.md5(f"{b}:{j}".encode()).hexdigest()[:8], 16)
+                    % N for j in range(N)], dtype=np.int64)
+                sel = idx[night[idx]]
+                if sel.size:
+                    ths = _seasonal_thresholds(
+                        nee[sel], ta[sel], ustar[sel], month[sel], cfg)
+                    finite = [t for t in ths if np.isfinite(t)]
+                    if finite:
+                        thr = max(finite)
+            out = pd.DataFrame({"_thr": [thr]})
+            for f in key_fields:
+                out[f.name] = pdf[f.name].iloc[0]
+            return out[[f.name for f in key_fields] + ["_thr"]]
+
+        def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+            samples = [float(t) for t in pdf["_thr"] if np.isfinite(t)]
+            rows = []
+            for p in percentiles:
+                thr = float(np.percentile(samples, p)) if samples else np.nan
+                rows.append((f"CUT_{int(p)}", thr, len(samples)))
+            out = pd.DataFrame(
+                rows, columns=["scenario", "threshold", "n_samples"])
+            out["n_samples"] = out["n_samples"].astype(np.int32)
+            for f in key_fields:
+                out[f.name] = pdf[f.name].iloc[0]
+            return out[[f.name for f in key_fields]
+                       + ["scenario", "threshold", "n_samples"]]
+
+        # pin the grouped-map width: AQE size-based coalescing would fold
+        # the (byte-small, Python-CPU-heavy) resample groups back onto one
+        # partition (the halo.apply_with_halo trap)
+        sc = df.sparkSession.sparkContext
+        wb = wb.repartition(max(sc.defaultParallelism, 1), *key_cols, "_b")
+        per_b = wb.groupBy(*key_cols, "_b").applyInPandas(
+            lambda _, pdf: boot_one(pdf), schema=schema_b)
+        return per_b.groupBy(*key_cols).applyInPandas(
+            lambda _, pdf: finalize(pdf), schema=schema)
+
     return work.groupBy(*key_cols).applyInPandas(
         lambda _, pdf: boot(pdf), schema=schema
     )
