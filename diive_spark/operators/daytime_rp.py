@@ -633,6 +633,12 @@ def partition_nee_daytime_reddyproc(
     ]
     if sd_nee_col is not None:
         sel.append(F.col(sd_nee_col).cast("double").alias("_sd"))
+    # lazy-checkpoint the caller's frame so the kernel's input projection
+    # and the (key, ts) join-back share ONE materialization — the join side
+    # otherwise re-executes df's whole upstream (r8 plan audit: a second
+    # raw scan + aggregate per call). Lowres 30-min flux tier by contract:
+    # tier-sized, safe to pin.
+    df = df.localCheckpoint(eager=False)
     work = df.select(*sel)
     key_fields = [f for f in work.schema.fields if f.name in key_cols]
     schema = StructType(key_fields + [

@@ -340,6 +340,12 @@ def partition_nee_nighttime_oneflux(
 
     nee_f_col = nee_f_col or nee_col
     ta_f_col = ta_f_col or ta_col
+    # lazy-checkpoint the caller's frame so the kernel's input projection
+    # and the (key, ts) join-back share ONE materialization — the join side
+    # otherwise re-executes df's whole upstream (r8 plan audit: a second
+    # raw scan + aggregate per call). Lowres 30-min flux tier by contract:
+    # tier-sized, safe to pin.
+    df = df.localCheckpoint(eager=False)
     work = df.select(
         *key_cols, F.col(ts_col).alias("_ts"),
         F.col(nee_col).cast("double").alias("_nee"),
